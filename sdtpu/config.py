@@ -1,0 +1,221 @@
+"""Model / scheduler / pipeline configuration.
+
+The reference hardcodes every architectural constant inline at construction
+sites (``diffusion.mojo:150-273``, ``clip.mojo:56-86``, ``vae.mojo:70-250``)
+and exposes runtime knobs as compile-time aliases (``pipeline.mojo:8``) or
+keyword arguments of ``generate`` (``pipeline.mojo:13-22``).  Here every
+architecture is a frozen dataclass so one parameterized implementation covers
+Tiny-SD, SD 1.5, and SDXL, and the runtime knobs live in ``PipelineConfig``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    """CLIP text-encoder architecture (reference: ``clip.mojo:56-109``)."""
+
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    max_length: int = 77
+    # "quick_gelu" (x * sigmoid(1.702 x), reference clip.mojo:49-50) or "gelu".
+    hidden_act: str = "quick_gelu"
+    layer_norm_eps: float = 1e-5
+    # SDXL's second encoder (OpenCLIP bigG) reads the penultimate hidden state
+    # and adds a text projection; SD 1.x reads the final LayerNorm output.
+    use_final_layer_norm_output: bool = True
+    projection_dim: Optional[int] = None
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Conditional UNet architecture.
+
+    The default values express the Tiny-SD (BK-SDM-tiny) layout that the
+    reference hand-wires in ``diffusion.mojo:150-273``: three resolution
+    levels (320/640/1280), one ResBlock+AttnBlock per encoder level
+    (``diffusion.mojo:236-250``), two per decoder level
+    (``diffusion.mojo:252-272``), 8 attention heads everywhere
+    (``diffusion.mojo:239,243,247``), no mid block.  SD 1.5 and SDXL are the
+    same code with different constants.
+    """
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280)
+    # Number of ResBlock(+AttnBlock) units per encoder level; decoder levels
+    # get layers_per_block + 1 (matching diffusers' up-block convention and
+    # the reference's two-per-level decoder, diffusion.mojo:252-272).
+    layers_per_block: int = 1
+    # Whether each level carries cross/self attention (False = plain
+    # DownBlock2D/UpBlock2D, used by SDXL's outermost level).
+    attention_levels: Tuple[bool, ...] = (True, True, True)
+    # Transformer depth per level (SDXL uses (1, 2, 10)).
+    transformer_layers_per_block: Tuple[int, ...] = (1, 1, 1)
+    num_attention_heads: int = 8
+    cross_attention_dim: int = 768
+    mid_block: bool = False
+    norm_num_groups: int = 32
+    time_embed_dim_mult: int = 4  # time_embed_dim = block_out[0] * mult
+    freq_shift: float = 0.0
+    flip_sin_to_cos: bool = True
+    # SDXL micro-conditioning: projection of pooled text embeds + time ids.
+    addition_embed_dim: Optional[int] = None  # 2816 for SDXL base
+    addition_time_embed_dim: Optional[int] = None  # 256 for SDXL base
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * self.time_embed_dim_mult
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.block_out_channels)
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """AutoencoderKL architecture (reference: ``vae.mojo:70-250``).
+
+    The reference's VAE deviates from SD semantics (16-group norms,
+    ``vae.mojo:42-43``); per SURVEY.md §5.1 we build the intended standard
+    SD VAE: 32 groups, mid attention block, (128, 256, 512, 512) widths.
+    """
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    # x = mean + eps * std, then * scaling_factor (vae.mojo:118-129, :222).
+    scaling_factor: float = 0.18215
+
+    @property
+    def downscale_factor(self) -> int:
+        return 2 ** (len(self.block_out_channels) - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    """DDPM scheduler constants (reference: ``sampler.mojo:5-33``).
+
+    The reference defaults to 10 training timesteps for demo speed
+    (``sampler.mojo:19``); the SD standard (and our default) is 1000 with the
+    same scaled-linear beta schedule.
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"  # or "linear"
+    prediction_type: str = "epsilon"  # or "v_prediction"
+    # DDIM / Euler share the betas; selected at the pipeline level.
+    steps_offset: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline preset: architectures + runtime policy."""
+
+    name: str
+    clip: CLIPConfig
+    unet: UNetConfig
+    vae: VAEConfig
+    scheduler: SchedulerConfig
+    # Second text encoder for SDXL (None for SD 1.x / Tiny-SD).
+    clip_2: Optional[CLIPConfig] = None
+    default_image_size: int = 512
+    # bf16 keeps matmuls/convs on the MXU fast path; fp32 islands are applied
+    # inside ops where stats need them (GroupNorm/softmax accumulate in f32).
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets covering the BASELINE configs.
+# ---------------------------------------------------------------------------
+
+TINY_SD = PipelineConfig(
+    name="segmind/tiny-sd",
+    clip=CLIPConfig(),
+    unet=UNetConfig(),  # defaults ARE the Tiny-SD layout
+    vae=VAEConfig(),
+    scheduler=SchedulerConfig(),
+)
+
+SD15 = PipelineConfig(
+    name="runwayml/stable-diffusion-v1-5",
+    clip=CLIPConfig(),
+    unet=UNetConfig(
+        block_out_channels=(320, 640, 1280, 1280),
+        layers_per_block=2,
+        attention_levels=(True, True, True, False),
+        transformer_layers_per_block=(1, 1, 1, 1),
+        num_attention_heads=8,
+        cross_attention_dim=768,
+        mid_block=True,
+    ),
+    vae=VAEConfig(),
+    scheduler=SchedulerConfig(),
+)
+
+SDXL_BASE = PipelineConfig(
+    name="stabilityai/stable-diffusion-xl-base-1.0",
+    clip=CLIPConfig(),  # OpenAI CLIP ViT-L, penultimate in SDXL handled at pipeline level
+    clip_2=CLIPConfig(
+        hidden_size=1280,
+        intermediate_size=5120,
+        num_layers=32,
+        num_heads=20,
+        hidden_act="gelu",
+        use_final_layer_norm_output=False,
+        projection_dim=1280,
+    ),
+    unet=UNetConfig(
+        block_out_channels=(320, 640, 1280),
+        layers_per_block=2,
+        attention_levels=(False, True, True),
+        transformer_layers_per_block=(1, 2, 10),
+        num_attention_heads=0,  # SDXL fixes head_dim=64; see models/unet.py
+        cross_attention_dim=2048,
+        mid_block=True,
+        addition_embed_dim=2816,
+        addition_time_embed_dim=256,
+    ),
+    vae=VAEConfig(scaling_factor=0.13025),
+    scheduler=SchedulerConfig(),
+    default_image_size=1024,
+)
+
+PRESETS = {
+    "segmind/tiny-sd": TINY_SD,
+    "tiny-sd": TINY_SD,
+    "runwayml/stable-diffusion-v1-5": SD15,
+    "sd15": SD15,
+    "stabilityai/stable-diffusion-xl-base-1.0": SDXL_BASE,
+    "sdxl": SDXL_BASE,
+}
+
+
+def get_preset(name: str) -> PipelineConfig:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown preset {name!r}; available: {sorted(PRESETS)}"
+        ) from None

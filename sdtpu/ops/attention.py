@@ -1,0 +1,164 @@
+"""Multi-head attention and the SD transformer block.
+
+Reference: ``Self_Attention``/``Cross_Attention`` (``helpers/attention.mojo``)
+and the UNet transformer wiring in ``Unet_Attention_Block``
+(``diffusion.mojo:75-147``).  Differences by design (SURVEY.md §5.1 items 5):
+
+* softmax is max-subtracted and runs over the KEY axis (the reference's
+  ``Softmax(dim=2)`` normalizes over queries, ``utils.mojo:435-445``);
+* the 1/sqrt(head_dim) scale is folded into the logits before masking;
+* logits and the softmax accumulate in float32 even under bf16 compute
+  (``preferred_element_type``), keeping MXU throughput with fp32 islands.
+
+Heads are kept as a separate batch axis of one 4-D einsum instead of the
+reference's fold-into-dim0 reshape dance (``attention.mojo:37-44``) — XLA
+maps this to batched MXU matmuls directly.  ``implementation="flash"``
+switches the inner product to the Pallas blockwise online-softmax kernel
+(``sdtpu/kernels/flash_attention.py``) for long latent sequences.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.ops.activations import geglu
+from sdtpu.ops.linear import init_linear, linear
+from sdtpu.ops.norm import init_layer_norm, layer_norm
+
+
+def attention(
+    x: jax.Array,
+    params: dict,
+    *,
+    num_heads: int,
+    context: Optional[jax.Array] = None,
+    causal: bool = False,
+    implementation: str = "xla",
+) -> jax.Array:
+    """Multi-head (self or cross) attention.
+
+    x: (B, Lq, D); context: (B, Lk, Dctx) or None for self-attention.
+    """
+    b, lq, d = x.shape
+    assert d % num_heads == 0
+    head_dim = d // num_heads
+    ctx = x if context is None else context
+
+    q = linear(x, params["q"]).reshape(b, lq, num_heads, head_dim)
+    k = linear(ctx, params["k"]).reshape(b, ctx.shape[1], num_heads, head_dim)
+    v = linear(ctx, params["v"]).reshape(b, ctx.shape[1], num_heads, head_dim)
+
+    if implementation == "flash" and not causal:
+        from sdtpu.kernels.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v)
+    else:
+        out = _xla_attention(q, k, v, causal=causal)
+
+    out = out.reshape(b, lq, d)
+    return linear(out, params["out"])
+
+
+def _xla_attention(q, k, v, *, causal: bool) -> jax.Array:
+    """Dense attention: (B, L, H, Dh) inputs, f32 logits/softmax."""
+    head_dim = q.shape[-1]
+    scale = head_dim**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if causal:
+        lq, lk = logits.shape[-2], logits.shape[-1]
+        mask = jnp.tril(jnp.ones((lq, lk), dtype=bool))
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+def init_attention(
+    key: jax.Array,
+    dim: int,
+    *,
+    context_dim: Optional[int] = None,
+    qkv_bias: bool = True,
+    out_bias: bool = True,
+    dtype=jnp.float32,
+) -> dict:
+    """Separate q/k/v/out projections (the reference fuses self-attention QKV
+    into one Linear(d, 3d), ``attention.mojo:17``; separate projections map
+    1:1 onto diffusers' to_q/to_k/to_v checkpoint tensors)."""
+    ctx = dim if context_dim is None else context_dim
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q": init_linear(kq, dim, dim, use_bias=qkv_bias, dtype=dtype),
+        "k": init_linear(kk, ctx, dim, use_bias=qkv_bias, dtype=dtype),
+        "v": init_linear(kv, ctx, dim, use_bias=qkv_bias, dtype=dtype),
+        "out": init_linear(ko, dim, dim, use_bias=out_bias, dtype=dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# BasicTransformerBlock: LN -> self-attn -> LN -> cross-attn -> LN -> GeGLU FF
+# (the inner body of Unet_Attention_Block, diffusion.mojo:112-147).
+# ---------------------------------------------------------------------------
+
+
+def transformer_block(
+    x: jax.Array,
+    params: dict,
+    *,
+    num_heads: int,
+    context: jax.Array,
+    implementation: str = "xla",
+) -> jax.Array:
+    h = layer_norm(x, params["norm1"])
+    x = x + attention(
+        h, params["attn1"], num_heads=num_heads, implementation=implementation
+    )
+    h = layer_norm(x, params["norm2"])
+    x = x + attention(
+        h,
+        params["attn2"],
+        num_heads=num_heads,
+        context=context,
+        implementation=implementation,
+    )
+    h = layer_norm(x, params["norm3"])
+    h = geglu(linear(h, params["ff"]["proj"]))
+    return x + linear(h, params["ff"]["out"])
+
+
+def init_geglu(key: jax.Array, dim: int, *, mult: int = 4, dtype=jnp.float32) -> dict:
+    """Linear(ch, 2*mult*ch) -> GeGLU -> Linear(mult*ch, ch)
+    (``diffusion.mojo:96-97``: proj to 8x, gate halves to 4x)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "proj": init_linear(k1, dim, 2 * mult * dim, dtype=dtype),
+        "out": init_linear(k2, mult * dim, dim, dtype=dtype),
+    }
+
+
+def init_transformer_block(
+    key: jax.Array,
+    dim: int,
+    *,
+    context_dim: int,
+    dtype=jnp.float32,
+) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "norm1": init_layer_norm(dim, dtype=dtype),
+        "attn1": init_attention(k1, dim, qkv_bias=False, dtype=dtype),
+        "norm2": init_layer_norm(dim, dtype=dtype),
+        "attn2": init_attention(
+            k2, dim, context_dim=context_dim, qkv_bias=False, dtype=dtype
+        ),
+        "norm3": init_layer_norm(dim, dtype=dtype),
+        "ff": init_geglu(k3, dim, dtype=dtype),
+    }

@@ -1,0 +1,71 @@
+"""2-D convolution (reference: ``Conv2D``, ``helpers/utils.mojo:1693-1811``).
+
+The reference does a direct per-output-channel spatial loop with ``tile_2d``
+tiling on CPU SIMD lanes.  On TPU the conv IS a matmul: XLA lowers
+``lax.conv_general_dilated`` in NHWC/HWIO layout to MXU-tiled contractions,
+so there is nothing to hand-schedule.  We keep activations NHWC (channels on
+the 128-wide lane dimension) and kernels HWIO.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Padding = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
+
+
+def conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Padding = 0,
+) -> jax.Array:
+    """NHWC conv.  ``kernel`` is HWIO; ``padding`` is symmetric int or
+    explicit ``((top, bottom), (left, right))`` — the explicit form covers the
+    VAE encoder's asymmetric (0,1),(0,1) stride-2 pad (``vae.mojo:115-116``).
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=dn,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def init_conv2d(
+    key: jax.Array,
+    in_channels: int,
+    out_channels: int,
+    kernel_size: Union[int, Tuple[int, int]] = 3,
+    *,
+    dtype=jnp.float32,
+) -> dict:
+    """Kaiming-uniform fan-in init, the intended semantics of the reference's
+    U(-1/sqrt(k), 1/sqrt(k)) with k = in*kh*kw (``utils.mojo:1719-1726``).
+    """
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    kh, kw = kernel_size
+    fan_in = in_channels * kh * kw
+    bound = fan_in**-0.5
+    k_key, b_key = jax.random.split(key)
+    kernel = jax.random.uniform(
+        k_key, (kh, kw, in_channels, out_channels), dtype, -bound, bound
+    )
+    bias = jax.random.uniform(b_key, (out_channels,), dtype, -bound, bound)
+    return {"kernel": kernel, "bias": bias}

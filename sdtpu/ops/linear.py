@@ -1,0 +1,46 @@
+"""Dense layer (reference: ``Linear``, ``helpers/utils.mojo:1921-1976``).
+
+Weights are stored (in, out) so the forward is a plain ``x @ W`` row-major
+contraction on the MXU (the reference stores (out, in) and multiplies by the
+transpose through a scalar triple loop, ``utils.mojo:1549-1569``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(x: jax.Array, params: dict) -> jax.Array:
+    out = jnp.dot(x, params["kernel"].astype(x.dtype))
+    bias = params.get("bias")
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def init_linear(
+    key: jax.Array,
+    in_features: int,
+    out_features: int,
+    *,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+) -> dict:
+    """U(-1/sqrt(in), 1/sqrt(in)) — the intended init of the reference's
+    double-sqrt quirk (``utils.mojo:1940-1944``, SURVEY.md §5.1 item 9).
+    """
+    bound = in_features**-0.5
+    k_key, b_key = jax.random.split(key)
+    params = {
+        "kernel": jax.random.uniform(
+            k_key, (in_features, out_features), dtype, -bound, bound
+        )
+    }
+    if use_bias:
+        params["bias"] = jax.random.uniform(
+            b_key, (out_features,), dtype, -bound, bound
+        )
+    return params
