@@ -1,0 +1,137 @@
+"""CLIP text encoder (reference: ``clip.mojo``).
+
+Architecture per ``clip.mojo:56-109``: token embedding + learned positional
+embedding (``clip.mojo:5-20``), 12 pre-LN transformer blocks with causal
+self-attention and a QuickGELU MLP (``clip.mojo:23-53``), final LayerNorm.
+The reference unrolls the 12 blocks into separate struct fields
+(player1..player12, ``clip.mojo:57-69``); here blocks are a stacked pytree
+scanned with ``jax.lax.scan`` so the compiled program contains ONE block body
+regardless of depth (compile-time stays flat for SDXL's 32-layer bigG).
+
+Parameterized by :class:`sdtpu.config.CLIPConfig` so the same code serves
+OpenAI CLIP ViT-L (SD 1.x / Tiny-SD) and OpenCLIP bigG (SDXL).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.config import CLIPConfig
+from sdtpu.ops import (
+    attention,
+    embedding_lookup,
+    init_attention,
+    init_embedding,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+    quick_gelu,
+)
+from sdtpu.ops.activations import gelu_tanh
+
+
+def _act(name: str):
+    return quick_gelu if name == "quick_gelu" else gelu_tanh
+
+
+def encoder_layer(
+    x: jax.Array, params: dict, *, num_heads: int, act: str, eps: float
+) -> jax.Array:
+    """One pre-LN block: LN -> causal self-attn -> res; LN -> MLP -> res
+    (``clip.mojo:37-53``)."""
+    h = layer_norm(x, params["norm1"], eps=eps)
+    x = x + attention(h, params["attn"], num_heads=num_heads, causal=True)
+    h = layer_norm(x, params["norm2"], eps=eps)
+    h = linear(h, params["mlp"]["fc1"])
+    h = _act(act)(h)
+    return x + linear(h, params["mlp"]["fc2"])
+
+
+def clip_encode(
+    token_ids: jax.Array,
+    params: dict,
+    config: CLIPConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Encode (B, L) token ids.
+
+    Returns ``(hidden, pooled)`` where ``hidden`` is (B, L, D) — the final
+    LayerNorm output for SD 1.x (``clip.mojo:106-108``) or the penultimate
+    hidden state when ``config.use_final_layer_norm_output`` is False (SDXL's
+    second encoder) — and ``pooled`` is the final-LN state at each sequence's
+    EOS position (argmax of ids, the HF convention), used by SDXL
+    micro-conditioning.
+    """
+    b, seq_len = token_ids.shape
+    x = embedding_lookup(token_ids, params["token_embedding"])
+    x = x + params["position_embedding"][None, :seq_len, :].astype(x.dtype)
+
+    # Only stack per-layer outputs when the penultimate state is the model
+    # output (SDXL's bigG); SD 1.x needs just the final state.
+    need_penultimate = not config.use_final_layer_norm_output
+
+    def body(carry, layer_params):
+        out = encoder_layer(
+            carry,
+            layer_params,
+            num_heads=config.num_heads,
+            act=config.hidden_act,
+            eps=config.layer_norm_eps,
+        )
+        return out, (out if need_penultimate else None)
+
+    final, per_layer = jax.lax.scan(body, x, params["layers"])
+    penultimate = per_layer[-2] if need_penultimate else final
+
+    normed = layer_norm(final, params["final_norm"], eps=config.layer_norm_eps)
+
+    eos_pos = jnp.argmax(token_ids, axis=-1)
+    pooled = jnp.take_along_axis(normed, eos_pos[:, None, None], axis=1)[:, 0]
+    if config.projection_dim is not None:
+        pooled = linear(pooled, params["text_projection"])
+
+    hidden = normed if config.use_final_layer_norm_output else penultimate
+    return hidden, pooled
+
+
+def init_clip(
+    key: jax.Array, config: CLIPConfig, *, dtype=jnp.float32
+) -> dict:
+    """Random-init parameter pytree (layers stacked along a leading axis)."""
+    d = config.hidden_size
+    keys = jax.random.split(key, config.num_layers + 3)
+
+    def init_layer(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        return {
+            "norm1": init_layer_norm(d, dtype=dtype),
+            "attn": init_attention(k1, d, qkv_bias=True, dtype=dtype),
+            "norm2": init_layer_norm(d, dtype=dtype),
+            "mlp": {
+                "fc1": init_linear(k2, d, config.intermediate_size, dtype=dtype),
+                "fc2": init_linear(k3, config.intermediate_size, d, dtype=dtype),
+            },
+        }
+
+    layers = [init_layer(k) for k in keys[: config.num_layers]]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    params = {
+        "token_embedding": init_embedding(
+            keys[-3], config.vocab_size, d, dtype=dtype
+        ),
+        "position_embedding": jax.random.normal(
+            keys[-2], (config.max_length, d), dtype
+        )
+        * 0.01,
+        "layers": stacked,
+        "final_norm": init_layer_norm(d, dtype=dtype),
+    }
+    if config.projection_dim is not None:
+        params["text_projection"] = init_linear(
+            keys[-1], d, config.projection_dim, use_bias=False, dtype=dtype
+        )
+    return params

@@ -1,0 +1,412 @@
+"""Conditional UNet denoiser (reference: ``diffusion.mojo``).
+
+One parameterized implementation covers the Tiny-SD layout the reference
+hand-wires as 23 numbered struct fields (``diffusion.mojo:150-273``) as well
+as SD 1.5 and SDXL, driven by :class:`sdtpu.config.UNetConfig`:
+
+* ``Time_Embedding`` (``diffusion.mojo:5-21``): sinusoidal timestep embedding
+  -> Linear -> SiLU -> Linear, computed once per step outside the blocks;
+* ``Unet_Residual_Block`` (``diffusion.mojo:24-72``): GN -> SiLU -> conv3x3,
+  add SiLU->Linear(time) broadcast over space, GN -> SiLU -> conv3x3, skip
+  (1x1 conv iff channels change, ``diffusion.mojo:70-72``);
+* ``Unet_Attention_Block`` (``diffusion.mojo:75-147``): GN(eps=1e-6) ->
+  projection -> flatten spatial tokens -> [self-attn, cross-attn(context),
+  GeGLU FF] -> projection back + long residual — here the spatial "flatten"
+  is a free NHWC reshape (the reference materializes three transposes,
+  ``diffusion.mojo:118-124``);
+* encoder/decoder wiring with channel-concat skips (``diffusion.mojo:236-272``)
+  — concat lands on the NHWC channel (lane) axis, popping the six saved
+  activations LIFO (conv_in, per-level block outputs, downsample outputs).
+
+Note: the reference's decoder declares ``RB(1280,640)``/``RB(640,320)`` after
+its upsamples (``diffusion.mojo:195,199``), which contradicts its own concat
+arithmetic (x=1280 + 640-channel skip = 1920) and only "works" because its
+``Upsample`` is dead code (SURVEY.md §5.1 item 2).  We follow the consistent
+LIFO skip wiring — (2560,1280),(1920,1280),(1920,640),(960,640),(960,320),
+(640,320) — which is exactly the real segmind/tiny-sd (BK-SDM-tiny)
+checkpoint layout, so pretrained weights load.
+
+Everything is NHWC / bf16-friendly; GroupNorm stats and attention softmax run
+in fp32 islands (see ops/).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.config import UNetConfig
+from sdtpu.ops import (
+    conv2d,
+    group_norm,
+    init_conv2d,
+    init_group_norm,
+    init_linear,
+    init_transformer_block,
+    linear,
+    nearest_upsample,
+    silu,
+    timestep_embedding,
+    transformer_block,
+)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def resnet_block(
+    x: jax.Array,
+    temb: jax.Array,
+    params: dict,
+    *,
+    num_groups: int = 32,
+) -> jax.Array:
+    """Unet_Residual_Block (``diffusion.mojo:54-72``).
+
+    x: (B, H, W, C_in); temb: (B, time_embed_dim) already SiLU'd once per
+    step — the reference re-applies SiLU to the same time vector inside every
+    block (``diffusion.mojo:61``); hoisting it is numerically identical.
+    """
+    h = group_norm(x, params["norm1"], num_groups=num_groups)
+    h = silu(h)
+    h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"], padding=1)
+    t = linear(temb, params["time_emb_proj"]).astype(h.dtype)
+    h = h + t[:, None, None, :]
+    h = group_norm(h, params["norm2"], num_groups=num_groups)
+    h = silu(h)
+    h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"], padding=1)
+    if "conv_shortcut" in params:
+        x = conv2d(
+            x,
+            params["conv_shortcut"]["kernel"],
+            params["conv_shortcut"]["bias"],
+            padding=0,
+        )
+    return x + h
+
+
+def attention_block(
+    x: jax.Array,
+    context: jax.Array,
+    params: dict,
+    *,
+    num_heads: int,
+    num_groups: int = 32,
+    implementation: str = "xla",
+) -> jax.Array:
+    """Unet_Attention_Block / diffusers Transformer2D (``diffusion.mojo:112-147``).
+
+    Projections are stored as linear kernels; SD 1.x's 1x1-conv proj_in/out
+    collapse to the same matmul on flattened (B, H*W, C) tokens.
+    """
+    b, h, w, c = x.shape
+    residual = x
+    out = group_norm(x, params["norm"], num_groups=num_groups, eps=1e-6)
+    out = out.reshape(b, h * w, c)
+    out = linear(out, params["proj_in"])
+    for block in params["blocks"]:
+        out = transformer_block(
+            out,
+            block,
+            num_heads=num_heads,
+            context=context,
+            implementation=implementation,
+        )
+    out = linear(out, params["proj_out"])
+    return out.reshape(b, h, w, c) + residual
+
+
+def downsample(x: jax.Array, params: dict) -> jax.Array:
+    """Stride-2 3x3 conv (``diffusion.mojo:181,184`` — Conv2D stride (2,2))."""
+    return conv2d(x, params["kernel"], params["bias"], stride=2, padding=1)
+
+
+def upsample(x: jax.Array, params: dict) -> jax.Array:
+    """Nearest 2x + 3x3 conv — the intended semantics of the reference's dead
+    ``Upsample`` (``utils.mojo:1979-2010``, SURVEY.md §5.1 item 2)."""
+    x = nearest_upsample(x, 2)
+    return conv2d(x, params["kernel"], params["bias"], padding=1)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _heads_for_level(config: UNetConfig, channels: int) -> int:
+    """SD 1.x fixes 8 heads per level (``diffusion.mojo:239,243,247``);
+    SDXL fixes head_dim=64 instead (num_attention_heads == 0 sentinel)."""
+    if config.num_attention_heads > 0:
+        return config.num_attention_heads
+    return channels // 64
+
+
+def unet_forward(
+    latents: jax.Array,
+    timesteps: jax.Array,
+    context: jax.Array,
+    params: dict,
+    config: UNetConfig,
+    *,
+    added_cond: Optional[dict] = None,
+    attention_impl: str = "xla",
+) -> jax.Array:
+    """Predict noise.  latents: (B, H, W, C_in); timesteps: (B,) or scalar;
+    context: (B, L, cross_attention_dim).  Returns (B, H, W, C_out).
+
+    ``added_cond`` carries SDXL micro-conditioning: ``{"text_embeds": (B, P),
+    "time_ids": (B, 6)}``.
+    """
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (latents.shape[0],))
+
+    # Time embedding (diffusion.mojo:5-21): 320 sinusoidal -> MLP -> 1280.
+    temb = timestep_embedding(
+        timesteps,
+        config.block_out_channels[0],
+        flip_sin_to_cos=config.flip_sin_to_cos,
+        freq_shift=config.freq_shift,
+        dtype=latents.dtype,
+    )
+    temb = linear(temb, params["time_embedding"]["linear_1"])
+    temb = silu(temb)
+    temb = linear(temb, params["time_embedding"]["linear_2"])
+
+    if config.addition_embed_dim is not None:
+        assert added_cond is not None, "SDXL config requires added_cond"
+        time_ids = added_cond["time_ids"].reshape(-1)
+        tid_emb = timestep_embedding(
+            time_ids,
+            config.addition_time_embed_dim,
+            flip_sin_to_cos=config.flip_sin_to_cos,
+            freq_shift=config.freq_shift,
+            dtype=latents.dtype,
+        ).reshape(latents.shape[0], -1)
+        add_emb = jnp.concatenate(
+            [added_cond["text_embeds"].astype(latents.dtype), tid_emb], axis=-1
+        )
+        aemb = linear(add_emb, params["add_embedding"]["linear_1"])
+        aemb = silu(aemb)
+        aemb = linear(aemb, params["add_embedding"]["linear_2"])
+        temb = temb + aemb
+
+    # The per-resblock SiLU(time) (diffusion.mojo:61) hoisted once.
+    temb = silu(temb)
+
+    ng = config.norm_num_groups
+    context = context.astype(latents.dtype)
+
+    # --- encoder (diffusion.mojo:236-250) ---
+    x = conv2d(
+        latents, params["conv_in"]["kernel"], params["conv_in"]["bias"], padding=1
+    )
+    skips = [x]
+    for level, block in enumerate(params["down_blocks"]):
+        ch = config.block_out_channels[level]
+        heads = _heads_for_level(config, ch)
+        for i, res in enumerate(block["resnets"]):
+            x = resnet_block(x, temb, res, num_groups=ng)
+            if config.attention_levels[level]:
+                x = attention_block(
+                    x,
+                    context,
+                    block["attentions"][i],
+                    num_heads=heads,
+                    num_groups=ng,
+                    implementation=attention_impl,
+                )
+            skips.append(x)
+        if "downsample" in block:
+            x = downsample(x, block["downsample"])
+            skips.append(x)
+
+    # --- mid (absent in Tiny-SD; present in SD1.5/SDXL) ---
+    if config.mid_block:
+        mid = params["mid_block"]
+        heads = _heads_for_level(config, config.block_out_channels[-1])
+        x = resnet_block(x, temb, mid["resnets"][0], num_groups=ng)
+        x = attention_block(
+            x,
+            context,
+            mid["attentions"][0],
+            num_heads=heads,
+            num_groups=ng,
+            implementation=attention_impl,
+        )
+        x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng)
+
+    # --- decoder (diffusion.mojo:252-272): concat skip on channel axis ---
+    for rev, block in enumerate(params["up_blocks"]):
+        level = config.num_levels - 1 - rev
+        ch = config.block_out_channels[level]
+        heads = _heads_for_level(config, ch)
+        for i, res in enumerate(block["resnets"]):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = resnet_block(x, temb, res, num_groups=ng)
+            if config.attention_levels[level]:
+                x = attention_block(
+                    x,
+                    context,
+                    block["attentions"][i],
+                    num_heads=heads,
+                    num_groups=ng,
+                    implementation=attention_impl,
+                )
+        if "upsample" in block:
+            x = upsample(x, block["upsample"])
+
+    # --- output head (diffusion.mojo:275-291; 32 groups per SD standard,
+    # not the reference's 320-group quirk, SURVEY.md §5.1 item 7) ---
+    x = group_norm(x, params["norm_out"], num_groups=ng)
+    x = silu(x)
+    return conv2d(
+        x, params["conv_out"]["kernel"], params["conv_out"]["bias"], padding=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_resnet(key, in_ch, out_ch, time_dim, *, dtype):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = {
+        "norm1": init_group_norm(in_ch, dtype=dtype),
+        "conv1": init_conv2d(k1, in_ch, out_ch, 3, dtype=dtype),
+        "time_emb_proj": init_linear(k2, time_dim, out_ch, dtype=dtype),
+        "norm2": init_group_norm(out_ch, dtype=dtype),
+        "conv2": init_conv2d(k3, out_ch, out_ch, 3, dtype=dtype),
+    }
+    if in_ch != out_ch:
+        params["conv_shortcut"] = init_conv2d(k4, in_ch, out_ch, 1, dtype=dtype)
+    return params
+
+
+def _init_attn_block(key, ch, depth, context_dim, *, dtype):
+    keys = jax.random.split(key, depth + 2)
+    return {
+        "norm": init_group_norm(ch, dtype=dtype),
+        "proj_in": init_linear(keys[0], ch, ch, dtype=dtype),
+        "blocks": [
+            init_transformer_block(keys[1 + i], ch, context_dim=context_dim, dtype=dtype)
+            for i in range(depth)
+        ],
+        "proj_out": init_linear(keys[-1], ch, ch, dtype=dtype),
+    }
+
+
+def init_unet(key: jax.Array, config: UNetConfig, *, dtype=jnp.float32) -> dict:
+    """Random-init parameter pytree mirroring the diffusers UNet layout."""
+    keys = iter(jax.random.split(key, 256))
+    nk = lambda: next(keys)  # noqa: E731
+    time_dim = config.time_embed_dim
+    ch0 = config.block_out_channels[0]
+
+    params = {
+        "conv_in": init_conv2d(nk(), config.in_channels, ch0, 3, dtype=dtype),
+        "time_embedding": {
+            "linear_1": init_linear(nk(), ch0, time_dim, dtype=dtype),
+            "linear_2": init_linear(nk(), time_dim, time_dim, dtype=dtype),
+        },
+    }
+    if config.addition_embed_dim is not None:
+        params["add_embedding"] = {
+            "linear_1": init_linear(
+                nk(), config.addition_embed_dim, time_dim, dtype=dtype
+            ),
+            "linear_2": init_linear(nk(), time_dim, time_dim, dtype=dtype),
+        }
+
+    # encoder
+    down_blocks = []
+    out_ch = ch0
+    for level, ch in enumerate(config.block_out_channels):
+        block = {"resnets": [], "attentions": []}
+        for _ in range(config.layers_per_block):
+            block["resnets"].append(
+                _init_resnet(nk(), out_ch, ch, time_dim, dtype=dtype)
+            )
+            out_ch = ch
+            if config.attention_levels[level]:
+                block["attentions"].append(
+                    _init_attn_block(
+                        nk(),
+                        ch,
+                        config.transformer_layers_per_block[level],
+                        config.cross_attention_dim,
+                        dtype=dtype,
+                    )
+                )
+        if level < config.num_levels - 1:
+            block["downsample"] = init_conv2d(nk(), ch, ch, 3, dtype=dtype)
+        if not block["attentions"]:
+            del block["attentions"]
+        down_blocks.append(block)
+    params["down_blocks"] = down_blocks
+
+    if config.mid_block:
+        ch = config.block_out_channels[-1]
+        params["mid_block"] = {
+            "resnets": [
+                _init_resnet(nk(), ch, ch, time_dim, dtype=dtype),
+                _init_resnet(nk(), ch, ch, time_dim, dtype=dtype),
+            ],
+            "attentions": [
+                _init_attn_block(
+                    nk(),
+                    ch,
+                    config.transformer_layers_per_block[-1],
+                    config.cross_attention_dim,
+                    dtype=dtype,
+                )
+            ],
+        }
+
+    # decoder: mirrors the encoder's skip channel bookkeeping
+    skip_chs = [ch0]
+    for level, ch in enumerate(config.block_out_channels):
+        skip_chs.extend([ch] * config.layers_per_block)
+        if level < config.num_levels - 1:
+            skip_chs.append(ch)
+
+    up_blocks = []
+    prev_ch = config.block_out_channels[-1]
+    for rev in range(config.num_levels):
+        level = config.num_levels - 1 - rev
+        ch = config.block_out_channels[level]
+        block = {"resnets": [], "attentions": []}
+        for _ in range(config.layers_per_block + 1):
+            skip_ch = skip_chs.pop()
+            block["resnets"].append(
+                _init_resnet(nk(), prev_ch + skip_ch, ch, time_dim, dtype=dtype)
+            )
+            prev_ch = ch
+            if config.attention_levels[level]:
+                block["attentions"].append(
+                    _init_attn_block(
+                        nk(),
+                        ch,
+                        config.transformer_layers_per_block[level],
+                        config.cross_attention_dim,
+                        dtype=dtype,
+                    )
+                )
+        if level > 0:
+            block["upsample"] = init_conv2d(nk(), ch, ch, 3, dtype=dtype)
+        if not block["attentions"]:
+            del block["attentions"]
+        up_blocks.append(block)
+    params["up_blocks"] = up_blocks
+
+    params["norm_out"] = init_group_norm(
+        config.block_out_channels[0], dtype=dtype
+    )
+    params["conv_out"] = init_conv2d(
+        nk(), config.block_out_channels[0], config.out_channels, 3, dtype=dtype
+    )
+    return params

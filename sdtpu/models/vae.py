@@ -1,0 +1,245 @@
+"""VAE encoder/decoder — AutoencoderKL (reference: ``vae.mojo``).
+
+The reference builds a near-SD VAE with quirks the build must not replicate
+(16-group norms ``vae.mojo:42-43``; its attention folds heads oddly,
+``vae.mojo:5-27``); per SURVEY.md §5.1 we implement the standard SD
+AutoencoderKL semantics so real checkpoints load:
+
+* Encoder (``vae.mojo:70-159``): conv_in -> [2x ResBlock, asymmetric-pad
+  stride-2 downsample (``vae.mojo:115-116``)] x3 widening 128->256->512 ->
+  mid (ResBlock, single-head attention (``vae.mojo:5-27``), ResBlock) ->
+  GN/SiLU/conv -> 8 channels (mean‖logvar) -> 1x1 quant conv;
+  ``encode`` then samples x = mean + eps*std, clamps logvar to (-30, 20), and
+  scales by 0.18215 (``vae.mojo:118-129``).
+* Decoder (``vae.mojo:162-250``): /0.18215 (``vae.mojo:222``) -> 1x1
+  post-quant conv -> conv_in -> mid -> [3x ResBlock + nearest-2x upsample +
+  conv] narrowing 512->512->256->128 -> GN/SiLU/conv -> 3 channels.
+
+VAE ResBlocks (``vae.mojo:30-67``) are the UNet resnet without the time
+branch.  All NHWC; GroupNorm stats in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.config import VAEConfig
+from sdtpu.ops import (
+    attention,
+    conv2d,
+    group_norm,
+    init_attention,
+    init_conv2d,
+    init_group_norm,
+    nearest_upsample,
+    silu,
+)
+
+
+def vae_resnet(x: jax.Array, params: dict, *, num_groups: int = 32) -> jax.Array:
+    """Res_Block (``vae.mojo:30-67``) with standard 32-group norms."""
+    h = group_norm(x, params["norm1"], num_groups=num_groups, eps=1e-6)
+    h = silu(h)
+    h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"], padding=1)
+    h = group_norm(h, params["norm2"], num_groups=num_groups, eps=1e-6)
+    h = silu(h)
+    h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"], padding=1)
+    if "conv_shortcut" in params:
+        x = conv2d(
+            x,
+            params["conv_shortcut"]["kernel"],
+            params["conv_shortcut"]["bias"],
+            padding=0,
+        )
+    return x + h
+
+
+def vae_attention(x: jax.Array, params: dict, *, num_groups: int = 32) -> jax.Array:
+    """Attention_Block (``vae.mojo:5-27``): GN -> single-head self-attention
+    over spatial tokens -> residual."""
+    b, h, w, c = x.shape
+    out = group_norm(x, params["norm"], num_groups=num_groups, eps=1e-6)
+    out = out.reshape(b, h * w, c)
+    out = attention(out, params["attn"], num_heads=1)
+    return out.reshape(b, h, w, c) + x
+
+
+def _mid(x: jax.Array, params: dict, *, num_groups: int) -> jax.Array:
+    x = vae_resnet(x, params["resnets"][0], num_groups=num_groups)
+    x = vae_attention(x, params["attention"], num_groups=num_groups)
+    return vae_resnet(x, params["resnets"][1], num_groups=num_groups)
+
+
+def vae_encoder(x: jax.Array, params: dict, config: VAEConfig) -> jax.Array:
+    """(B, H, W, 3) image in [-1, 1] -> (B, H/8, W/8, 2*latent) moments."""
+    ng = config.norm_num_groups
+    h = conv2d(x, params["conv_in"]["kernel"], params["conv_in"]["bias"], padding=1)
+    for level, block in enumerate(params["down_blocks"]):
+        for res in block["resnets"]:
+            h = vae_resnet(h, res, num_groups=ng)
+        if "downsample" in block:
+            # Asymmetric (0,1),(0,1) pad + stride-2 conv (vae.mojo:115-116).
+            h = conv2d(
+                h,
+                block["downsample"]["kernel"],
+                block["downsample"]["bias"],
+                stride=2,
+                padding=((0, 1), (0, 1)),
+            )
+    h = _mid(h, params["mid_block"], num_groups=ng)
+    h = group_norm(h, params["norm_out"], num_groups=ng, eps=1e-6)
+    h = silu(h)
+    h = conv2d(h, params["conv_out"]["kernel"], params["conv_out"]["bias"], padding=1)
+    return conv2d(
+        h, params["quant_conv"]["kernel"], params["quant_conv"]["bias"], padding=0
+    )
+
+
+def vae_encode(
+    image: jax.Array,
+    noise: jax.Array,
+    params: dict,
+    config: VAEConfig,
+) -> jax.Array:
+    """Full img2img encode path (``vae.mojo:118-129,157``): moments ->
+    clamp(logvar) -> reparameterize with the given N(0,1) noise -> scale."""
+    moments = vae_encoder(image, params, config)
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar).astype(mean.dtype)
+    latents = mean + noise.astype(mean.dtype) * std
+    return latents * config.scaling_factor
+
+
+def vae_decode(latents: jax.Array, params: dict, config: VAEConfig) -> jax.Array:
+    """(B, H/8, W/8, latent) -> (B, H, W, 3) image in [-1, 1]
+    (``vae.mojo:221-250``)."""
+    ng = config.norm_num_groups
+    h = latents / config.scaling_factor
+    h = conv2d(
+        h,
+        params["post_quant_conv"]["kernel"],
+        params["post_quant_conv"]["bias"],
+        padding=0,
+    )
+    h = conv2d(h, params["conv_in"]["kernel"], params["conv_in"]["bias"], padding=1)
+    h = _mid(h, params["mid_block"], num_groups=ng)
+    for block in params["up_blocks"]:
+        for res in block["resnets"]:
+            h = vae_resnet(h, res, num_groups=ng)
+        if "upsample" in block:
+            h = nearest_upsample(h, 2)
+            h = conv2d(
+                h,
+                block["upsample"]["kernel"],
+                block["upsample"]["bias"],
+                padding=1,
+            )
+    h = group_norm(h, params["norm_out"], num_groups=ng, eps=1e-6)
+    h = silu(h)
+    return conv2d(
+        h, params["conv_out"]["kernel"], params["conv_out"]["bias"], padding=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_vae_resnet(key, in_ch, out_ch, *, dtype):
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "norm1": init_group_norm(in_ch, dtype=dtype),
+        "conv1": init_conv2d(k1, in_ch, out_ch, 3, dtype=dtype),
+        "norm2": init_group_norm(out_ch, dtype=dtype),
+        "conv2": init_conv2d(k2, out_ch, out_ch, 3, dtype=dtype),
+    }
+    if in_ch != out_ch:
+        params["conv_shortcut"] = init_conv2d(k3, in_ch, out_ch, 1, dtype=dtype)
+    return params
+
+
+def _init_mid(key, ch, *, dtype):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "resnets": [
+            _init_vae_resnet(k1, ch, ch, dtype=dtype),
+            _init_vae_resnet(k2, ch, ch, dtype=dtype),
+        ],
+        "attention": {
+            "norm": init_group_norm(ch, dtype=dtype),
+            "attn": init_attention(k3, ch, qkv_bias=True, dtype=dtype),
+        },
+    }
+
+
+def init_vae_encoder(key: jax.Array, config: VAEConfig, *, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 64))
+    nk = lambda: next(keys)  # noqa: E731
+    chs = config.block_out_channels
+    params = {
+        "conv_in": init_conv2d(nk(), config.in_channels, chs[0], 3, dtype=dtype)
+    }
+    down_blocks = []
+    in_ch = chs[0]
+    for level, ch in enumerate(chs):
+        block = {
+            "resnets": [
+                _init_vae_resnet(
+                    nk(), in_ch if i == 0 else ch, ch, dtype=dtype
+                )
+                for i in range(config.layers_per_block)
+            ]
+        }
+        in_ch = ch
+        if level < len(chs) - 1:
+            block["downsample"] = init_conv2d(nk(), ch, ch, 3, dtype=dtype)
+        down_blocks.append(block)
+    params["down_blocks"] = down_blocks
+    params["mid_block"] = _init_mid(nk(), chs[-1], dtype=dtype)
+    params["norm_out"] = init_group_norm(chs[-1], dtype=dtype)
+    params["conv_out"] = init_conv2d(
+        nk(), chs[-1], 2 * config.latent_channels, 3, dtype=dtype
+    )
+    params["quant_conv"] = init_conv2d(
+        nk(), 2 * config.latent_channels, 2 * config.latent_channels, 1, dtype=dtype
+    )
+    return params
+
+
+def init_vae_decoder(key: jax.Array, config: VAEConfig, *, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 64))
+    nk = lambda: next(keys)  # noqa: E731
+    chs = config.block_out_channels
+    params = {
+        "post_quant_conv": init_conv2d(
+            nk(), config.latent_channels, config.latent_channels, 1, dtype=dtype
+        ),
+        "conv_in": init_conv2d(nk(), config.latent_channels, chs[-1], 3, dtype=dtype),
+        "mid_block": _init_mid(nk(), chs[-1], dtype=dtype),
+    }
+    up_blocks = []
+    in_ch = chs[-1]
+    # decoder narrows through reversed widths, 3 resnets per level
+    # (vae.mojo:183-213), upsample after every level except the last.
+    for rev, ch in enumerate(reversed(chs)):
+        block = {
+            "resnets": [
+                _init_vae_resnet(nk(), in_ch if i == 0 else ch, ch, dtype=dtype)
+                for i in range(config.layers_per_block + 1)
+            ]
+        }
+        in_ch = ch
+        if rev < len(chs) - 1:
+            block["upsample"] = init_conv2d(nk(), ch, ch, 3, dtype=dtype)
+        up_blocks.append(block)
+    params["up_blocks"] = up_blocks
+    params["norm_out"] = init_group_norm(chs[0], dtype=dtype)
+    params["conv_out"] = init_conv2d(
+        nk(), chs[0], config.out_channels, 3, dtype=dtype
+    )
+    return params

@@ -1,0 +1,155 @@
+"""DDPM sampler (reference: ``sampler.mojo``).
+
+Same math as the reference's ``DDPMSampler`` — scaled-linear betas
+(``sampler.mojo:28-30``), diffusers-style timestep spacing
+(``sampler.mojo:35-44``), epsilon-prediction posterior step
+(``sampler.mojo:75-109``), img2img ``set_strength``/``add_noise``
+(``sampler.mojo:67-73,111-124``) — restructured for ``lax.scan``: everything
+that depends on the step index is precomputed into arrays indexed inside the
+scan, so the full denoise loop compiles into one XLA program with no host
+round-trips (the reference steps from a host loop, ``pipeline.mojo:87-122``).
+
+Fixes kept deliberately (SURVEY.md §5.1): 1000 train timesteps instead of the
+demo-scale 10 (``sampler.mojo:19``); N(0,1) noise via ``jax.random.normal``
+instead of uniform [1, 1e7] (``utils.mojo:563-575``); ``set_strength`` cannot
+overrun the timestep array (``sampler.mojo:72``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdtpu.config import SchedulerConfig
+
+
+def make_betas(config: SchedulerConfig) -> np.ndarray:
+    if config.beta_schedule == "scaled_linear":
+        # linspace(sqrt(b0), sqrt(b1), N)^2 (sampler.mojo:28-30)
+        return (
+            np.linspace(
+                config.beta_start**0.5,
+                config.beta_end**0.5,
+                config.num_train_timesteps,
+                dtype=np.float64,
+            )
+            ** 2
+        )
+    if config.beta_schedule == "linear":
+        return np.linspace(
+            config.beta_start,
+            config.beta_end,
+            config.num_train_timesteps,
+            dtype=np.float64,
+        )
+    raise ValueError(f"unknown beta schedule {config.beta_schedule!r}")
+
+
+def make_alphas_cumprod(config: SchedulerConfig) -> np.ndarray:
+    return np.cumprod(1.0 - make_betas(config))
+
+
+def inference_timesteps(
+    config: SchedulerConfig, num_inference_steps: int, strength: float = 1.0
+) -> np.ndarray:
+    """Descending timesteps with diffusers' leading spacing
+    ``round(arange(n)[::-1] * (N // n))`` (sampler.mojo:35-44), truncated for
+    img2img strength: start at step ``n - int(n * strength)``
+    (sampler.mojo:67-73) — bounds-checked, unlike the reference."""
+    n = num_inference_steps
+    ratio = config.num_train_timesteps // n
+    ts = (np.arange(n)[::-1] * ratio).round().astype(np.int64)
+    ts += config.steps_offset
+    start = min(max(n - int(n * strength), 0), n - 1)
+    return ts[start:]
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMSchedule:
+    """Per-inference-step coefficient arrays, all shaped (S,), f32 — the
+    scan carries only the step index."""
+
+    timesteps: jax.Array  # int32, descending
+    coeff_x0: jax.Array  # sqrt(alpha_prod_prev) * current_beta / (1 - alpha_prod_t)
+    coeff_xt: jax.Array  # sqrt(current_alpha) * (1 - alpha_prod_prev) / (1 - alpha_prod_t)
+    sqrt_alpha_prod: jax.Array
+    sqrt_one_minus_alpha_prod: jax.Array
+    sigma: jax.Array  # sqrt(variance), already zeroed at t == 0
+
+    @property
+    def num_steps(self) -> int:
+        return self.timesteps.shape[0]
+
+
+def make_schedule(
+    config: SchedulerConfig,
+    num_inference_steps: int,
+    strength: float = 1.0,
+) -> DDPMSchedule:
+    alphas_cumprod = make_alphas_cumprod(config)
+    ts = inference_timesteps(config, num_inference_steps, strength)
+    prev_ts = ts - config.num_train_timesteps // num_inference_steps
+
+    alpha_prod_t = alphas_cumprod[ts]
+    alpha_prod_prev = np.where(prev_ts >= 0, alphas_cumprod[np.maximum(prev_ts, 0)], 1.0)
+    current_alpha = alpha_prod_t / alpha_prod_prev
+    current_beta = 1.0 - current_alpha
+
+    beta_prod_t = 1.0 - alpha_prod_t
+    coeff_x0 = np.sqrt(alpha_prod_prev) * current_beta / beta_prod_t
+    coeff_xt = np.sqrt(current_alpha) * (1.0 - alpha_prod_prev) / beta_prod_t
+
+    # variance floored at 1e-20 (sampler.mojo:53-65); no noise at t == 0
+    # (sampler.mojo:101-108).
+    variance = np.clip(
+        (1.0 - alpha_prod_prev) / beta_prod_t * current_beta, 1e-20, None
+    )
+    sigma = np.where(ts > 0, np.sqrt(variance), 0.0)
+
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)  # noqa: E731
+    return DDPMSchedule(
+        timesteps=jnp.asarray(ts, dtype=jnp.int32),
+        coeff_x0=f32(coeff_x0),
+        coeff_xt=f32(coeff_xt),
+        sqrt_alpha_prod=f32(np.sqrt(alpha_prod_t)),
+        sqrt_one_minus_alpha_prod=f32(np.sqrt(beta_prod_t)),
+        sigma=f32(sigma),
+    )
+
+
+def ddpm_step(
+    schedule: DDPMSchedule,
+    step_index: jax.Array,
+    latents: jax.Array,
+    eps_pred: jax.Array,
+    noise: jax.Array,
+) -> jax.Array:
+    """One posterior step x_t -> x_{t-1} (sampler.mojo:75-109):
+    x0_hat = (x - sqrt(1-a)·eps) / sqrt(a); x_prev = c0·x0_hat + c1·x + sigma·z.
+    Math in f32; result cast back to the latents dtype."""
+    x = latents.astype(jnp.float32)
+    e = eps_pred.astype(jnp.float32)
+    sa = schedule.sqrt_alpha_prod[step_index]
+    sb = schedule.sqrt_one_minus_alpha_prod[step_index]
+    x0_hat = (x - sb * e) / sa
+    x_prev = schedule.coeff_x0[step_index] * x0_hat + schedule.coeff_xt[step_index] * x
+    x_prev = x_prev + schedule.sigma[step_index] * noise.astype(jnp.float32)
+    return x_prev.astype(latents.dtype)
+
+
+def add_noise(
+    schedule: DDPMSchedule,
+    x0: jax.Array,
+    noise: jax.Array,
+    step_index: int = 0,
+) -> jax.Array:
+    """Forward-noise x0 to the schedule's step_index timestep:
+    sqrt(a)·x0 + sqrt(1-a)·z (sampler.mojo:111-124).  img2img uses
+    step_index=0, the first (strength-truncated) inference step."""
+    sa = schedule.sqrt_alpha_prod[step_index]
+    sb = schedule.sqrt_one_minus_alpha_prod[step_index]
+    out = sa * x0.astype(jnp.float32) + sb * noise.astype(jnp.float32)
+    return out.astype(x0.dtype)
