@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark: Tiny-SD 512x512 txt2img, 25 DDPM steps, CFG 7.5, batch 1 —
+the BASELINE.md primary metric (images/sec/chip + p50 latency).
+
+The reference publishes no numbers (README.md:56 lists benchmarking as TODO);
+the target is the driver north star: < 1 s/image on one v5e chip, so
+``vs_baseline`` is images/sec relative to 1.0 img/s.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N, ...}
+
+Runs with random weights (perf is weight-value independent; the reference
+only ever runs random weights) and fixed token ids (the tokenizer is host-
+side and excluded, as is PNG encoding; timing covers tokens -> uint8-ready
+image floats on device, end to end inside the two jit programs).
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="tiny-sd")
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from sdtpu import StableDiffusionPipeline
+    from sdtpu.config import get_preset
+
+    dev = jax.devices()[0]
+    config = get_preset(args.preset)
+    print(f"device={dev}, preset={config.name}, "
+          f"{args.image_size}px, {args.steps} steps, batch={args.batch}",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    # zeros-shaped params: perf is weight-value independent and zeros
+    # materialize instantly (random init costs ~2 min of pure setup)
+    from sdtpu.utils.weights import init_pipeline_params
+
+    shapes = jax.eval_shape(
+        lambda k: init_pipeline_params(k, config), jax.random.key(0)
+    )
+    import jax.numpy as jnp
+
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    pipe = StableDiffusionPipeline(config, params)
+    print(f"params materialized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(40)
+    ids = rng.integers(
+        1, config.clip.vocab_size, (2, config.clip.max_length)
+    )
+
+    def run(seed: int):
+        return pipe.generate(
+            "bench", token_ids=ids, num_inference_steps=args.steps,
+            seed=seed, image_size=args.image_size, output="float",
+        )
+
+    t0 = time.perf_counter()
+    run(0)
+    print(f"compile + first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+        print(f"run {i}: {times[-1]*1000:.1f} ms", file=sys.stderr)
+
+    p50 = statistics.median(times)
+    images_per_sec = args.batch / p50
+    result = {
+        "metric": f"tiny-sd {args.image_size}x{args.image_size} "
+                  f"{args.steps}-step DDPM CFG images/sec/chip",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / 1.0, 4),
+        "p50_latency_s": round(p50, 4),
+        "batch": args.batch,
+        "device": str(dev),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

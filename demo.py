@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""CLI demo (reference: ``demo.mojo`` — prompt "a cat flying a spaceship",
+strength .9, seed 40; the reference never saves its output, we write a PNG).
+
+Without a checkpoint directory this runs random weights, which is exactly
+what the reference always does (it never loads weights, SURVEY.md §5 row
+"Checkpoint / resume").  Point --model-dir at a local diffusers-layout
+segmind/tiny-sd directory for real generations.
+"""
+
+import argparse
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--prompt", default="a cat flying a spaceship")
+    ap.add_argument("--negative-prompt", default="")
+    ap.add_argument("--model-dir", default=None,
+                    help="local diffusers-layout checkpoint dir")
+    ap.add_argument("--preset", default="tiny-sd")
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--seed", type=int, default=40)
+    ap.add_argument("--cfg-scale", type=float, default=7.5)
+    ap.add_argument("--no-cfg", action="store_true")
+    ap.add_argument("--init-image", default=None, help="img2img input path")
+    ap.add_argument("--strength", type=float, default=0.9)
+    ap.add_argument("--out", default="out.png")
+    args = ap.parse_args()
+
+    from sdtpu import StableDiffusionPipeline
+    from sdtpu.utils.image import load_image, save_png
+
+    if args.model_dir:
+        pipe = StableDiffusionPipeline.from_pretrained(
+            args.model_dir, preset=args.preset
+        )
+    else:
+        print("no --model-dir: running random weights (reference behavior)")
+        pipe = StableDiffusionPipeline.from_random(args.preset)
+
+    token_ids = None
+    if pipe.tokenizer is None:
+        import numpy as np
+
+        print("no tokenizer assets: hashing prompt to fixed token ids")
+        rng = np.random.default_rng(abs(hash(args.prompt)) % 2**32)
+        row = rng.integers(0, pipe.config.clip.vocab_size,
+                           pipe.config.clip.max_length)
+        token_ids = np.stack([row, np.zeros_like(row)])
+
+    t0 = time.perf_counter()
+    image = pipe.generate(
+        args.prompt,
+        args.negative_prompt,
+        strength=args.strength,
+        cfg=not args.no_cfg,
+        cfg_scale=args.cfg_scale,
+        num_inference_steps=args.steps,
+        seed=args.seed,
+        init_image=load_image(args.init_image) if args.init_image else None,
+        image_size=args.image_size,
+        token_ids=token_ids,
+    )
+    dt = time.perf_counter() - t0
+    save_png(image, args.out)
+    print(f"wrote {args.out} ({image.shape[1]}x{image.shape[2]}) in {dt:.2f}s "
+          f"(includes compile)")
+
+
+if __name__ == "__main__":
+    main()

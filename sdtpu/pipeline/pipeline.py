@@ -1,0 +1,264 @@
+"""End-to-end generation pipeline (reference: ``pipeline.mojo``).
+
+Preserves ``generate``'s surface (``pipeline.mojo:13-22``): prompt, negative
+("backup") prompt, strength, cfg on/off + scale, inference step count, seed,
+optional init image, image size — but compiles the device side into TWO jit
+programs with zero host round-trips in between:
+
+1. ``encode+denoise+decode``: CLIP encode (cond and uncond batched), latent
+   init, ``lax.scan`` over all timesteps with a CFG-batched UNet (batch 2B —
+   replacing the reference's two sequential identical forwards,
+   ``pipeline.mojo:96-110``, SURVEY.md §5.1 item 6) and the in-scan DDPM
+   step, then VAE decode.  The reference instead runs a host loop per step
+   (``pipeline.mojo:87-122``).
+2. an img2img variant that first runs the VAE encoder + forward noising
+   (``pipeline.mojo:66-79``).
+
+Compiled programs are cached per static shape bucket (image size, step
+count, batch, cfg, img2img); timesteps/coefficients are traced arrays, so a
+new seed or cfg_scale never recompiles.
+
+All noise comes from ``jax.random`` (N(0,1)) keyed by the user seed — the
+reference draws uniform [1, 1e7] "Gaussians" (``utils.mojo:563-575``,
+SURVEY.md §5.1 item 4).  Draw order: latent init first, then one draw per
+DDPM step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdtpu.config import PipelineConfig, get_preset
+from sdtpu.models.clip import clip_encode
+from sdtpu.models.unet import unet_forward
+from sdtpu.models.vae import vae_decode, vae_encode
+from sdtpu.samplers.ddpm import DDPMSchedule, add_noise, ddpm_step, make_schedule
+from sdtpu.utils.image import from_uint8, to_uint8
+
+
+class StableDiffusionPipeline:
+    """Tokenize on host -> run the compiled program -> uint8 images."""
+
+    def __init__(self, config: PipelineConfig, params: dict, tokenizer=None):
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer
+        self._compiled = {}
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_dir: str,
+        *,
+        preset: Optional[str] = None,
+        dtype=None,
+    ) -> "StableDiffusionPipeline":
+        """Load a local diffusers-layout checkpoint directory."""
+        import os
+
+        from sdtpu.tokenizer.bpe import CLIPTokenizer
+        from sdtpu.utils.weights import load_pipeline_params
+
+        config = get_preset(preset or os.path.basename(model_dir.rstrip("/")))
+        if dtype is not None:
+            config = config.replace(param_dtype=dtype, compute_dtype=dtype)
+        params = load_pipeline_params(model_dir, config)
+        tok_dir = os.path.join(model_dir, "tokenizer")
+        tokenizer = CLIPTokenizer.from_pretrained(tok_dir) if os.path.isdir(tok_dir) else None
+        return cls(config, params, tokenizer)
+
+    @classmethod
+    def from_random(
+        cls, preset: Union[str, PipelineConfig], *, seed: int = 0, tokenizer=None
+    ) -> "StableDiffusionPipeline":
+        """Random-init weights (benchmarks, tests; perf is weight-value
+        independent — the reference only ever runs this way,
+        ``utils.mojo:1719-1726``)."""
+        from sdtpu.utils.weights import init_pipeline_params
+
+        config = preset if isinstance(preset, PipelineConfig) else get_preset(preset)
+        params = init_pipeline_params(jax.random.key(seed), config)
+        return cls(config, params, tokenizer)
+
+    # -- public API (pipeline.mojo:13-22 surface) ----------------------------
+
+    def generate(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        *,
+        strength: float = 0.9,
+        cfg: bool = True,
+        cfg_scale: float = 7.5,
+        num_inference_steps: int = 25,
+        seed: int = 0,
+        init_image: Optional[np.ndarray] = None,
+        image_size: Optional[int] = None,
+        token_ids: Optional[np.ndarray] = None,
+        output: str = "uint8",
+    ):
+        """Text->image (or image->image when ``init_image`` is given).
+
+        ``token_ids`` bypasses the tokenizer (pre-tokenized prompts; also the
+        benchmarking path when no vocab asset is installed).  ``output``:
+        "uint8" (default), "float" ([-1,1] array), or "latents".
+        """
+        if not 0.0 < strength <= 1.0:
+            raise ValueError("strength must be in (0, 1]")  # pipeline.mojo:23-29
+        size = image_size or self.config.default_image_size
+        if size % (self.config.vae.downscale_factor) != 0:
+            raise ValueError(
+                f"image_size must be a multiple of {self.config.vae.downscale_factor}"
+            )  # pipeline.mojo:8
+
+        ids = self._tokenize(prompt, negative_prompt, cfg, token_ids)
+        is_img2img = init_image is not None
+        strength_key = round(strength, 6) if is_img2img else 1.0
+        fn = self._get_compiled(
+            size, num_inference_steps, cfg, is_img2img, strength_key, ids.shape[0]
+        )
+
+        key = jax.random.key(seed)
+        cfg_scale_arr = jnp.float32(cfg_scale)
+        if is_img2img:
+            image = self._prep_image(init_image, size)
+            images = fn(self.params, ids, image, cfg_scale_arr, key)
+        else:
+            images = fn(self.params, ids, cfg_scale_arr, key)
+
+        if output == "latents":
+            return np.asarray(images)
+        if output == "float":
+            return np.asarray(images, dtype=np.float32)
+        return to_uint8(images)
+
+    # -- internals -----------------------------------------------------------
+
+    def _tokenize(self, prompt, negative_prompt, cfg, token_ids) -> jnp.ndarray:
+        max_len = self.config.clip.max_length
+        if token_ids is not None:
+            ids = np.asarray(token_ids)
+            if ids.ndim == 1:
+                ids = ids[None]
+        else:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "no tokenizer installed — pass token_ids or provide "
+                    "assets via tools/prepare_tokenizer.py"
+                )
+            rows = [self.tokenizer.encode(prompt, max_length=max_len)]
+            if cfg:
+                rows.append(self.tokenizer.encode(negative_prompt, max_length=max_len))
+            ids = np.asarray(rows)
+        if cfg and ids.shape[0] == 1:
+            ids = np.concatenate([ids, ids], axis=0)  # degenerate uncond
+        return jnp.asarray(ids, dtype=jnp.int32)
+
+    def _prep_image(self, init_image, size) -> jnp.ndarray:
+        from sdtpu.ops.resize import resize_image
+
+        arr = np.asarray(init_image)
+        if arr.dtype == np.uint8:
+            arr = from_uint8(arr)  # pipeline.mojo:70 rescale to (-1, 1)
+        if arr.ndim == 3:
+            arr = arr[None]
+        img = jnp.asarray(arr, dtype=jnp.float32)
+        if img.shape[1] != size or img.shape[2] != size:
+            img = resize_image(img, size, size)  # pipeline.mojo:69
+        return img
+
+    def _get_compiled(self, size, steps, cfg, is_img2img, strength, n_ids):
+        cache_key = (size, steps, cfg, is_img2img, strength, n_ids)
+        fn = self._compiled.get(cache_key)
+        if fn is None:
+            schedule = make_schedule(
+                self.config.scheduler, steps, strength if is_img2img else 1.0
+            )
+            fn = self._build(schedule, cfg, is_img2img, size)
+            self._compiled[cache_key] = fn
+        return fn
+
+    def _build(self, schedule: DDPMSchedule, cfg: bool, is_img2img: bool, size: int):
+        config = self.config
+        latent_ch = config.vae.latent_channels
+        lat_size = size // config.vae.downscale_factor
+        compute_dtype = config.compute_dtype
+
+        def encode_context(params, ids):
+            hidden, _ = clip_encode(ids, params["clip"], config.clip)
+            return hidden.astype(compute_dtype)
+
+        def denoise(params, context, latents, cfg_scale, key):
+            # context: cfg ? (2B, L, D) ordered [cond..., uncond...] : (B, L, D)
+            batch = latents.shape[0]
+
+            def body(carry, step):
+                lat, key = carry
+                i, t = step
+                lat_in = jnp.concatenate([lat, lat]) if cfg else lat
+                t_in = jnp.broadcast_to(
+                    t.astype(jnp.float32), (lat_in.shape[0],)
+                )
+                eps = unet_forward(
+                    lat_in.astype(compute_dtype), t_in, context, params["unet"],
+                    config.unet,
+                ).astype(jnp.float32)
+                if cfg:
+                    cond, uncond = eps[:batch], eps[batch:]
+                    eps = uncond + cfg_scale * (cond - uncond)  # pipeline.mojo:111-119
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(sub, lat.shape, jnp.float32)
+                lat = ddpm_step(schedule, i, lat, eps, noise)
+                return (lat, key), None
+
+            steps = (
+                jnp.arange(schedule.num_steps, dtype=jnp.int32),
+                schedule.timesteps,
+            )
+            (latents, _), _ = jax.lax.scan(body, (latents, key), steps)
+            return latents
+
+        def decode(params, latents):
+            img = vae_decode(
+                latents.astype(compute_dtype), params["vae_decoder"], config.vae
+            )
+            return img.astype(jnp.float32)
+
+        if is_img2img:
+
+            def run(params, ids, image, cfg_scale, key):
+                context = encode_context(params, ids)
+                batch = image.shape[0]
+                key, k_enc, k_fwd = jax.random.split(key, 3)
+                enc_noise = jax.random.normal(
+                    k_enc, (batch, lat_size, lat_size, latent_ch), jnp.float32
+                )
+                lat0 = vae_encode(
+                    image.astype(compute_dtype), enc_noise,
+                    params["vae_encoder"], config.vae,
+                ).astype(jnp.float32)  # pipeline.mojo:66-75
+                fwd_noise = jax.random.normal(k_fwd, lat0.shape, jnp.float32)
+                latents = add_noise(schedule, lat0, fwd_noise, 0)  # pipeline.mojo:79
+                latents = denoise(params, context, latents, cfg_scale, key)
+                return decode(params, latents)
+
+        else:
+
+            def run(params, ids, cfg_scale, key):
+                context = encode_context(params, ids)
+                batch = ids.shape[0] // 2 if cfg else ids.shape[0]
+                key, k_init = jax.random.split(key)
+                latents = jax.random.normal(
+                    k_init, (batch, lat_size, lat_size, latent_ch), jnp.float32
+                )  # pipeline.mojo:81
+                latents = denoise(params, context, latents, cfg_scale, key)
+                return decode(params, latents)
+
+        return jax.jit(run)

@@ -1,0 +1,37 @@
+"""Host-side image utilities (reference: rescale/clamp at
+``pipeline.mojo:124-127``, nearest resize ``utils.mojo:372-402``; the
+reference never writes an image file — ``demo.mojo`` drops the result)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def to_uint8(images) -> np.ndarray:
+    """(-1, 1) float images -> clamped uint8 (pipeline.mojo:127's
+    rescale((-1,1),(0,255), clamp=True))."""
+    arr = np.asarray(images, dtype=np.float32)
+    arr = (arr + 1.0) * 127.5
+    return np.clip(np.round(arr), 0, 255).astype(np.uint8)
+
+
+def from_uint8(images) -> np.ndarray:
+    """uint8 [0,255] -> float32 (-1, 1) (pipeline.mojo:70's rescale)."""
+    return np.asarray(images, dtype=np.float32) / 127.5 - 1.0
+
+
+def save_png(image: np.ndarray, path: str) -> None:
+    from PIL import Image
+
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = to_uint8(arr)
+    if arr.ndim == 4:
+        arr = arr[0]
+    Image.fromarray(arr).save(path)
+
+
+def load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))

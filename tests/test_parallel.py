@@ -1,0 +1,147 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+the TPU analogue of testing multi-node without a cluster).
+
+Checks that (a) tp-sharded attention/MLP params produce the same numbers as
+the replicated run (GSPMD inserts the psums), (b) dp batch sharding of the
+full pipeline matches single-device output, (c) the driver's
+``dryrun_multichip`` contract holds.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sdtpu.parallel import make_mesh, replicate, shard_batch, shard_params_tp, tp_spec_for
+
+from conftest import assert_allclose
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(4, 2)
+        assert mesh.axis_names == ("dp", "tp")
+        assert mesh.devices.shape == (4, 2)
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(16, 2)
+
+
+class TestTpSpecs:
+    def test_column_and_row_rules(self):
+        q_kernel = np.zeros((32, 32))
+        assert tp_spec_for(
+            (jax.tree_util.DictKey("attn"), jax.tree_util.DictKey("q"),
+             jax.tree_util.DictKey("kernel")), q_kernel
+        ) == P(None, "tp")
+        out_kernel = np.zeros((32, 32))
+        assert tp_spec_for(
+            (jax.tree_util.DictKey("attn"), jax.tree_util.DictKey("out"),
+             jax.tree_util.DictKey("kernel")), out_kernel
+        ) == P("tp", None)
+        conv = np.zeros((3, 3, 8, 8))
+        assert tp_spec_for(
+            (jax.tree_util.DictKey("conv1"), jax.tree_util.DictKey("kernel")),
+            conv,
+        ) == P()
+
+    def test_stacked_clip_layers_get_trailing_tp(self):
+        stacked = np.zeros((12, 32, 32))
+        spec = tp_spec_for(
+            (jax.tree_util.DictKey("layers"), jax.tree_util.DictKey("mlp"),
+             jax.tree_util.DictKey("fc1"), jax.tree_util.DictKey("kernel")),
+            stacked,
+        )
+        assert spec == P(None, None, "tp")
+
+
+class TestTpNumerics:
+    def test_tp_attention_matches_replicated(self, rng):
+        from sdtpu.ops import attention, init_attention
+
+        mesh = make_mesh(1, 4)
+        params = init_attention(jax.random.key(0), 64)
+        x = jnp.array(rng.standard_normal((2, 16, 64), dtype=np.float32))
+
+        expected = attention(x, params, num_heads=4)
+
+        with mesh:
+            sharded = shard_params_tp(params, mesh)
+            xs = jax.device_put(x, NamedSharding(mesh, P()))
+            got = jax.jit(lambda p, a: attention(a, p, num_heads=4))(sharded, xs)
+        assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
+
+    def test_tp_transformer_block_matches_replicated(self, rng):
+        from sdtpu.ops import init_transformer_block, transformer_block
+
+        mesh = make_mesh(2, 2)
+        params = init_transformer_block(jax.random.key(0), 32, context_dim=24)
+        x = jnp.array(rng.standard_normal((4, 16, 32), dtype=np.float32))
+        ctx = jnp.array(rng.standard_normal((4, 7, 24), dtype=np.float32))
+
+        expected = transformer_block(x, params, num_heads=2, context=ctx)
+
+        with mesh:
+            sharded = shard_params_tp(params, mesh)
+            xs = shard_batch(x, mesh)
+            ctxs = shard_batch(ctx, mesh)
+            got = jax.jit(
+                lambda p, a, c: transformer_block(a, p, num_heads=2, context=c)
+            )(sharded, xs, ctxs)
+        assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
+
+
+class TestDpPipeline:
+    def test_dp_unet_matches_single_device(self, rng):
+        from sdtpu.config import UNetConfig
+        from sdtpu.models.unet import init_unet, unet_forward
+
+        cfg = UNetConfig(
+            block_out_channels=(16, 24, 32),
+            layers_per_block=1,
+            attention_levels=(True, True, True),
+            num_attention_heads=2,
+            cross_attention_dim=16,
+            norm_num_groups=8,
+        )
+        params = init_unet(jax.random.key(0), cfg)
+        x = jnp.array(rng.standard_normal((8, 16, 16, 4), dtype=np.float32))
+        ts = jnp.full((8,), 100.0)
+        ctx = jnp.array(rng.standard_normal((8, 7, 16), dtype=np.float32))
+
+        expected = unet_forward(x, ts, ctx, params, cfg)
+
+        mesh = make_mesh(8, 1)
+        with mesh:
+            ps = replicate(params, mesh)
+            got = jax.jit(lambda p, a, t, c: unet_forward(a, t, c, p, cfg))(
+                ps, shard_batch(x, mesh), shard_batch(ts, mesh),
+                shard_batch(ctx, mesh),
+            )
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-3)
+
+
+class TestDryrun:
+    def test_dryrun_multichip_8(self):
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(8)
+
+    def test_entry_is_jittable_tiny(self):
+        """entry() returns (fn, args); compile-check its abstract shape only
+        (full Tiny-SD compile is the driver's job on real hardware)."""
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import entry
+
+        fn, args = entry()
+        out = jax.eval_shape(fn, *args)
+        assert out.shape == (2, 64, 64, 4)
