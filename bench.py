@@ -36,6 +36,9 @@ def main() -> None:
 
     from sdtpu import StableDiffusionPipeline
     from sdtpu.config import get_preset
+    from sdtpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
 
     dev = jax.devices()[0]
     config = get_preset(args.preset)

@@ -31,6 +31,9 @@ def main() -> None:
 
     from sdtpu import StableDiffusionPipeline
     from sdtpu.utils.image import load_image, save_png
+    from sdtpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.model_dir:
         pipe = StableDiffusionPipeline.from_pretrained(

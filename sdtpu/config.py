@@ -141,6 +141,10 @@ class PipelineConfig:
     # inside ops where stats need them (GroupNorm/softmax accumulate in f32).
     compute_dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
+    # "flash" routes UNet/VAE latent attention through the Pallas blockwise
+    # kernel (sdtpu/kernels/flash_attention.py); "xla" uses dense attention;
+    # "auto" picks flash on TPU backends and xla elsewhere (CPU tests).
+    attention_impl: str = "auto"
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

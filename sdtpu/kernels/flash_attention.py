@@ -1,0 +1,181 @@
+"""Flash attention (blockwise online-softmax) Pallas TPU kernel.
+
+The framework's latent self-attention runs over H*W spatial tokens — 4096 at
+512x512, 16384 at SDXL 1024x1024 — where dense attention materializes a
+(4096, 4096) f32 score matrix per head per batch (the reference materializes
+it too, on CPU: ``attention.mojo:46-60``).  This kernel never materializes
+scores beyond one (block_q, block_k) VMEM tile, carrying the running max /
+sum / accumulator of the online softmax in VMEM scratch across KV tiles.
+
+Layout: operates directly on (B, L, H, D) — the layout
+``sdtpu.ops.attention`` produces — with heads mapped to a grid dimension, so
+no host-side transposes.  The head dim is zero-padded to a multiple of 128
+lanes (SD head dims are 40/80/160; the MXU contracts 128-deep regardless, so
+padding costs bandwidth only, and attention here is score-bound, not
+V-bound).  Softmax statistics are f32 (kept broadcast across all 128 lanes so
+every op stays vector-shaped); QK^T and PV accumulate f32 via
+``preferred_element_type``.
+
+Non-causal only (UNet/VAE latent attention has no mask); CLIP's causal 77-
+token attention is tiny and stays on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(
+    q_ref, k_ref, v_ref, o_ref,
+    m_scr, l_scr, acc_scr,
+    *, kv_len, block_k, sm_scale, num_k_blocks,
+):
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0, :, :]  # (block_q, d_pad)
+    k = k_ref[0, 0, :, :]  # (block_k, d_pad)
+    v = v_ref[0, 0, :, :]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_k)
+    s = s * sm_scale
+
+    # mask zero-padded keys past the true kv length
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, _NEG_BIG)
+
+    m_prev = m_scr[...]  # (block_q, 128), value broadcast across lanes
+    l_prev = l_scr[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)          # (block_q, 1)
+    m_next = jnp.maximum(m_prev, m_curr)                 # (block_q, 128)
+    alpha = jnp.exp(m_prev - m_next)                     # correction
+    p = jnp.exp(s - m_next[:, :1])                       # (block_q, block_k)
+    l_curr = jnp.sum(p, axis=1, keepdims=True)           # (block_q, 1)
+    l_next = alpha * l_prev + l_curr
+    m_scr[...] = m_next
+    l_scr[...] = l_next
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, d_pad)
+    # acc is (block_q, d_pad) with d_pad a multiple of 128; alpha's lanes are
+    # uniform so slicing the first d_pad columns of the 128-wide stat is safe
+    # only when d_pad == 128 — tile alpha across the head dim instead.
+    d_pad = acc_scr.shape[-1]
+    alpha_d = jnp.tile(alpha[:, :1], (1, d_pad))
+    acc_scr[...] = acc_scr[...] * alpha_d + pv
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        out = acc_scr[...] * jnp.tile(l_inv[:, :1], (1, d_pad))
+        o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q @ k^T / sqrt(d)) @ v over (B, L, H, D) tensors.
+
+    Handles arbitrary Lq/Lkv/D by zero-padding to tile multiples (padded keys
+    are masked with a large negative, padded head lanes contribute zeros).
+    """
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    sm_scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, _ceil_to(lq, 8))
+    block_k = min(block_k, _ceil_to(lk, 128))
+    d_pad = _ceil_to(d, 128)
+    lq_pad = _ceil_to(lq, block_q)
+    lk_pad = _ceil_to(lk, block_k)
+
+    # (B, L, H, D) -> (B, H, L_pad, D_pad): Mosaic wants (seq, head_dim) as
+    # the trailing two block dims; the transpose is one fused pad+copy pass.
+    def prep(x, l_pad):
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, l_pad - x.shape[2]), (0, d_pad - d))
+        )
+
+    qp, kp, vp = prep(q, lq_pad), prep(k, lk_pad), prep(v, lk_pad)
+    num_k_blocks = lk_pad // block_k
+    grid = (b, h, lq_pad // block_q, num_k_blocks)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            kv_len=lk,
+            block_k=block_k,
+            sm_scale=sm_scale,
+            num_k_blocks=num_k_blocks,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq_pad, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d_pad),
+                lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d_pad),
+                lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d_pad),
+                lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d_pad),
+            lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running sum
+            pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e has 128 MiB VMEM/core; the default 16 MiB scoped limit
+            # rejects the staged output buffer at 4096-token shapes.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    return jnp.transpose(out[:, :, :lq, :d], (0, 2, 1, 3))

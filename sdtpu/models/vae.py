@@ -57,23 +57,33 @@ def vae_resnet(x: jax.Array, params: dict, *, num_groups: int = 32) -> jax.Array
     return x + h
 
 
-def vae_attention(x: jax.Array, params: dict, *, num_groups: int = 32) -> jax.Array:
+def vae_attention(
+    x: jax.Array, params: dict, *, num_groups: int = 32,
+    implementation: str = "xla",
+) -> jax.Array:
     """Attention_Block (``vae.mojo:5-27``): GN -> single-head self-attention
     over spatial tokens -> residual."""
     b, h, w, c = x.shape
     out = group_norm(x, params["norm"], num_groups=num_groups, eps=1e-6)
     out = out.reshape(b, h * w, c)
-    out = attention(out, params["attn"], num_heads=1)
+    out = attention(out, params["attn"], num_heads=1, implementation=implementation)
     return out.reshape(b, h, w, c) + x
 
 
-def _mid(x: jax.Array, params: dict, *, num_groups: int) -> jax.Array:
+def _mid(
+    x: jax.Array, params: dict, *, num_groups: int, implementation: str = "xla"
+) -> jax.Array:
     x = vae_resnet(x, params["resnets"][0], num_groups=num_groups)
-    x = vae_attention(x, params["attention"], num_groups=num_groups)
+    x = vae_attention(
+        x, params["attention"], num_groups=num_groups, implementation=implementation
+    )
     return vae_resnet(x, params["resnets"][1], num_groups=num_groups)
 
 
-def vae_encoder(x: jax.Array, params: dict, config: VAEConfig) -> jax.Array:
+def vae_encoder(
+    x: jax.Array, params: dict, config: VAEConfig, *,
+    attention_impl: str = "xla",
+) -> jax.Array:
     """(B, H, W, 3) image in [-1, 1] -> (B, H/8, W/8, 2*latent) moments."""
     ng = config.norm_num_groups
     h = conv2d(x, params["conv_in"]["kernel"], params["conv_in"]["bias"], padding=1)
@@ -89,7 +99,7 @@ def vae_encoder(x: jax.Array, params: dict, config: VAEConfig) -> jax.Array:
                 stride=2,
                 padding=((0, 1), (0, 1)),
             )
-    h = _mid(h, params["mid_block"], num_groups=ng)
+    h = _mid(h, params["mid_block"], num_groups=ng, implementation=attention_impl)
     h = group_norm(h, params["norm_out"], num_groups=ng, eps=1e-6)
     h = silu(h)
     h = conv2d(h, params["conv_out"]["kernel"], params["conv_out"]["bias"], padding=1)
@@ -103,10 +113,12 @@ def vae_encode(
     noise: jax.Array,
     params: dict,
     config: VAEConfig,
+    *,
+    attention_impl: str = "xla",
 ) -> jax.Array:
     """Full img2img encode path (``vae.mojo:118-129,157``): moments ->
     clamp(logvar) -> reparameterize with the given N(0,1) noise -> scale."""
-    moments = vae_encoder(image, params, config)
+    moments = vae_encoder(image, params, config, attention_impl=attention_impl)
     mean, logvar = jnp.split(moments, 2, axis=-1)
     logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
     std = jnp.exp(0.5 * logvar).astype(mean.dtype)
@@ -114,7 +126,10 @@ def vae_encode(
     return latents * config.scaling_factor
 
 
-def vae_decode(latents: jax.Array, params: dict, config: VAEConfig) -> jax.Array:
+def vae_decode(
+    latents: jax.Array, params: dict, config: VAEConfig, *,
+    attention_impl: str = "xla",
+) -> jax.Array:
     """(B, H/8, W/8, latent) -> (B, H, W, 3) image in [-1, 1]
     (``vae.mojo:221-250``)."""
     ng = config.norm_num_groups
@@ -126,7 +141,7 @@ def vae_decode(latents: jax.Array, params: dict, config: VAEConfig) -> jax.Array
         padding=0,
     )
     h = conv2d(h, params["conv_in"]["kernel"], params["conv_in"]["bias"], padding=1)
-    h = _mid(h, params["mid_block"], num_groups=ng)
+    h = _mid(h, params["mid_block"], num_groups=ng, implementation=attention_impl)
     for block in params["up_blocks"]:
         for res in block["resnets"]:
             h = vae_resnet(h, res, num_groups=ng)

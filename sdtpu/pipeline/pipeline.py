@@ -190,6 +190,10 @@ class StableDiffusionPipeline:
         latent_ch = config.vae.latent_channels
         lat_size = size // config.vae.downscale_factor
         compute_dtype = config.compute_dtype
+        attn_impl = config.attention_impl
+        if attn_impl == "auto":
+            # flash (Pallas) on TPU-class backends; dense XLA on CPU tests
+            attn_impl = "xla" if jax.default_backend() == "cpu" else "flash"
 
         def encode_context(params, ids):
             hidden, _ = clip_encode(ids, params["clip"], config.clip)
@@ -208,7 +212,7 @@ class StableDiffusionPipeline:
                 )
                 eps = unet_forward(
                     lat_in.astype(compute_dtype), t_in, context, params["unet"],
-                    config.unet,
+                    config.unet, attention_impl=attn_impl,
                 ).astype(jnp.float32)
                 if cfg:
                     cond, uncond = eps[:batch], eps[batch:]
@@ -227,7 +231,8 @@ class StableDiffusionPipeline:
 
         def decode(params, latents):
             img = vae_decode(
-                latents.astype(compute_dtype), params["vae_decoder"], config.vae
+                latents.astype(compute_dtype), params["vae_decoder"], config.vae,
+                attention_impl=attn_impl,
             )
             return img.astype(jnp.float32)
 
@@ -243,6 +248,7 @@ class StableDiffusionPipeline:
                 lat0 = vae_encode(
                     image.astype(compute_dtype), enc_noise,
                     params["vae_encoder"], config.vae,
+                    attention_impl=attn_impl,
                 ).astype(jnp.float32)  # pipeline.mojo:66-75
                 fwd_noise = jax.random.normal(k_fwd, lat0.shape, jnp.float32)
                 latents = add_noise(schedule, lat0, fwd_noise, 0)  # pipeline.mojo:79

@@ -1,0 +1,81 @@
+"""Pallas kernel tests — interpreter mode on CPU (SURVEY.md §4:
+``pltpu.force_tpu_interpret_mode``/interpret=True for kernel correctness
+without hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdtpu.kernels.flash_attention import flash_attention
+from sdtpu.ops.attention import _xla_attention
+
+from conftest import assert_allclose
+
+
+def rand_qkv(rng, b, lq, lk, h, d, dtype=np.float32):
+    q = rng.standard_normal((b, lq, h, d), dtype=np.float32).astype(dtype)
+    k = rng.standard_normal((b, lk, h, d), dtype=np.float32).astype(dtype)
+    v = rng.standard_normal((b, lk, h, d), dtype=np.float32).astype(dtype)
+    return jnp.array(q), jnp.array(k), jnp.array(v)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize(
+        "b,lq,lk,h,d",
+        [
+            (1, 256, 256, 2, 40),    # SD head_dim 40, self-attn
+            (2, 256, 77, 2, 40),     # cross-attn to 77 text tokens
+            (1, 128, 128, 1, 64),
+            (1, 300, 300, 2, 80),    # non-multiple seq len
+            (1, 256, 256, 1, 160),   # tiny-sd level-2 head dim
+        ],
+    )
+    def test_matches_xla_attention(self, rng, b, lq, lk, h, d):
+        q, k, v = rand_qkv(rng, b, lq, lk, h, d)
+        expected = _xla_attention(q, k, v, causal=False)
+        got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+    def test_multi_k_blocks_online_softmax(self, rng):
+        """kv length spanning several k blocks exercises the running-max
+        correction path."""
+        q, k, v = rand_qkv(rng, 1, 128, 512, 2, 40)
+        expected = _xla_attention(q, k, v, causal=False)
+        got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+    def test_extreme_logits_stable(self, rng):
+        """Large-magnitude q/k must not overflow (online max-subtraction)."""
+        q, k, v = rand_qkv(rng, 1, 128, 128, 1, 40)
+        got = flash_attention(q * 100, k * 100, v, block_q=128, block_k=128,
+                              interpret=True)
+        assert np.isfinite(np.asarray(got)).all()
+
+    def test_bf16_io(self, rng):
+        q, k, v = rand_qkv(rng, 1, 128, 128, 2, 40, dtype=jnp.bfloat16)
+        expected = _xla_attention(q, k, v, causal=False)
+        got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        assert_allclose(
+            np.asarray(got, np.float32), np.asarray(expected, np.float32),
+            atol=3e-2, rtol=3e-2,
+        )
+
+    def test_ops_attention_flash_route(self, rng):
+        """ops.attention(implementation='flash') end-to-end vs xla route."""
+        from sdtpu.ops import attention, init_attention
+        import sdtpu.kernels.flash_attention as fa
+
+        params = init_attention(jax.random.key(0), 32)
+        x = jnp.array(rng.standard_normal((1, 128, 32), dtype=np.float32))
+        expected = attention(x, params, num_heads=2, implementation="xla")
+        # monkeypatch interpret mode through the flash path
+        orig = fa.flash_attention
+        try:
+            fa.flash_attention = lambda q, k, v: orig(q, k, v, interpret=True)
+            got = attention(x, params, num_heads=2, implementation="flash")
+        finally:
+            fa.flash_attention = orig
+        assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
