@@ -37,7 +37,7 @@ from sdtpu.config import PipelineConfig, get_preset
 from sdtpu.models.clip import clip_encode
 from sdtpu.models.unet import unet_forward
 from sdtpu.models.vae import vae_decode, vae_encode
-from sdtpu.samplers.ddpm import DDPMSchedule, add_noise, ddpm_step, make_schedule
+from sdtpu.samplers import SamplerDef, get_sampler
 from sdtpu.utils.image import from_uint8, to_uint8
 
 
@@ -102,12 +102,14 @@ class StableDiffusionPipeline:
         init_image: Optional[np.ndarray] = None,
         image_size: Optional[int] = None,
         token_ids: Optional[np.ndarray] = None,
+        sampler: str = "ddpm",
         output: str = "uint8",
     ):
         """Text->image (or image->image when ``init_image`` is given).
 
         ``token_ids`` bypasses the tokenizer (pre-tokenized prompts; also the
-        benchmarking path when no vocab asset is installed).  ``output``:
+        benchmarking path when no vocab asset is installed).  ``sampler``:
+        "ddpm" (reference semantics), "ddim", or "euler".  ``output``:
         "uint8" (default), "float" ([-1,1] array), or "latents".
         """
         if not 0.0 < strength <= 1.0:
@@ -122,7 +124,8 @@ class StableDiffusionPipeline:
         is_img2img = init_image is not None
         strength_key = round(strength, 6) if is_img2img else 1.0
         fn = self._get_compiled(
-            size, num_inference_steps, cfg, is_img2img, strength_key, ids.shape[0]
+            size, num_inference_steps, cfg, is_img2img, strength_key,
+            ids.shape[0], sampler,
         )
 
         key = jax.random.key(seed)
@@ -174,18 +177,23 @@ class StableDiffusionPipeline:
             img = resize_image(img, size, size)  # pipeline.mojo:69
         return img
 
-    def _get_compiled(self, size, steps, cfg, is_img2img, strength, n_ids):
-        cache_key = (size, steps, cfg, is_img2img, strength, n_ids)
+    def _get_compiled(
+        self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm"
+    ):
+        cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler)
         fn = self._compiled.get(cache_key)
         if fn is None:
-            schedule = make_schedule(
+            sdef = get_sampler(sampler)
+            schedule = sdef.make_schedule(
                 self.config.scheduler, steps, strength if is_img2img else 1.0
             )
-            fn = self._build(schedule, cfg, is_img2img, size)
+            fn = self._build(sdef, schedule, cfg, is_img2img, size)
             self._compiled[cache_key] = fn
         return fn
 
-    def _build(self, schedule: DDPMSchedule, cfg: bool, is_img2img: bool, size: int):
+    def _build(
+        self, sdef: SamplerDef, schedule, cfg: bool, is_img2img: bool, size: int
+    ):
         config = self.config
         latent_ch = config.vae.latent_channels
         lat_size = size // config.vae.downscale_factor
@@ -207,6 +215,8 @@ class StableDiffusionPipeline:
                 lat, key = carry
                 i, t = step
                 lat_in = jnp.concatenate([lat, lat]) if cfg else lat
+                if sdef.scale_model_input is not None:
+                    lat_in = sdef.scale_model_input(schedule, i, lat_in)
                 t_in = jnp.broadcast_to(
                     t.astype(jnp.float32), (lat_in.shape[0],)
                 )
@@ -217,9 +227,12 @@ class StableDiffusionPipeline:
                 if cfg:
                     cond, uncond = eps[:batch], eps[batch:]
                     eps = uncond + cfg_scale * (cond - uncond)  # pipeline.mojo:111-119
-                key, sub = jax.random.split(key)
-                noise = jax.random.normal(sub, lat.shape, jnp.float32)
-                lat = ddpm_step(schedule, i, lat, eps, noise)
+                if sdef.stochastic:
+                    key, sub = jax.random.split(key)
+                    noise = jax.random.normal(sub, lat.shape, jnp.float32)
+                else:
+                    noise = jnp.zeros_like(lat)
+                lat = sdef.step(schedule, i, lat, eps, noise)
                 return (lat, key), None
 
             steps = (
@@ -251,7 +264,7 @@ class StableDiffusionPipeline:
                     attention_impl=attn_impl,
                 ).astype(jnp.float32)  # pipeline.mojo:66-75
                 fwd_noise = jax.random.normal(k_fwd, lat0.shape, jnp.float32)
-                latents = add_noise(schedule, lat0, fwd_noise, 0)  # pipeline.mojo:79
+                latents = sdef.add_noise(schedule, lat0, fwd_noise, 0)  # pipeline.mojo:79
                 latents = denoise(params, context, latents, cfg_scale, key)
                 return decode(params, latents)
 
@@ -264,6 +277,8 @@ class StableDiffusionPipeline:
                 latents = jax.random.normal(
                     k_init, (batch, lat_size, lat_size, latent_ch), jnp.float32
                 )  # pipeline.mojo:81
+                # sigma-space samplers start at noise * sigma_max
+                latents = latents * getattr(schedule, "init_sigma", 1.0)
                 latents = denoise(params, context, latents, cfg_scale, key)
                 return decode(params, latents)
 

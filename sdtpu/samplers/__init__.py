@@ -1,5 +1,17 @@
-"""Samplers (the reference's L3 scheduler layer, ``sampler.mojo``)."""
+"""Samplers (the reference's L3 scheduler layer, ``sampler.mojo``).
 
+All samplers share one scan protocol so the pipeline is sampler-agnostic:
+``make_schedule(config, steps, strength)`` returns a pytree of per-step
+arrays; ``step(schedule, i, latents, eps, noise)`` is pure; ``add_noise``
+forward-noises for img2img; optional ``scale_model_input`` and
+``schedule.init_sigma`` cover sigma-space samplers (Euler).
+"""
+
+import dataclasses
+from typing import Callable, Optional
+
+from sdtpu.samplers import ddim as _ddim
+from sdtpu.samplers import euler as _euler
 from sdtpu.samplers.ddpm import (
     DDPMSchedule,
     add_noise,
@@ -10,10 +22,42 @@ from sdtpu.samplers.ddpm import (
     make_schedule,
 )
 
+
+@dataclasses.dataclass(frozen=True)
+class SamplerDef:
+    make_schedule: Callable
+    step: Callable
+    add_noise: Callable
+    scale_model_input: Optional[Callable] = None
+    stochastic: bool = False  # draws per-step variance noise
+
+
+SAMPLERS = {
+    "ddpm": SamplerDef(make_schedule, ddpm_step, add_noise, stochastic=True),
+    "ddim": SamplerDef(_ddim.make_schedule, _ddim.ddim_step, _ddim.add_noise),
+    "euler": SamplerDef(
+        _euler.make_schedule,
+        _euler.euler_step,
+        _euler.add_noise,
+        scale_model_input=_euler.scale_model_input,
+    ),
+}
+
+
+def get_sampler(name: str) -> SamplerDef:
+    try:
+        return SAMPLERS[name]
+    except KeyError:
+        raise ValueError(f"unknown sampler {name!r}; available: {sorted(SAMPLERS)}") from None
+
+
 __all__ = [
     "DDPMSchedule",
+    "SAMPLERS",
+    "SamplerDef",
     "add_noise",
     "ddpm_step",
+    "get_sampler",
     "inference_timesteps",
     "make_alphas_cumprod",
     "make_betas",

@@ -1,0 +1,89 @@
+"""Euler discrete sampler (sigma-space), the few-step scheduler used by
+SDXL-Turbo-style serving (BASELINE config 5).  New capability over the
+reference (DDPM-only).
+
+sigma_t = sqrt((1 - a_t) / a_t); model input is scaled by
+1/sqrt(sigma^2 + 1); the update is one Euler step along
+d = (x - sigma * eps) derivative:  x_prev = x + (sigma_prev - sigma) * d/dx.
+
+Exposes the same scan protocol as ddpm/ddim plus ``input_scale`` and
+``init_sigma`` (Euler latents start at noise * sigma_max).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdtpu.config import SchedulerConfig
+from sdtpu.samplers.ddpm import inference_timesteps, make_alphas_cumprod
+
+
+@dataclasses.dataclass(frozen=True)
+class EulerSchedule:
+    timesteps: jax.Array
+    sigmas: jax.Array       # (S+1,), ends with 0
+    input_scale: jax.Array  # (S,): 1/sqrt(sigma^2+1)
+    init_sigma: float
+
+    @property
+    def num_steps(self) -> int:
+        return self.timesteps.shape[0]
+
+    # interface parity with DDPM/DDIM
+    @property
+    def sqrt_alpha_prod(self):
+        s = self.sigmas[:-1]
+        return 1.0 / jnp.sqrt(s**2 + 1.0)
+
+    @property
+    def sqrt_one_minus_alpha_prod(self):
+        s = self.sigmas[:-1]
+        return s / jnp.sqrt(s**2 + 1.0)
+
+
+def make_schedule(
+    config: SchedulerConfig,
+    num_inference_steps: int,
+    strength: float = 1.0,
+) -> EulerSchedule:
+    ac = make_alphas_cumprod(config)
+    ts = inference_timesteps(config, num_inference_steps, strength)
+    sig = np.sqrt((1.0 - ac[ts]) / ac[ts])
+    sigmas = np.concatenate([sig, [0.0]])
+    return EulerSchedule(
+        timesteps=jnp.asarray(ts, dtype=jnp.int32),
+        sigmas=jnp.asarray(sigmas, dtype=jnp.float32),
+        input_scale=jnp.asarray(1.0 / np.sqrt(sig**2 + 1.0), dtype=jnp.float32),
+        init_sigma=float(sig[0]),
+    )
+
+
+def scale_model_input(schedule: EulerSchedule, step_index, x):
+    return x * schedule.input_scale[step_index].astype(x.dtype)
+
+
+def euler_step(
+    schedule: EulerSchedule,
+    step_index: jax.Array,
+    latents: jax.Array,
+    eps_pred: jax.Array,
+    noise: jax.Array,  # unused; protocol parity
+) -> jax.Array:
+    del noise
+    x = latents.astype(jnp.float32)
+    e = eps_pred.astype(jnp.float32)
+    sigma = schedule.sigmas[step_index]
+    sigma_next = schedule.sigmas[step_index + 1]
+    # epsilon-prediction: x0 = x - sigma * eps; derivative d = (x - x0)/sigma = eps
+    x_prev = x + (sigma_next - sigma) * e
+    return x_prev.astype(latents.dtype)
+
+
+def add_noise(schedule: EulerSchedule, x0, noise, step_index: int = 0):
+    sigma = schedule.sigmas[step_index]
+    out = x0.astype(jnp.float32) + sigma * noise.astype(jnp.float32)
+    return out.astype(x0.dtype)

@@ -1,0 +1,91 @@
+"""DDIM / Euler sampler tests + sampler-generic pipeline runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdtpu.config import SchedulerConfig
+from sdtpu.samplers import get_sampler
+from sdtpu.samplers import ddim, euler
+
+from conftest import assert_allclose
+
+CFG = SchedulerConfig()
+
+
+class TestDDIM:
+    def test_deterministic(self):
+        sched = ddim.make_schedule(CFG, 10)
+        x = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        e = jax.random.normal(jax.random.key(1), x.shape)
+        a = ddim.ddim_step(sched, jnp.array(3), x, e, jnp.zeros_like(x))
+        b = ddim.ddim_step(sched, jnp.array(3), x, e, jnp.ones_like(x))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_oracle_chain_recovers_x0(self):
+        """With oracle eps each step, DDIM lands exactly on x0."""
+        sched = ddim.make_schedule(CFG, 25)
+        x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        z = jax.random.normal(jax.random.key(1), x0.shape)
+        x = ddim.add_noise(sched, x0, z, 0)
+        for i in range(sched.num_steps):
+            sa = sched.sqrt_alpha_prod[i]
+            sb = sched.sqrt_one_minus_alpha_prod[i]
+            e = (x - sa * x0) / sb
+            x = ddim.ddim_step(sched, jnp.array(i), x, e, jnp.zeros_like(x))
+        assert_allclose(x, x0, atol=1e-3, rtol=1e-2)
+
+    def test_last_step_is_x0_hat(self):
+        sched = ddim.make_schedule(CFG, 25)
+        i = sched.num_steps - 1
+        assert float(sched.timesteps[i]) == 0.0
+        # a_prev = 1 at the last step: x_prev == x0_hat exactly
+        assert_allclose(sched.sqrt_alpha_prod_prev[i], 1.0, rtol=1e-6)
+        assert_allclose(sched.sqrt_one_minus_alpha_prod_prev[i], 0.0, atol=1e-7)
+
+
+class TestEuler:
+    def test_sigma_relationship(self):
+        sched = euler.make_schedule(CFG, 10)
+        # sigma = sqrt((1-a)/a) consistent with exposed sqrt_alpha_prod
+        sa = np.asarray(sched.sqrt_alpha_prod)
+        sig = np.asarray(sched.sigmas[:-1])
+        assert_allclose(sa, 1 / np.sqrt(sig**2 + 1), rtol=1e-5)
+        assert sched.init_sigma == pytest.approx(float(sched.sigmas[0]))
+        assert float(sched.sigmas[-1]) == 0.0
+
+    def test_one_step_turbo_like(self):
+        """Single-step euler from pure noise: x1 = x - sigma_max * eps -> with
+        oracle eps = (x - x0)/sigma it returns exactly x0."""
+        sched = euler.make_schedule(CFG, 1)
+        x0 = jax.random.normal(jax.random.key(0), (1, 4, 4, 4))
+        z = jax.random.normal(jax.random.key(1), x0.shape)
+        x = x0 + sched.init_sigma * z  # add_noise at step 0
+        e = (x - x0) / sched.sigmas[0]
+        out = euler.euler_step(sched, jnp.array(0), x, e, jnp.zeros_like(x))
+        assert_allclose(out, x0, atol=1e-4, rtol=1e-3)
+
+    def test_scale_model_input(self):
+        sched = euler.make_schedule(CFG, 5)
+        x = jnp.ones((1, 2, 2, 4))
+        scaled = euler.scale_model_input(sched, jnp.array(0), x)
+        expected = 1.0 / np.sqrt(float(sched.sigmas[0]) ** 2 + 1.0)
+        assert_allclose(scaled, expected * np.ones_like(np.asarray(x)), rtol=1e-5)
+
+
+class TestPipelineSamplers:
+    @pytest.mark.parametrize("sampler", ["ddim", "euler"])
+    def test_generate_with_sampler(self, sampler):
+        from test_pipeline import TINY, TOKENS
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+
+        pipe = StableDiffusionPipeline.from_random(TINY, seed=0)
+        img = pipe.generate(
+            "x", token_ids=TOKENS, num_inference_steps=2, seed=1, sampler=sampler
+        )
+        assert img.shape == (1, 32, 32, 3)
+
+    def test_unknown_sampler_raises(self):
+        with pytest.raises(ValueError, match="unknown sampler"):
+            get_sampler("plms")
