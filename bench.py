@@ -61,15 +61,26 @@ def main() -> None:
     print(f"params materialized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(40)
-    ids = rng.integers(
-        1, config.clip.vocab_size, (2, config.clip.max_length)
-    )
+    if args.batch == 1:
+        ids = rng.integers(1, config.clip.vocab_size, (2, config.clip.max_length))
 
-    def run(seed: int):
-        return pipe.generate(
-            "bench", token_ids=ids, num_inference_steps=args.steps,
-            seed=seed, image_size=args.image_size, output="float",
+        def run(seed: int):
+            return pipe.generate(
+                "bench", token_ids=ids, num_inference_steps=args.steps,
+                seed=seed, image_size=args.image_size, output="float",
+            )
+
+    else:
+        ids = rng.integers(
+            1, config.clip.vocab_size, (args.batch, config.clip.max_length)
         )
+
+        def run(seed: int):
+            return pipe.generate_batch(
+                ["bench"] * args.batch, token_ids=ids,
+                num_inference_steps=args.steps, seed=seed,
+                image_size=args.image_size, output="float",
+            )
 
     t0 = time.perf_counter()
     run(0)

@@ -180,7 +180,8 @@ SD15 = PipelineConfig(
 
 SDXL_BASE = PipelineConfig(
     name="stabilityai/stable-diffusion-xl-base-1.0",
-    clip=CLIPConfig(),  # OpenAI CLIP ViT-L, penultimate in SDXL handled at pipeline level
+    # SDXL reads the PENULTIMATE hidden state of both encoders
+    clip=CLIPConfig(use_final_layer_norm_output=False),
     clip_2=CLIPConfig(
         hidden_size=1280,
         intermediate_size=5120,

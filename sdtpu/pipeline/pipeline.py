@@ -142,6 +142,52 @@ class StableDiffusionPipeline:
             return np.asarray(images, dtype=np.float32)
         return to_uint8(images)
 
+    def generate_batch(
+        self,
+        prompts,
+        negative_prompt: str = "",
+        *,
+        cfg: bool = True,
+        cfg_scale: float = 7.5,
+        num_inference_steps: int = 25,
+        seed: int = 0,
+        image_size: Optional[int] = None,
+        token_ids: Optional[np.ndarray] = None,
+        sampler: str = "ddpm",
+        output: str = "uint8",
+    ):
+        """Batched txt2img serving: B prompts -> (B, H, W, 3) in ONE compiled
+        CFG-batched (2B) program — the large-batch few-step serving path
+        (BASELINE config 5).  The reference is hardwired to batch 1
+        (``pipeline.mojo:12``)."""
+        size = image_size or self.config.default_image_size
+        max_len = self.config.clip.max_length
+        if token_ids is not None:
+            cond = np.asarray(token_ids)
+        else:
+            if self.tokenizer is None:
+                raise ValueError("no tokenizer installed — pass token_ids")
+            cond = np.asarray(
+                [self.tokenizer.encode(p, max_length=max_len) for p in prompts]
+            )
+        if cfg:
+            if self.tokenizer is not None:
+                neg = self.tokenizer.encode(negative_prompt, max_length=max_len)
+            else:
+                neg = [0] * max_len
+            uncond = np.tile(np.asarray(neg)[None], (cond.shape[0], 1))
+            ids = np.concatenate([cond, uncond])  # [cond..., uncond...]
+        else:
+            ids = cond
+        ids = jnp.asarray(ids, dtype=jnp.int32)
+        fn = self._get_compiled(
+            size, num_inference_steps, cfg, False, 1.0, ids.shape[0], sampler
+        )
+        images = fn(self.params, ids, jnp.float32(cfg_scale), jax.random.key(seed))
+        if output == "float":
+            return np.asarray(images, dtype=np.float32)
+        return to_uint8(images)
+
     # -- internals -----------------------------------------------------------
 
     def _tokenize(self, prompt, negative_prompt, cfg, token_ids) -> jnp.ndarray:
@@ -204,10 +250,31 @@ class StableDiffusionPipeline:
             attn_impl = "xla" if jax.default_backend() == "cpu" else "flash"
 
         def encode_context(params, ids):
+            """SD 1.x: one encoder's hidden states.  SDXL: concat of CLIP-L
+            and bigG penultimate states (768+1280=2048) plus the bigG
+            projected pooled embedding and size/crop time ids for the
+            add-embedding micro-conditioning."""
             hidden, _ = clip_encode(ids, params["clip"], config.clip)
-            return hidden.astype(compute_dtype)
+            if config.clip_2 is None:
+                return hidden.astype(compute_dtype), None
+            hidden2, pooled2 = clip_encode(ids, params["clip_2"], config.clip_2)
+            context = jnp.concatenate(
+                [hidden.astype(compute_dtype), hidden2.astype(compute_dtype)],
+                axis=-1,
+            )
+            time_ids = jnp.tile(
+                jnp.asarray(
+                    [size, size, 0, 0, size, size], dtype=jnp.float32
+                )[None],
+                (ids.shape[0], 1),
+            )
+            added = {
+                "text_embeds": pooled2.astype(compute_dtype),
+                "time_ids": time_ids,
+            }
+            return context, added
 
-        def denoise(params, context, latents, cfg_scale, key):
+        def denoise(params, context, added_cond, latents, cfg_scale, key):
             # context: cfg ? (2B, L, D) ordered [cond..., uncond...] : (B, L, D)
             batch = latents.shape[0]
 
@@ -222,7 +289,8 @@ class StableDiffusionPipeline:
                 )
                 eps = unet_forward(
                     lat_in.astype(compute_dtype), t_in, context, params["unet"],
-                    config.unet, attention_impl=attn_impl,
+                    config.unet, added_cond=added_cond,
+                    attention_impl=attn_impl,
                 ).astype(jnp.float32)
                 if cfg:
                     cond, uncond = eps[:batch], eps[batch:]
@@ -252,7 +320,7 @@ class StableDiffusionPipeline:
         if is_img2img:
 
             def run(params, ids, image, cfg_scale, key):
-                context = encode_context(params, ids)
+                context, added = encode_context(params, ids)
                 batch = image.shape[0]
                 key, k_enc, k_fwd = jax.random.split(key, 3)
                 enc_noise = jax.random.normal(
@@ -265,13 +333,13 @@ class StableDiffusionPipeline:
                 ).astype(jnp.float32)  # pipeline.mojo:66-75
                 fwd_noise = jax.random.normal(k_fwd, lat0.shape, jnp.float32)
                 latents = sdef.add_noise(schedule, lat0, fwd_noise, 0)  # pipeline.mojo:79
-                latents = denoise(params, context, latents, cfg_scale, key)
+                latents = denoise(params, context, added, latents, cfg_scale, key)
                 return decode(params, latents)
 
         else:
 
             def run(params, ids, cfg_scale, key):
-                context = encode_context(params, ids)
+                context, added = encode_context(params, ids)
                 batch = ids.shape[0] // 2 if cfg else ids.shape[0]
                 key, k_init = jax.random.split(key)
                 latents = jax.random.normal(
@@ -279,7 +347,7 @@ class StableDiffusionPipeline:
                 )  # pipeline.mojo:81
                 # sigma-space samplers start at noise * sigma_max
                 latents = latents * getattr(schedule, "init_sigma", 1.0)
-                latents = denoise(params, context, latents, cfg_scale, key)
+                latents = denoise(params, context, added, latents, cfg_scale, key)
                 return decode(params, latents)
 
         return jax.jit(run)
