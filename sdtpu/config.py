@@ -145,6 +145,9 @@ class PipelineConfig:
     # kernel (sdtpu/kernels/flash_attention.py); "xla" uses dense attention;
     # "auto" picks flash on TPU backends and xla elsewhere (CPU tests).
     attention_impl: str = "auto"
+    # "fused" routes GroupNorm+SiLU through the Pallas kernel
+    # (sdtpu/kernels/groupnorm_silu.py); "xla" keeps the unfused ops.
+    norm_impl: str = "xla"
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

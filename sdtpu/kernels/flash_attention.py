@@ -59,14 +59,19 @@ def _kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
     s = jnp.where(col < kv_len, s, _NEG_BIG)
 
-    m_prev = m_scr[...]  # (block_q, 128), value broadcast across lanes
+    # All softmax statistics are kept (block_q, 128) with the value
+    # replicated across lanes; broadcasts to (block_q, block_k) and
+    # (block_q, d_pad) are lane-tiles (`jnp.tile` by k/128), which the VPU
+    # executes natively — single-lane (bq, 1) slices force per-iteration
+    # relayouts and were ~10x slower.
+    d_pad = acc_scr.shape[-1]
+    m_prev = m_scr[...]
     l_prev = l_scr[...]
-    m_curr = jnp.max(s, axis=1, keepdims=True)          # (block_q, 1)
-    m_next = jnp.maximum(m_prev, m_curr)                 # (block_q, 128)
-    alpha = jnp.exp(m_prev - m_next)                     # correction
-    p = jnp.exp(s - m_next[:, :1])                       # (block_q, block_k)
-    l_curr = jnp.sum(p, axis=1, keepdims=True)           # (block_q, 1)
-    l_next = alpha * l_prev + l_curr
+    m_curr = jnp.max(s, axis=1, keepdims=True)           # (block_q, 1)
+    m_next = jnp.maximum(m_prev, m_curr)                  # (block_q, 128)
+    alpha = jnp.exp(m_prev - m_next)                      # (block_q, 128)
+    p = jnp.exp(s - jnp.tile(m_next, (1, s.shape[1] // 128)))
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     m_scr[...] = m_next
     l_scr[...] = l_next
 
@@ -74,18 +79,13 @@ def _kernel(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (block_q, d_pad)
-    # acc is (block_q, d_pad) with d_pad a multiple of 128; alpha's lanes are
-    # uniform so slicing the first d_pad columns of the 128-wide stat is safe
-    # only when d_pad == 128 — tile alpha across the head dim instead.
-    d_pad = acc_scr.shape[-1]
-    alpha_d = jnp.tile(alpha[:, :1], (1, d_pad))
-    acc_scr[...] = acc_scr[...] * alpha_d + pv
+    acc_scr[...] = acc_scr[...] * jnp.tile(alpha, (1, d_pad // 128)) + pv
 
     @pl.when(ki == num_k_blocks - 1)
     def _store():
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        out = acc_scr[...] * jnp.tile(l_inv[:, :1], (1, d_pad))
+        out = acc_scr[...] * jnp.tile(l_inv, (1, d_pad // 128))
         o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 

@@ -58,12 +58,22 @@ from sdtpu.ops import (
 # ---------------------------------------------------------------------------
 
 
+def _gn_silu(x, params, *, num_groups, norm_impl):
+    """GroupNorm -> SiLU, optionally through the fused Pallas kernel."""
+    if norm_impl == "fused":
+        from sdtpu.kernels.groupnorm_silu import group_norm_silu
+
+        return group_norm_silu(x, params, num_groups=num_groups)
+    return silu(group_norm(x, params, num_groups=num_groups))
+
+
 def resnet_block(
     x: jax.Array,
     temb: jax.Array,
     params: dict,
     *,
     num_groups: int = 32,
+    norm_impl: str = "xla",
 ) -> jax.Array:
     """Unet_Residual_Block (``diffusion.mojo:54-72``).
 
@@ -71,13 +81,11 @@ def resnet_block(
     step — the reference re-applies SiLU to the same time vector inside every
     block (``diffusion.mojo:61``); hoisting it is numerically identical.
     """
-    h = group_norm(x, params["norm1"], num_groups=num_groups)
-    h = silu(h)
+    h = _gn_silu(x, params["norm1"], num_groups=num_groups, norm_impl=norm_impl)
     h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"], padding=1)
     t = linear(temb, params["time_emb_proj"]).astype(h.dtype)
     h = h + t[:, None, None, :]
-    h = group_norm(h, params["norm2"], num_groups=num_groups)
-    h = silu(h)
+    h = _gn_silu(h, params["norm2"], num_groups=num_groups, norm_impl=norm_impl)
     h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"], padding=1)
     if "conv_shortcut" in params:
         x = conv2d(
@@ -154,6 +162,7 @@ def unet_forward(
     *,
     added_cond: Optional[dict] = None,
     attention_impl: str = "xla",
+    norm_impl: str = "xla",
 ) -> jax.Array:
     """Predict noise.  latents: (B, H, W, C_in); timesteps: (B,) or scalar;
     context: (B, L, cross_attention_dim).  Returns (B, H, W, C_out).
@@ -209,7 +218,7 @@ def unet_forward(
         ch = config.block_out_channels[level]
         heads = _heads_for_level(config, ch)
         for i, res in enumerate(block["resnets"]):
-            x = resnet_block(x, temb, res, num_groups=ng)
+            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl)
             if config.attention_levels[level]:
                 x = attention_block(
                     x,
@@ -228,7 +237,7 @@ def unet_forward(
     if config.mid_block:
         mid = params["mid_block"]
         heads = _heads_for_level(config, config.block_out_channels[-1])
-        x = resnet_block(x, temb, mid["resnets"][0], num_groups=ng)
+        x = resnet_block(x, temb, mid["resnets"][0], num_groups=ng, norm_impl=norm_impl)
         x = attention_block(
             x,
             context,
@@ -237,7 +246,7 @@ def unet_forward(
             num_groups=ng,
             implementation=attention_impl,
         )
-        x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng)
+        x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng, norm_impl=norm_impl)
 
     # --- decoder (diffusion.mojo:252-272): concat skip on channel axis ---
     for rev, block in enumerate(params["up_blocks"]):
@@ -246,7 +255,7 @@ def unet_forward(
         heads = _heads_for_level(config, ch)
         for i, res in enumerate(block["resnets"]):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = resnet_block(x, temb, res, num_groups=ng)
+            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl)
             if config.attention_levels[level]:
                 x = attention_block(
                     x,
@@ -261,8 +270,7 @@ def unet_forward(
 
     # --- output head (diffusion.mojo:275-291; 32 groups per SD standard,
     # not the reference's 320-group quirk, SURVEY.md §5.1 item 7) ---
-    x = group_norm(x, params["norm_out"], num_groups=ng)
-    x = silu(x)
+    x = _gn_silu(x, params["norm_out"], num_groups=ng, norm_impl=norm_impl)
     return conv2d(
         x, params["conv_out"]["kernel"], params["conv_out"]["bias"], padding=1
     )

@@ -290,7 +290,7 @@ class StableDiffusionPipeline:
                 eps = unet_forward(
                     lat_in.astype(compute_dtype), t_in, context, params["unet"],
                     config.unet, added_cond=added_cond,
-                    attention_impl=attn_impl,
+                    attention_impl=attn_impl, norm_impl=config.norm_impl,
                 ).astype(jnp.float32)
                 if cfg:
                     cond, uncond = eps[:batch], eps[batch:]

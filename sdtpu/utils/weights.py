@@ -414,6 +414,22 @@ def load_pipeline_params(
     return cast_pytree(params, dtype)
 
 
+def save_converted(params: dict, path: str) -> None:
+    """Cache a converted parameter pytree with orbax so subsequent loads skip
+    the safetensors -> pytree mapping (SURVEY.md §5 checkpoint row)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def load_converted(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
 def init_pipeline_params(key, config: PipelineConfig, *, dtype=None) -> dict:
     """Random-init full-pipeline params (benchmarks / tests without real
     checkpoints — perf is weight-value independent)."""
