@@ -1,0 +1,298 @@
+// Native safetensors reader: mmap + header parse, zero-copy tensor views.
+//
+// The reference's only I/O machinery is FileBuf/read_file — a native byte
+// buffer with a cursor and bitcast readers (helpers/utils.mojo:63-141) that
+// README.md:44,55 designates as the template for loading all model weights.
+// This is that component for the TPU build: it maps a .safetensors file
+// (8-byte LE header length + JSON header + raw little-endian tensor data)
+// and hands Python zero-copy pointers per tensor, so multi-GB SDXL
+// checkpoints load at page-cache speed with no intermediate copies.
+//
+// C ABI (consumed via ctypes in sdtpu/utils/native_safetensors.py):
+//   sdtpu_st_open(path) -> handle | NULL
+//   sdtpu_st_count(h) -> int64
+//   sdtpu_st_name(h, i) -> const char*
+//   sdtpu_st_info(h, name, dtype_buf, shape_out[8], ndim_out) -> data ptr | NULL
+//   sdtpu_st_nbytes(h, name) -> int64
+//   sdtpu_st_close(h)
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct TensorInfo {
+  std::string dtype;
+  std::vector<int64_t> shape;
+  uint64_t begin = 0;
+  uint64_t end = 0;
+};
+
+struct File {
+  int fd = -1;
+  const uint8_t* base = nullptr;  // mmap base
+  size_t size = 0;
+  uint64_t data_start = 0;
+  std::vector<std::string> names;
+  std::unordered_map<std::string, TensorInfo> tensors;
+};
+
+// --- minimal JSON scanner (only the safetensors header subset) -------------
+
+struct Scanner {
+  const char* p;
+  const char* end;
+  bool ok = true;
+
+  void ws() {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) ++p;
+  }
+  bool consume(char c) {
+    ws();
+    if (p < end && *p == c) {
+      ++p;
+      return true;
+    }
+    ok = false;
+    return false;
+  }
+  bool peek(char c) {
+    ws();
+    return p < end && *p == c;
+  }
+  std::string string() {
+    ws();
+    std::string out;
+    if (p >= end || *p != '"') {
+      ok = false;
+      return out;
+    }
+    ++p;
+    while (p < end && *p != '"') {
+      if (*p == '\\' && p + 1 < end) {
+        ++p;
+        switch (*p) {
+          case 'n': out.push_back('\n'); break;
+          case 't': out.push_back('\t'); break;
+          case 'r': out.push_back('\r'); break;
+          case 'b': out.push_back('\b'); break;
+          case 'f': out.push_back('\f'); break;
+          case 'u': {
+            // header keys are tensor names; non-BMP escapes are not expected,
+            // decode BMP codepoints to UTF-8
+            if (p + 4 < end) {
+              unsigned cp = 0;
+              for (int i = 1; i <= 4; ++i) {
+                char c = p[i];
+                cp <<= 4;
+                if (c >= '0' && c <= '9') cp |= c - '0';
+                else if (c >= 'a' && c <= 'f') cp |= c - 'a' + 10;
+                else if (c >= 'A' && c <= 'F') cp |= c - 'A' + 10;
+              }
+              p += 4;
+              if (cp < 0x80) out.push_back((char)cp);
+              else if (cp < 0x800) {
+                out.push_back((char)(0xC0 | (cp >> 6)));
+                out.push_back((char)(0x80 | (cp & 0x3F)));
+              } else {
+                out.push_back((char)(0xE0 | (cp >> 12)));
+                out.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+                out.push_back((char)(0x80 | (cp & 0x3F)));
+              }
+            }
+            break;
+          }
+          default: out.push_back(*p);
+        }
+      } else {
+        out.push_back(*p);
+      }
+      ++p;
+    }
+    if (p < end) ++p;  // closing quote
+    else ok = false;
+    return out;
+  }
+  int64_t integer() {
+    ws();
+    bool neg = false;
+    if (p < end && *p == '-') {
+      neg = true;
+      ++p;
+    }
+    int64_t v = 0;
+    while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+    return neg ? -v : v;
+  }
+  // skip any JSON value (for __metadata__)
+  void skip_value() {
+    ws();
+    if (p >= end) { ok = false; return; }
+    if (*p == '"') { string(); return; }
+    if (*p == '{') {
+      ++p;
+      ws();
+      if (peek('}')) { consume('}'); return; }
+      while (ok) {
+        string();
+        consume(':');
+        skip_value();
+        ws();
+        if (peek(',')) { consume(','); continue; }
+        consume('}');
+        break;
+      }
+      return;
+    }
+    if (*p == '[') {
+      ++p;
+      ws();
+      if (peek(']')) { consume(']'); return; }
+      while (ok) {
+        skip_value();
+        ws();
+        if (peek(',')) { consume(','); continue; }
+        consume(']');
+        break;
+      }
+      return;
+    }
+    // number / literal
+    while (p < end && *p != ',' && *p != '}' && *p != ']') ++p;
+  }
+};
+
+bool parse_header(File* f, const char* json, size_t len) {
+  Scanner s{json, json + len};
+  if (!s.consume('{')) return false;
+  if (s.peek('}')) return true;
+  while (s.ok) {
+    std::string name = s.string();
+    if (!s.consume(':')) return false;
+    if (name == "__metadata__") {
+      s.skip_value();
+    } else {
+      TensorInfo info;
+      if (!s.consume('{')) return false;
+      while (s.ok && !s.peek('}')) {
+        std::string key = s.string();
+        if (!s.consume(':')) return false;
+        if (key == "dtype") {
+          info.dtype = s.string();
+        } else if (key == "shape") {
+          if (!s.consume('[')) return false;
+          if (!s.peek(']')) {
+            while (s.ok) {
+              info.shape.push_back(s.integer());
+              if (s.peek(',')) { s.consume(','); continue; }
+              break;
+            }
+          }
+          if (!s.consume(']')) return false;
+        } else if (key == "data_offsets") {
+          if (!s.consume('[')) return false;
+          info.begin = (uint64_t)s.integer();
+          s.consume(',');
+          info.end = (uint64_t)s.integer();
+          if (!s.consume(']')) return false;
+        } else {
+          s.skip_value();
+        }
+        if (s.peek(',')) s.consume(',');
+      }
+      if (!s.consume('}')) return false;
+      f->names.push_back(name);
+      f->tensors.emplace(std::move(name), std::move(info));
+    }
+    if (s.peek(',')) {
+      s.consume(',');
+      continue;
+    }
+    return s.consume('}');
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* sdtpu_st_open(const char* path) {
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 8) {
+    ::close(fd);
+    return nullptr;
+  }
+  void* base = mmap(nullptr, (size_t)st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  if (base == MAP_FAILED) {
+    ::close(fd);
+    return nullptr;
+  }
+  auto* f = new File();
+  f->fd = fd;
+  f->base = (const uint8_t*)base;
+  f->size = (size_t)st.st_size;
+  uint64_t header_len;
+  std::memcpy(&header_len, f->base, 8);
+  if (8 + header_len > f->size ||
+      !parse_header(f, (const char*)f->base + 8, header_len)) {
+    munmap(base, f->size);
+    ::close(fd);
+    delete f;
+    return nullptr;
+  }
+  f->data_start = 8 + header_len;
+  return f;
+}
+
+int64_t sdtpu_st_count(void* h) {
+  return (int64_t) static_cast<File*>(h)->names.size();
+}
+
+const char* sdtpu_st_name(void* h, int64_t i) {
+  auto* f = static_cast<File*>(h);
+  if (i < 0 || (size_t)i >= f->names.size()) return nullptr;
+  return f->names[(size_t)i].c_str();
+}
+
+// Returns the raw data pointer, fills dtype (caller buffer >= 16 bytes),
+// shape_out (up to 8 dims), ndim_out.  NULL if unknown or out of bounds.
+const void* sdtpu_st_info(void* h, const char* name, char* dtype_out,
+                          int64_t* shape_out, int64_t* ndim_out) {
+  auto* f = static_cast<File*>(h);
+  auto it = f->tensors.find(name);
+  if (it == f->tensors.end()) return nullptr;
+  const TensorInfo& t = it->second;
+  if (f->data_start + t.end > f->size || t.end < t.begin) return nullptr;
+  std::strncpy(dtype_out, t.dtype.c_str(), 15);
+  dtype_out[15] = 0;
+  *ndim_out = (int64_t)t.shape.size();
+  for (size_t i = 0; i < t.shape.size() && i < 8; ++i) shape_out[i] = t.shape[i];
+  return f->base + f->data_start + t.begin;
+}
+
+int64_t sdtpu_st_nbytes(void* h, const char* name) {
+  auto* f = static_cast<File*>(h);
+  auto it = f->tensors.find(name);
+  if (it == f->tensors.end()) return -1;
+  return (int64_t)(it->second.end - it->second.begin);
+}
+
+void sdtpu_st_close(void* h) {
+  auto* f = static_cast<File*>(h);
+  if (f->base) munmap((void*)f->base, f->size);
+  if (f->fd >= 0) ::close(f->fd);
+  delete f;
+}
+
+}  // extern "C"

@@ -102,7 +102,7 @@ def flash_attention(
     v: jax.Array,
     *,
     block_q: int = 256,
-    block_k: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """softmax(q @ k^T / sqrt(d)) @ v over (B, L, H, D) tensors.

@@ -353,6 +353,14 @@ def vae_decoder_params_from_state_dict(sd: Mapping, config: VAEConfig) -> dict:
 
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Native mmap reader when available; safetensors lib otherwise."""
+    try:
+        from sdtpu.utils import native_safetensors
+
+        if native_safetensors.available():
+            return native_safetensors.load(path)
+    except Exception:
+        pass
     from safetensors.numpy import load_file
 
     return load_file(path)
