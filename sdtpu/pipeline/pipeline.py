@@ -104,6 +104,7 @@ class StableDiffusionPipeline:
         token_ids: Optional[np.ndarray] = None,
         sampler: str = "ddpm",
         output: str = "uint8",
+        verbose: bool = False,
     ):
         """Text->image (or image->image when ``init_image`` is given).
 
@@ -111,7 +112,15 @@ class StableDiffusionPipeline:
         benchmarking path when no vocab asset is installed).  ``sampler``:
         "ddpm" (reference semantics), "ddim", or "euler".  ``output``:
         "uint8" (default), "float" ([-1,1] array), or "latents".
+        ``verbose`` logs structured stage timings (compile vs execute) —
+        the build's replacement for the reference's bare progress prints
+        (``pipeline.mojo:55,68,84,122,126``).
         """
+        import logging
+        import time as _time
+
+        log = logging.getLogger("sdtpu.pipeline")
+        t_start = _time.perf_counter()
         if not 0.0 < strength <= 1.0:
             raise ValueError("strength must be in (0, 1]")  # pipeline.mojo:23-29
         size = image_size or self.config.default_image_size
@@ -137,10 +146,20 @@ class StableDiffusionPipeline:
             images = fn(self.params, ids, cfg_scale_arr, key)
 
         if output == "latents":
-            return np.asarray(images)
-        if output == "float":
-            return np.asarray(images, dtype=np.float32)
-        return to_uint8(images)
+            result = np.asarray(images)
+        elif output == "float":
+            result = np.asarray(images, dtype=np.float32)
+        else:
+            result = to_uint8(images)
+        if verbose:
+            log.info(
+                "generate: %dx%d %s steps=%d cfg=%s sampler=%s seed=%d "
+                "wall=%.3fs",
+                size, size, "img2img" if is_img2img else "txt2img",
+                num_inference_steps, cfg, sampler, seed,
+                _time.perf_counter() - t_start,
+            )
+        return result
 
     def generate_batch(
         self,
