@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--attention-impl", default=None,
+                    choices=["auto", "xla", "flash"])
+    ap.add_argument("--norm-impl", default=None, choices=["xla", "fused"])
+    ap.add_argument("--sampler", default="ddpm")
     args = ap.parse_args()
 
     import jax
@@ -42,6 +46,13 @@ def main() -> None:
 
     dev = jax.devices()[0]
     config = get_preset(args.preset)
+    overrides = {}
+    if args.attention_impl:
+        overrides["attention_impl"] = args.attention_impl
+    if args.norm_impl:
+        overrides["norm_impl"] = args.norm_impl
+    if overrides:
+        config = config.replace(**overrides)
     print(f"device={dev}, preset={config.name}, "
           f"{args.image_size}px, {args.steps} steps, batch={args.batch}",
           file=sys.stderr)
@@ -68,6 +79,7 @@ def main() -> None:
             return pipe.generate(
                 "bench", token_ids=ids, num_inference_steps=args.steps,
                 seed=seed, image_size=args.image_size, output="float",
+                sampler=args.sampler,
             )
 
     else:

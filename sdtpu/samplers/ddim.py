@@ -30,6 +30,7 @@ class DDIMSchedule:
     sqrt_one_minus_alpha_prod_prev: jax.Array
     # eta = 0: no noise injected; sigma kept for interface parity
     sigma: jax.Array
+    prediction_type: str = "epsilon"
 
     @property
     def num_steps(self) -> int:
@@ -54,6 +55,7 @@ def make_schedule(
         sqrt_alpha_prod_prev=f32(np.sqrt(a_prev)),
         sqrt_one_minus_alpha_prod_prev=f32(np.sqrt(1.0 - a_prev)),
         sigma=f32(np.zeros_like(a_t)),
+        prediction_type=config.prediction_type,
     )
 
 
@@ -65,11 +67,17 @@ def ddim_step(
     noise: jax.Array,  # unused (eta=0); kept for the sampler protocol
 ) -> jax.Array:
     del noise
+    from sdtpu.samplers.ddpm import pred_x0_from_model_output
+
     x = latents.astype(jnp.float32)
     e = eps_pred.astype(jnp.float32)
     sa = schedule.sqrt_alpha_prod[step_index]
     sb = schedule.sqrt_one_minus_alpha_prod[step_index]
-    x0_hat = (x - sb * e) / sa
+    x0_hat = pred_x0_from_model_output(schedule, step_index, x, e)
+    # direction term always uses the epsilon form; recover eps under
+    # v-parameterization: eps = sqrt(a) v + sqrt(1-a) x
+    if schedule.prediction_type == "v_prediction":
+        e = sa * e + sb * x
     x_prev = (
         schedule.sqrt_alpha_prod_prev[step_index] * x0_hat
         + schedule.sqrt_one_minus_alpha_prod_prev[step_index] * e

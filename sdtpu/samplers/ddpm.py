@@ -78,10 +78,26 @@ class DDPMSchedule:
     sqrt_alpha_prod: jax.Array
     sqrt_one_minus_alpha_prod: jax.Array
     sigma: jax.Array  # sqrt(variance), already zeroed at t == 0
+    # "epsilon" (SD 1.x/Tiny-SD/SDXL) or "v_prediction" (SD 2.x-style)
+    prediction_type: str = "epsilon"
 
     @property
     def num_steps(self) -> int:
         return self.timesteps.shape[0]
+
+
+def pred_x0_from_model_output(
+    schedule, step_index, latents_f32, model_out_f32
+):
+    """x0_hat from the model output under the configured parameterization:
+    epsilon: x0 = (x - sqrt(1-a) eps) / sqrt(a)
+    v_prediction: x0 = sqrt(a) x - sqrt(1-a) v
+    """
+    sa = schedule.sqrt_alpha_prod[step_index]
+    sb = schedule.sqrt_one_minus_alpha_prod[step_index]
+    if schedule.prediction_type == "v_prediction":
+        return sa * latents_f32 - sb * model_out_f32
+    return (latents_f32 - sb * model_out_f32) / sa
 
 
 def make_schedule(
@@ -117,6 +133,7 @@ def make_schedule(
         sqrt_alpha_prod=f32(np.sqrt(alpha_prod_t)),
         sqrt_one_minus_alpha_prod=f32(np.sqrt(beta_prod_t)),
         sigma=f32(sigma),
+        prediction_type=config.prediction_type,
     )
 
 
@@ -128,13 +145,12 @@ def ddpm_step(
     noise: jax.Array,
 ) -> jax.Array:
     """One posterior step x_t -> x_{t-1} (sampler.mojo:75-109):
-    x0_hat = (x - sqrt(1-a)·eps) / sqrt(a); x_prev = c0·x0_hat + c1·x + sigma·z.
+    x0_hat from the model output (epsilon or v parameterization);
+    x_prev = c0·x0_hat + c1·x + sigma·z.
     Math in f32; result cast back to the latents dtype."""
     x = latents.astype(jnp.float32)
     e = eps_pred.astype(jnp.float32)
-    sa = schedule.sqrt_alpha_prod[step_index]
-    sb = schedule.sqrt_one_minus_alpha_prod[step_index]
-    x0_hat = (x - sb * e) / sa
+    x0_hat = pred_x0_from_model_output(schedule, step_index, x, e)
     x_prev = schedule.coeff_x0[step_index] * x0_hat + schedule.coeff_xt[step_index] * x
     x_prev = x_prev + schedule.sigma[step_index] * noise.astype(jnp.float32)
     return x_prev.astype(latents.dtype)

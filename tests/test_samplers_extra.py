@@ -89,3 +89,45 @@ class TestPipelineSamplers:
     def test_unknown_sampler_raises(self):
         with pytest.raises(ValueError, match="unknown sampler"):
             get_sampler("plms")
+
+
+class TestVPrediction:
+    def test_ddpm_v_prediction_recovers_x0(self):
+        """Oracle v each step: v = sqrt(a) eps - sqrt(1-a) x0 (so that
+        x0_hat = sqrt(a) x - sqrt(1-a) v exactly)."""
+        import dataclasses
+        from sdtpu.samplers.ddpm import add_noise as ddpm_add_noise
+        from sdtpu.samplers.ddpm import ddpm_step, make_schedule
+
+        cfg = dataclasses.replace(CFG, prediction_type="v_prediction")
+        sched = make_schedule(cfg, 25)
+        assert sched.prediction_type == "v_prediction"
+        x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        z = jax.random.normal(jax.random.key(1), x0.shape)
+        x = ddpm_add_noise(sched, x0, z, 0)
+        for i in range(sched.num_steps):
+            sa = sched.sqrt_alpha_prod[i]
+            sb = sched.sqrt_one_minus_alpha_prod[i]
+            eps = (x - sa * x0) / sb
+            v = sa * eps - sb * x0
+            x = ddpm_step(sched, jnp.array(i), x, v, jnp.zeros_like(x))
+        assert_allclose(x, x0, atol=1e-2, rtol=1e-2)
+
+    def test_ddim_v_prediction_matches_epsilon_run(self):
+        """The same trajectory expressed in eps- and v-parameterization must
+        produce identical DDIM updates."""
+        import dataclasses
+
+        sched_e = ddim.make_schedule(CFG, 10)
+        sched_v = ddim.make_schedule(
+            dataclasses.replace(CFG, prediction_type="v_prediction"), 10
+        )
+        x = jax.random.normal(jax.random.key(0), (1, 4, 4, 4))
+        eps = jax.random.normal(jax.random.key(1), x.shape)
+        i = jnp.array(3)
+        sa = sched_e.sqrt_alpha_prod[3]
+        sb = sched_e.sqrt_one_minus_alpha_prod[3]
+        v = sa * eps - sb * ((x - sb * eps) / sa)  # v for this (x, eps)
+        a = ddim.ddim_step(sched_e, i, x, eps, jnp.zeros_like(x))
+        b = ddim.ddim_step(sched_v, i, x, v, jnp.zeros_like(x))
+        assert_allclose(a, b, atol=1e-4, rtol=1e-4)
