@@ -74,6 +74,9 @@ class UNetConfig:
     # SDXL micro-conditioning: projection of pooled text embeds + time ids.
     addition_embed_dim: Optional[int] = None  # 2816 for SDXL base
     addition_time_embed_dim: Optional[int] = None  # 256 for SDXL base
+    # LCM-distilled models: guidance scale enters as an embedding through a
+    # bias-free cond_proj instead of CFG batching (256 for LCM checkpoints).
+    time_cond_proj_dim: Optional[int] = None
 
     @property
     def time_embed_dim(self) -> int:

@@ -161,6 +161,7 @@ def unet_forward(
     config: UNetConfig,
     *,
     added_cond: Optional[dict] = None,
+    timestep_cond: Optional[jax.Array] = None,
     attention_impl: str = "xla",
     norm_impl: str = "xla",
 ) -> jax.Array:
@@ -168,7 +169,9 @@ def unet_forward(
     context: (B, L, cross_attention_dim).  Returns (B, H, W, C_out).
 
     ``added_cond`` carries SDXL micro-conditioning: ``{"text_embeds": (B, P),
-    "time_ids": (B, 6)}``.
+    "time_ids": (B, 6)}``.  ``timestep_cond`` is the LCM guidance-scale
+    embedding (B, time_cond_proj_dim), added to the sinusoidal timestep
+    embedding through a bias-free projection before the time MLP.
     """
     if timesteps.ndim == 0:
         timesteps = jnp.broadcast_to(timesteps, (latents.shape[0],))
@@ -181,6 +184,12 @@ def unet_forward(
         freq_shift=config.freq_shift,
         dtype=latents.dtype,
     )
+    if config.time_cond_proj_dim is not None:
+        assert timestep_cond is not None, "LCM config requires timestep_cond"
+        temb = temb + linear(
+            timestep_cond.astype(temb.dtype),
+            params["time_embedding"]["cond_proj"],
+        )
     temb = linear(temb, params["time_embedding"]["linear_1"])
     temb = silu(temb)
     temb = linear(temb, params["time_embedding"]["linear_2"])
@@ -322,6 +331,10 @@ def init_unet(key: jax.Array, config: UNetConfig, *, dtype=jnp.float32) -> dict:
             "linear_2": init_linear(nk(), time_dim, time_dim, dtype=dtype),
         },
     }
+    if config.time_cond_proj_dim is not None:
+        params["time_embedding"]["cond_proj"] = init_linear(
+            nk(), config.time_cond_proj_dim, ch0, use_bias=False, dtype=dtype
+        )
     if config.addition_embed_dim is not None:
         params["add_embedding"] = {
             "linear_1": init_linear(

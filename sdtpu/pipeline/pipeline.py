@@ -297,6 +297,21 @@ class StableDiffusionPipeline:
             # context: cfg ? (2B, L, D) ordered [cond..., uncond...] : (B, L, D)
             batch = latents.shape[0]
 
+            # LCM-distilled UNets consume the guidance scale as an embedding
+            # (w = cfg_scale - 1, diffusers convention) instead of CFG.
+            timestep_cond = None
+            if config.unet.time_cond_proj_dim is not None:
+                from sdtpu.ops import timestep_embedding
+
+                w = jnp.broadcast_to(
+                    (cfg_scale - 1.0) * 1000.0, (2 * batch if cfg else batch,)
+                )
+                timestep_cond = timestep_embedding(
+                    w, config.unet.time_cond_proj_dim,
+                    flip_sin_to_cos=False, freq_shift=1.0,
+                    dtype=compute_dtype,
+                )
+
             def body(carry, step):
                 lat, key = carry
                 i, t = step
@@ -309,6 +324,7 @@ class StableDiffusionPipeline:
                 eps = unet_forward(
                     lat_in.astype(compute_dtype), t_in, context, params["unet"],
                     config.unet, added_cond=added_cond,
+                    timestep_cond=timestep_cond,
                     attention_impl=attn_impl, norm_impl=config.norm_impl,
                 ).astype(jnp.float32)
                 if cfg:

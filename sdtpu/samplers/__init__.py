@@ -12,6 +12,7 @@ from typing import Callable, Optional
 
 from sdtpu.samplers import ddim as _ddim
 from sdtpu.samplers import euler as _euler
+from sdtpu.samplers import lcm as _lcm
 from sdtpu.samplers.ddpm import (
     DDPMSchedule,
     add_noise,
@@ -40,6 +41,9 @@ SAMPLERS = {
         _euler.euler_step,
         _euler.add_noise,
         scale_model_input=_euler.scale_model_input,
+    ),
+    "lcm": SamplerDef(
+        _lcm.make_schedule, _lcm.lcm_step, _lcm.add_noise, stochastic=True
     ),
 }
 

@@ -208,6 +208,8 @@ def unet_params_from_state_dict(sd: Mapping, config: UNetConfig) -> dict:
             "linear_2": _lin(sd, "time_embedding.linear_2"),
         },
     }
+    if "time_embedding.cond_proj.weight" in sd:
+        params["time_embedding"]["cond_proj"] = _lin(sd, "time_embedding.cond_proj")
     if config.addition_embed_dim is not None:
         params["add_embedding"] = {
             "linear_1": _lin(sd, "add_embedding.linear_1"),

@@ -131,3 +131,56 @@ class TestVPrediction:
         a = ddim.ddim_step(sched_e, i, x, eps, jnp.zeros_like(x))
         b = ddim.ddim_step(sched_v, i, x, v, jnp.zeros_like(x))
         assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+class TestLCM:
+    def test_schedule_shapes(self):
+        from sdtpu.samplers import lcm
+
+        sched = lcm.make_schedule(CFG, 4)
+        assert sched.num_steps == 4
+        ts = np.asarray(sched.timesteps)
+        assert (np.diff(ts) < 0).all()  # descending
+        assert float(sched.noise_mask[-1]) == 0.0
+        assert (np.asarray(sched.noise_mask[:-1]) == 1.0).all()
+
+    def test_single_step_returns_denoised(self):
+        from sdtpu.samplers import lcm
+
+        sched = lcm.make_schedule(CFG, 1)
+        x = jax.random.normal(jax.random.key(0), (1, 4, 4, 4))
+        e = jax.random.normal(jax.random.key(1), x.shape)
+        z = jax.random.normal(jax.random.key(2), x.shape)
+        out_a = lcm.lcm_step(sched, jnp.array(0), x, e, z)
+        out_b = lcm.lcm_step(sched, jnp.array(0), x, e, jnp.zeros_like(z))
+        # final step: no noise injected regardless of z
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+    def test_boundary_conditions(self):
+        """c_skip + scaling consistency: c_skip->1, c_out->0 as t->0."""
+        from sdtpu.samplers.lcm import SIGMA_DATA, TIMESTEP_SCALING
+
+        for t in (0.0, 999.0):
+            s = t * TIMESTEP_SCALING
+            c_skip = SIGMA_DATA**2 / (s**2 + SIGMA_DATA**2)
+            c_out = s / np.sqrt(s**2 + SIGMA_DATA**2)
+            assert_allclose(c_skip**0.5 * 0 + c_skip + c_out**2, c_skip + c_out**2)
+        s0 = 0 * TIMESTEP_SCALING
+        assert SIGMA_DATA**2 / (s0**2 + SIGMA_DATA**2) == 1.0
+
+    def test_pipeline_lcm_with_guidance_embedding(self):
+        """LCM UNet (time_cond_proj_dim) + lcm sampler, 4 steps, no CFG."""
+        import dataclasses
+
+        from test_pipeline import TINY, TOKENS
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+
+        cfg = TINY.replace(
+            unet=dataclasses.replace(TINY.unet, time_cond_proj_dim=32)
+        )
+        pipe = StableDiffusionPipeline.from_random(cfg, seed=0)
+        img = pipe.generate(
+            "x", token_ids=TOKENS[:1], num_inference_steps=4, seed=0,
+            cfg=False, cfg_scale=8.0, sampler="lcm",
+        )
+        assert img.shape == (1, 32, 32, 3)
