@@ -184,6 +184,32 @@ SD15 = PipelineConfig(
     scheduler=SchedulerConfig(),
 )
 
+SD21 = PipelineConfig(
+    name="stabilityai/stable-diffusion-2-1",
+    # OpenCLIP ViT-H text encoder: 1024 wide, 23 layers, GELU, penultimate
+    # hidden state (diffusers uses num_hidden_layers=23 of the 24-layer tower
+    # and reads its final output).
+    clip=CLIPConfig(
+        hidden_size=1024,
+        intermediate_size=4096,
+        num_layers=23,
+        num_heads=16,
+        hidden_act="gelu",
+    ),
+    unet=UNetConfig(
+        block_out_channels=(320, 640, 1280, 1280),
+        layers_per_block=2,
+        attention_levels=(True, True, True, False),
+        transformer_layers_per_block=(1, 1, 1, 1),
+        num_attention_heads=0,  # head_dim = 64 at every level
+        cross_attention_dim=1024,
+        mid_block=True,
+    ),
+    vae=VAEConfig(),
+    scheduler=SchedulerConfig(prediction_type="v_prediction"),
+    default_image_size=768,
+)
+
 SDXL_BASE = PipelineConfig(
     name="stabilityai/stable-diffusion-xl-base-1.0",
     # SDXL reads the PENULTIMATE hidden state of both encoders
@@ -218,6 +244,8 @@ PRESETS = {
     "tiny-sd": TINY_SD,
     "runwayml/stable-diffusion-v1-5": SD15,
     "sd15": SD15,
+    "stabilityai/stable-diffusion-2-1": SD21,
+    "sd21": SD21,
     "stabilityai/stable-diffusion-xl-base-1.0": SDXL_BASE,
     "sdxl": SDXL_BASE,
 }

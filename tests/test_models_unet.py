@@ -12,7 +12,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
-from sdtpu.config import UNetConfig, SD15, SDXL_BASE, TINY_SD
+from sdtpu.config import UNetConfig, SD15, SD21, SDXL_BASE, TINY_SD
 from sdtpu.models.unet import (
     attention_block,
     init_unet,
@@ -196,6 +196,6 @@ class TestUNetStructure:
         assert fn._cache_size() == n0
 
     def test_presets_are_consistent(self):
-        for cfg in (TINY_SD.unet, SD15.unet, SDXL_BASE.unet):
+        for cfg in (TINY_SD.unet, SD15.unet, SD21.unet, SDXL_BASE.unet):
             assert len(cfg.attention_levels) == cfg.num_levels
             assert len(cfg.transformer_layers_per_block) == cfg.num_levels
