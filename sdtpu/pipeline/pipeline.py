@@ -170,6 +170,7 @@ class StableDiffusionPipeline:
         cfg_scale: float = 7.5,
         num_inference_steps: int = 25,
         seed: int = 0,
+        seeds=None,
         image_size: Optional[int] = None,
         token_ids: Optional[np.ndarray] = None,
         sampler: str = "ddpm",
@@ -178,8 +179,18 @@ class StableDiffusionPipeline:
         """Batched txt2img serving: B prompts -> (B, H, W, 3) in ONE compiled
         CFG-batched (2B) program — the large-batch few-step serving path
         (BASELINE config 5).  The reference is hardwired to batch 1
-        (``pipeline.mojo:12``)."""
+        (``pipeline.mojo:12``).
+
+        ``seeds`` (one per prompt) switches to per-request RNG: each row's
+        image depends only on its own seed, independent of how requests were
+        batched — required for the micro-batching server
+        (:mod:`sdtpu.pipeline.serving`).  ``seed`` is the batch-level
+        fallback."""
         size = image_size or self.config.default_image_size
+        if size % self.config.vae.downscale_factor != 0:
+            raise ValueError(
+                f"image_size must be a multiple of {self.config.vae.downscale_factor}"
+            )
         max_len = self.config.clip.max_length
         if token_ids is not None:
             cond = np.asarray(token_ids)
@@ -202,7 +213,13 @@ class StableDiffusionPipeline:
         fn = self._get_compiled(
             size, num_inference_steps, cfg, False, 1.0, ids.shape[0], sampler
         )
-        images = fn(self.params, ids, jnp.float32(cfg_scale), jax.random.key(seed))
+        if seeds is not None:
+            if len(seeds) != cond.shape[0]:
+                raise ValueError("seeds must match the number of prompts")
+            key = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
+        else:
+            key = jax.random.key(seed)
+        images = fn(self.params, ids, jnp.float32(cfg_scale), key)
         if output == "float":
             return np.asarray(images, dtype=np.float32)
         return to_uint8(images)
@@ -331,8 +348,18 @@ class StableDiffusionPipeline:
                     cond, uncond = eps[:batch], eps[batch:]
                     eps = uncond + cfg_scale * (cond - uncond)  # pipeline.mojo:111-119
                 if sdef.stochastic:
-                    key, sub = jax.random.split(key)
-                    noise = jax.random.normal(sub, lat.shape, jnp.float32)
+                    if key.ndim == 1:  # per-request keys: fold by step index
+                        subs = jax.vmap(
+                            lambda k: jax.random.fold_in(k, i + 1)
+                        )(key)
+                        noise = jax.vmap(
+                            lambda k: jax.random.normal(
+                                k, lat.shape[1:], jnp.float32
+                            )
+                        )(subs)
+                    else:
+                        key, sub = jax.random.split(key)
+                        noise = jax.random.normal(sub, lat.shape, jnp.float32)
                 else:
                     noise = jnp.zeros_like(lat)
                 lat = sdef.step(schedule, i, lat, eps, noise)
@@ -376,10 +403,23 @@ class StableDiffusionPipeline:
             def run(params, ids, cfg_scale, key):
                 context, added = encode_context(params, ids)
                 batch = ids.shape[0] // 2 if cfg else ids.shape[0]
-                key, k_init = jax.random.split(key)
-                latents = jax.random.normal(
-                    k_init, (batch, lat_size, lat_size, latent_ch), jnp.float32
-                )  # pipeline.mojo:81
+                if key.ndim == 1:
+                    # per-request keys (serving): row i's image depends only
+                    # on its own key, independent of batch composition
+                    init_keys = jax.vmap(
+                        lambda k: jax.random.fold_in(k, 0)
+                    )(key)
+                    latents = jax.vmap(
+                        lambda k: jax.random.normal(
+                            k, (lat_size, lat_size, latent_ch), jnp.float32
+                        )
+                    )(init_keys)
+                else:
+                    key, k_init = jax.random.split(key)
+                    latents = jax.random.normal(
+                        k_init, (batch, lat_size, lat_size, latent_ch),
+                        jnp.float32,
+                    )  # pipeline.mojo:81
                 # sigma-space samplers start at noise * sigma_max
                 latents = latents * getattr(schedule, "init_sigma", 1.0)
                 latents = denoise(params, context, added, latents, cfg_scale, key)

@@ -1,0 +1,82 @@
+"""Micro-batching serving engine tests (tiny config, CPU)."""
+
+import numpy as np
+import pytest
+
+from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+from sdtpu.pipeline.serving import ServingEngine
+
+from test_pipeline import TINY
+
+IDS = np.array([1, 5, 9, 2] + [0] * 12)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return StableDiffusionPipeline.from_random(TINY, seed=0)
+
+
+class TestPerRequestSeeds:
+    def test_batch_composition_independence(self, pipe):
+        """A request's image must not depend on its batch neighbours."""
+        ids2 = np.stack([IDS, IDS])
+        ids3 = np.stack([IDS, IDS, IDS])
+        a = pipe.generate_batch(["x", "y"], token_ids=ids2,
+                                num_inference_steps=2, seeds=[7, 8])
+        b = pipe.generate_batch(["x", "y", "z"], token_ids=ids3,
+                                num_inference_steps=2, seeds=[7, 9, 8])
+        np.testing.assert_array_equal(a[0], b[0])  # seed 7 row identical
+        np.testing.assert_array_equal(a[1], b[2])  # seed 8 row identical
+
+    def test_seed_count_mismatch_raises(self, pipe):
+        with pytest.raises(ValueError, match="seeds"):
+            pipe.generate_batch(["x"], token_ids=IDS[None],
+                                num_inference_steps=1, seeds=[1, 2])
+
+
+class TestServingEngine:
+    def test_batched_execution_and_results(self, pipe):
+        engine = ServingEngine(pipe, max_batch_size=4, max_wait_ms=50)
+        try:
+            futures = [
+                engine.submit("p", token_ids=IDS, seed=i,
+                              num_inference_steps=2, image_size=32)
+                for i in range(5)
+            ]
+            images = [f.result(timeout=300) for f in futures]
+        finally:
+            engine.shutdown()
+        assert all(img.shape == (32, 32, 3) for img in images)
+        # distinct seeds -> distinct images
+        assert (images[0] != images[1]).any()
+
+    def test_same_seed_same_image_regardless_of_batching(self, pipe):
+        engine = ServingEngine(pipe, max_batch_size=3, max_wait_ms=10)
+        try:
+            solo = engine.submit("p", token_ids=IDS, seed=42,
+                                 num_inference_steps=2, image_size=32).result(300)
+            futs = [
+                engine.submit("p", token_ids=IDS, seed=s,
+                              num_inference_steps=2, image_size=32)
+                for s in (1, 42, 3)
+            ]
+            batched = [f.result(300) for f in futs]
+        finally:
+            engine.shutdown()
+        np.testing.assert_array_equal(solo, batched[1])
+
+    def test_error_resolves_future(self, pipe):
+        engine = ServingEngine(pipe, max_batch_size=2, max_wait_ms=10)
+        try:
+            f = engine.submit("p", token_ids=IDS, seed=0,
+                              num_inference_steps=1, image_size=30)  # invalid
+            with pytest.raises(ValueError):
+                f.result(timeout=300)
+        finally:
+            engine.shutdown()
+
+    def test_shutdown_rejects_new_requests(self, pipe):
+        engine = ServingEngine(pipe, max_batch_size=2, max_wait_ms=10)
+        engine.shutdown()
+        with pytest.raises(RuntimeError):
+            engine.submit("p", token_ids=IDS)
