@@ -92,6 +92,7 @@ def main() -> None:
                 ["bench"] * args.batch, token_ids=ids,
                 num_inference_steps=args.steps, seed=seed,
                 image_size=args.image_size, output="float",
+                sampler=args.sampler,
             )
 
     t0 = time.perf_counter()

@@ -1,0 +1,96 @@
+"""Ring attention: sequence-parallel exact attention over an ICI ring.
+
+The reference has no long-context machinery at all (SURVEY.md §5: dense
+materialized attention at 77 text / <=4096 latent tokens).  For resolutions
+where even flash attention's KV no longer fits one chip (e.g. multi-chip
+SDXL variants at 2048px -> 65k latent tokens), the sequence axis is sharded
+over a mesh axis and KV blocks rotate around the ring via ``ppermute`` while
+each chip accumulates its partial online-softmax state — communication
+overlaps compute, and after N-1 rotations every query has seen every key.
+
+Runs inside ``shard_map`` over a Mesh axis; tested against dense attention on
+the 8-device virtual CPU mesh (the TPU analogue of multi-node testing).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def _block_attention(q, k, v, m_prev, l_prev, acc_prev, *, scale):
+    """One online-softmax update of the running (m, l, acc) state with a new
+    KV block.  q: (B, Lq, H, D); k/v: (B, Lkv, H, D); state per (B, H, Lq)."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    m_curr = jnp.max(s, axis=-1)                      # (B, H, Lq)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[..., None])                # (B, H, Lq, Lk)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1)
+    pv = jnp.einsum(
+        "bhqk,bkhd->bhqd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    acc_next = acc_prev * alpha[..., None] + pv
+    return m_next, l_next, acc_next
+
+
+def _ring_attention_local(q, k, v, *, axis_name, scale):
+    """Per-shard body: rotate KV around ``axis_name``, accumulate online
+    softmax.  q/k/v: (B, L/N, H, D) local shards."""
+    n = jax.lax.psum(1, axis_name)
+    b, lq, h, d = q.shape
+
+    m = jnp.full((b, h, lq), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, h, lq), jnp.float32)
+    acc = jnp.zeros((b, h, lq, d), jnp.float32)
+    # freshly-created constants are "unvarying" under shard_map's manual-axes
+    # typing; mark them varying over the ring axis so the loop carry types
+    # match the per-shard updates.
+    m, l, acc = (jax.lax.pcast(x, (axis_name,), to="varying") for x in (m, l, acc))
+
+    def body(step, carry):
+        m, l, acc, k_blk, v_blk = carry
+        m, l, acc = _block_attention(q, k_blk, v_blk, m, l, acc, scale=scale)
+        # rotate: chip i sends its block to i+1 (point-to-point over ICI)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        return m, l, acc, k_blk, v_blk
+
+    m, l, acc, _, _ = jax.lax.fori_loop(0, n, body, (m, l, acc, k, v))
+    out = acc / l[..., None]
+    return jnp.einsum("bhqd->bqhd", out).astype(q.dtype)
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    *,
+    axis_name: str = "dp",
+) -> jax.Array:
+    """Exact attention with q/k/v sequence-sharded over ``axis_name``.
+
+    q, k, v: (B, L, H, D) global arrays (or shardings thereof); the sequence
+    axis L must divide by the mesh axis size.  Returns (B, L, H, D) with the
+    same sharding as q.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / (d**0.5)
+    spec = P(None, axis_name, None, None)
+    fn = shard_map(
+        functools.partial(
+            _ring_attention_local, axis_name=axis_name, scale=scale
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)
