@@ -33,6 +33,9 @@ def main() -> None:
                     choices=["auto", "xla", "flash"])
     ap.add_argument("--norm-impl", default=None, choices=["xla", "fused"])
     ap.add_argument("--sampler", default="ddpm")
+    ap.add_argument("--img2img", action="store_true",
+                    help="BASELINE config 2: VAE-encode an init image first")
+    ap.add_argument("--strength", type=float, default=0.75)
     args = ap.parse_args()
 
     import jax
@@ -74,12 +77,18 @@ def main() -> None:
     rng = np.random.default_rng(40)
     if args.batch == 1:
         ids = rng.integers(1, config.clip.vocab_size, (2, config.clip.max_length))
+        init_image = (
+            rng.integers(0, 255, (args.image_size, args.image_size, 3),
+                         dtype=np.uint8)
+            if args.img2img else None
+        )
 
         def run(seed: int):
             return pipe.generate(
                 "bench", token_ids=ids, num_inference_steps=args.steps,
                 seed=seed, image_size=args.image_size, output="float",
-                sampler=args.sampler,
+                sampler=args.sampler, init_image=init_image,
+                strength=args.strength,
             )
 
     else:
