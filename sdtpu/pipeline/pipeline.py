@@ -174,6 +174,8 @@ class StableDiffusionPipeline:
         image_size: Optional[int] = None,
         token_ids: Optional[np.ndarray] = None,
         sampler: str = "ddpm",
+        init_images: Optional[np.ndarray] = None,
+        strength: float = 0.9,
         output: str = "uint8",
     ):
         """Batched txt2img serving: B prompts -> (B, H, W, 3) in ONE compiled
@@ -210,8 +212,12 @@ class StableDiffusionPipeline:
         else:
             ids = cond
         ids = jnp.asarray(ids, dtype=jnp.int32)
+        is_img2img = init_images is not None
+        if is_img2img and not 0.0 < strength <= 1.0:
+            raise ValueError("strength must be in (0, 1]")
         fn = self._get_compiled(
-            size, num_inference_steps, cfg, False, 1.0, ids.shape[0], sampler
+            size, num_inference_steps, cfg, is_img2img,
+            round(strength, 6) if is_img2img else 1.0, ids.shape[0], sampler,
         )
         if seeds is not None:
             if len(seeds) != cond.shape[0]:
@@ -219,7 +225,13 @@ class StableDiffusionPipeline:
             key = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
         else:
             key = jax.random.key(seed)
-        images = fn(self.params, ids, jnp.float32(cfg_scale), key)
+        if is_img2img:
+            imgs_in = jnp.concatenate(
+                [self._prep_image(im, size) for im in init_images]
+            )
+            images = fn(self.params, ids, imgs_in, jnp.float32(cfg_scale), key)
+        else:
+            images = fn(self.params, ids, jnp.float32(cfg_scale), key)
         if output == "float":
             return np.asarray(images, dtype=np.float32)
         return to_uint8(images)
@@ -384,16 +396,28 @@ class StableDiffusionPipeline:
             def run(params, ids, image, cfg_scale, key):
                 context, added = encode_context(params, ids)
                 batch = image.shape[0]
-                key, k_enc, k_fwd = jax.random.split(key, 3)
-                enc_noise = jax.random.normal(
-                    k_enc, (batch, lat_size, lat_size, latent_ch), jnp.float32
-                )
+                lat_shape = (lat_size, lat_size, latent_ch)
+                if key.ndim == 1:  # per-request keys (batched serving)
+                    def row_noise(k, salt):
+                        return jax.random.normal(
+                            jax.random.fold_in(k, salt), lat_shape, jnp.float32
+                        )
+
+                    enc_noise = jax.vmap(lambda k: row_noise(k, 0))(key)
+                    fwd_noise = jax.vmap(lambda k: row_noise(k, 1))(key)
+                else:
+                    key, k_enc, k_fwd = jax.random.split(key, 3)
+                    enc_noise = jax.random.normal(
+                        k_enc, (batch, *lat_shape), jnp.float32
+                    )
+                    fwd_noise = jax.random.normal(
+                        k_fwd, (batch, *lat_shape), jnp.float32
+                    )
                 lat0 = vae_encode(
                     image.astype(compute_dtype), enc_noise,
                     params["vae_encoder"], config.vae,
                     attention_impl=attn_impl,
                 ).astype(jnp.float32)  # pipeline.mojo:66-75
-                fwd_noise = jax.random.normal(k_fwd, lat0.shape, jnp.float32)
                 latents = sdef.add_noise(schedule, lat0, fwd_noise, 0)  # pipeline.mojo:79
                 latents = denoise(params, context, added, latents, cfg_scale, key)
                 return decode(params, latents)

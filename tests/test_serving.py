@@ -80,3 +80,37 @@ class TestServingEngine:
         engine.shutdown()
         with pytest.raises(RuntimeError):
             engine.submit("p", token_ids=IDS)
+
+
+class TestBatchedImg2Img:
+    def test_generate_batch_img2img(self, pipe):
+        rng = np.random.default_rng(0)
+        inits = [rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                 for _ in range(2)]
+        ids2 = np.stack([IDS, IDS])
+        imgs = pipe.generate_batch(
+            ["x", "y"], token_ids=ids2, num_inference_steps=4,
+            seeds=[1, 2], init_images=inits, strength=0.5,
+        )
+        assert imgs.shape == (2, 32, 32, 3)
+
+    def test_img2img_per_request_independence(self, pipe):
+        rng = np.random.default_rng(0)
+        init = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        ids2 = np.stack([IDS, IDS])
+        ids3 = np.stack([IDS, IDS, IDS])
+        a = pipe.generate_batch(["x", "y"], token_ids=ids2,
+                                num_inference_steps=4, seeds=[5, 6],
+                                init_images=[init, init], strength=0.5)
+        b = pipe.generate_batch(["x", "y", "z"], token_ids=ids3,
+                                num_inference_steps=4, seeds=[9, 5, 6],
+                                init_images=[init, init, init], strength=0.5)
+        np.testing.assert_array_equal(a[0], b[1])
+        np.testing.assert_array_equal(a[1], b[2])
+
+    def test_invalid_strength_raises(self, pipe):
+        with pytest.raises(ValueError, match="strength"):
+            pipe.generate_batch(
+                ["x"], token_ids=IDS[None], init_images=[np.zeros((32, 32, 3))],
+                strength=2.0,
+            )
