@@ -118,7 +118,7 @@ def main() -> None:
     p50 = statistics.median(times)
     images_per_sec = args.batch / p50
     result = {
-        "metric": f"tiny-sd {args.image_size}x{args.image_size} "
+        "metric": f"{args.preset} {args.image_size}x{args.image_size} "
                   f"{args.steps}-step DDPM CFG images/sec/chip",
         "value": round(images_per_sec, 4),
         "unit": "images/sec",

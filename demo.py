@@ -22,6 +22,8 @@ def main() -> None:
     ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--seed", type=int, default=40)
+    ap.add_argument("--sampler", default="ddpm",
+                    choices=["ddpm", "ddim", "euler", "lcm"])
     ap.add_argument("--cfg-scale", type=float, default=7.5)
     ap.add_argument("--no-cfg", action="store_true")
     ap.add_argument("--init-image", default=None, help="img2img input path")
@@ -65,6 +67,7 @@ def main() -> None:
         init_image=load_image(args.init_image) if args.init_image else None,
         image_size=args.image_size,
         token_ids=token_ids,
+        sampler=args.sampler,
     )
     dt = time.perf_counter() - t0
     save_png(image, args.out)
