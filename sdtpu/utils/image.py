@@ -20,6 +20,17 @@ def from_uint8(images) -> np.ndarray:
     return np.asarray(images, dtype=np.float32) / 127.5 - 1.0
 
 
+def psnr(a, b, *, data_range: float = 2.0) -> float:
+    """Peak signal-to-noise ratio in dB (default range 2.0 for [-1,1]
+    images) — the fidelity metric of the BASELINE north star."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range**2 / mse))
+
+
 def save_png(image: np.ndarray, path: str) -> None:
     from PIL import Image
 
