@@ -1,0 +1,109 @@
+"""Pallas implicit-GEMM 3x3 convolution (stride 1, same padding).
+
+The UNet's FLOPs live in its 3x3 convs (reference: direct spatial loops,
+``utils.mojo:1763-1809``); XLA's general conv lowering reaches only ~25-50%
+MXU on the hot SD shapes (64x64x320..960 etc., measured in BENCHLOG.md).
+This kernel reformulates the conv as 9 shifted (H*W, Ci) @ (Ci, co_tile)
+matmuls accumulated in f32 — the whole feature map stays in VMEM per grid
+cell, so each input tile is read once from HBM and the MXU sees large
+aligned GEMMs.
+
+Scope: stride-1 3x3 same-padding NHWC (every resblock conv); 1x1 convs are
+already plain matmuls and stride-2 downsamples stay on the XLA path.  The
+fused path engages only when the padded feature map fits the VMEM budget.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 64 * 1024 * 1024  # per-cell budget incl. double buffering
+
+
+def _kernel(x_ref, k_ref, o_ref, *, h, w):
+    x = x_ref[0]  # (H+2, W+2, Ci) — pre-padded on host side of the call
+    ci = x.shape[-1]
+    co = k_ref.shape[-1]
+    acc = jnp.zeros((h * w, co), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = x[dy : dy + h, dx : dx + w, :].reshape(h * w, ci)
+            acc = acc + jnp.dot(
+                xs, k_ref[dy, dx], preferred_element_type=jnp.float32
+            )
+    o_ref[0] = acc.reshape(h, w, co).astype(o_ref.dtype)
+
+
+def fits_fused(x_shape, kernel_shape) -> bool:
+    b, h, w, ci = x_shape
+    kh, kw, _, co = kernel_shape
+    if (kh, kw) != (3, 3):
+        return False
+    # padded input + weights + f32 acc, with Mosaic double buffering slack
+    in_bytes = (h + 2) * (w + 2) * ci * 2 * 2
+    k_bytes = 9 * ci * min(co, 256) * 2 * 2
+    acc_bytes = h * w * min(co, 256) * 4
+    return (
+        in_bytes + k_bytes + acc_bytes <= _VMEM_BUDGET
+        and h % 8 == 0
+        and w % 8 == 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("co_tile", "interpret"))
+def conv3x3_gemm(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias=None,
+    *,
+    co_tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """NHWC stride-1 same-padding 3x3 conv.  x: (B, H, W, Ci); kernel HWIO."""
+    b, h, w, ci = x.shape
+    co = kernel.shape[-1]
+    co_tile = min(co_tile, co)
+    # pad channels-out to a tile multiple; slice after
+    co_pad = ((co + co_tile - 1) // co_tile) * co_tile
+    if co_pad != co:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, co_pad - co)))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, h=h, w=w),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co_pad), x.dtype),
+        grid=(b, co_pad // co_tile),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h + 2, w + 2, ci),
+                lambda bi, oi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 3, ci, co_tile),
+                lambda bi, oi: (0, 0, 0, oi),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w, co_tile),
+            lambda bi, oi: (bi, 0, 0, oi),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, kernel)
+
+    out = out[..., :co]
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

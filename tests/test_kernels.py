@@ -118,3 +118,40 @@ class TestGroupNormSilu:
         # on the CPU test backend the fused path always falls back
         out = gs.group_norm_silu(x, params, num_groups=8)
         assert out.shape == x.shape
+
+
+class TestConv3x3Gemm:
+    @pytest.mark.parametrize("b,h,w,ci,co", [
+        (1, 8, 8, 16, 32),
+        (2, 16, 16, 128, 128),
+        (1, 8, 8, 24, 40),   # non-aligned channels
+        (1, 8, 8, 16, 300),  # co > co_tile with padding
+    ])
+    def test_matches_xla_conv(self, rng, b, h, w, ci, co):
+        from sdtpu.kernels.conv2d import conv3x3_gemm
+        from sdtpu.ops import conv2d
+
+        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
+        k = jnp.array(rng.standard_normal((3, 3, ci, co), dtype=np.float32)) * 0.1
+        bias = jnp.array(rng.standard_normal(co, dtype=np.float32))
+        expected = conv2d(x, k, bias, padding=1)
+        got = conv3x3_gemm(x, k, bias, co_tile=128, interpret=True)
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+    def test_bf16(self, rng):
+        from sdtpu.kernels.conv2d import conv3x3_gemm
+        from sdtpu.ops import conv2d
+
+        x = jnp.array(rng.standard_normal((1, 8, 8, 32)), jnp.bfloat16)
+        k = jnp.array(rng.standard_normal((3, 3, 32, 64)) * 0.1, jnp.bfloat16)
+        expected = np.asarray(conv2d(x, k, None, padding=1), np.float32)
+        got = np.asarray(conv3x3_gemm(x, k, interpret=True), np.float32)
+        assert_allclose(got, expected, atol=0.15, rtol=0.1)
+
+    def test_fits_fused_policy(self):
+        from sdtpu.kernels.conv2d import fits_fused
+
+        assert fits_fused((2, 64, 64, 320), (3, 3, 320, 320))
+        assert fits_fused((2, 64, 64, 960), (3, 3, 960, 320))
+        assert not fits_fused((1, 512, 512, 128), (3, 3, 128, 128))
+        assert not fits_fused((1, 64, 64, 320), (1, 1, 320, 320))  # not 3x3
