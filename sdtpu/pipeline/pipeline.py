@@ -103,6 +103,7 @@ class StableDiffusionPipeline:
         image_size: Optional[int] = None,
         token_ids: Optional[np.ndarray] = None,
         sampler: str = "ddpm",
+        num_images: int = 1,
         output: str = "uint8",
         verbose: bool = False,
     ):
@@ -128,6 +129,29 @@ class StableDiffusionPipeline:
             raise ValueError(
                 f"image_size must be a multiple of {self.config.vae.downscale_factor}"
             )  # pipeline.mojo:8
+
+        if num_images > 1:
+            if init_image is not None:
+                init_images = [init_image] * num_images
+            else:
+                init_images = None
+            return self.generate_batch(
+                [prompt] * num_images,
+                negative_prompt,
+                cfg=cfg,
+                cfg_scale=cfg_scale,
+                num_inference_steps=num_inference_steps,
+                seeds=[seed + i for i in range(num_images)],
+                image_size=image_size,
+                token_ids=(
+                    np.tile(np.asarray(token_ids)[:1], (num_images, 1))
+                    if token_ids is not None else None
+                ),
+                sampler=sampler,
+                init_images=init_images,
+                strength=strength,
+                output=output,
+            )
 
         ids = self._tokenize(prompt, negative_prompt, cfg, token_ids)
         is_img2img = init_image is not None

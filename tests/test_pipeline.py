@@ -160,3 +160,18 @@ class TestValidation:
             "hello", token_ids=ids % 512, num_inference_steps=1, seed=0
         )
         assert img.shape == (1, 32, 32, 3)
+
+
+class TestNumImages:
+    def test_generate_num_images(self, pipe):
+        imgs = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                             seed=10, num_images=3)
+        assert imgs.shape == (3, 32, 32, 3)
+        assert (imgs[0] != imgs[1]).any()
+
+    def test_num_images_img2img(self, pipe):
+        init = np.zeros((32, 32, 3), dtype=np.uint8)
+        imgs = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                             seed=0, num_images=2, init_image=init,
+                             strength=0.5)
+        assert imgs.shape == (2, 32, 32, 3)
