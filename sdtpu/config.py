@@ -151,6 +151,10 @@ class PipelineConfig:
     # "fused" routes GroupNorm+SiLU through the Pallas kernel
     # (sdtpu/kernels/groupnorm_silu.py); "xla" keeps the unfused ops.
     norm_impl: str = "xla"
+    # "gemm" routes 3x3 stride-1 convs through the Pallas implicit-GEMM
+    # kernel (sdtpu/kernels/conv2d.py, 1.1-2.3x over XLA on hot shapes);
+    # "auto" picks gemm on TPU backends.
+    conv_impl: str = "auto"
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

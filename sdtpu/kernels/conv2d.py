@@ -45,6 +45,10 @@ def fits_fused(x_shape, kernel_shape) -> bool:
     kh, kw, _, co = kernel_shape
     if (kh, kw) != (3, 3):
         return False
+    # tiny channel counts (conv_in 4->320, conv_out 320->4) waste MXU lanes
+    # in the GEMM formulation; XLA handles those fine
+    if ci < 64 or co < 64:
+        return False
     # padded input + weights + f32 acc, with Mosaic double buffering slack
     in_bytes = (h + 2) * (w + 2) * ci * 2 * 2
     k_bytes = 9 * ci * min(co, 256) * 2 * 2

@@ -74,6 +74,7 @@ def resnet_block(
     *,
     num_groups: int = 32,
     norm_impl: str = "xla",
+    conv_impl: str = "xla",
 ) -> jax.Array:
     """Unet_Residual_Block (``diffusion.mojo:54-72``).
 
@@ -82,11 +83,13 @@ def resnet_block(
     block (``diffusion.mojo:61``); hoisting it is numerically identical.
     """
     h = _gn_silu(x, params["norm1"], num_groups=num_groups, norm_impl=norm_impl)
-    h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"], padding=1)
+    h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"], padding=1,
+               impl=conv_impl)
     t = linear(temb, params["time_emb_proj"]).astype(h.dtype)
     h = h + t[:, None, None, :]
     h = _gn_silu(h, params["norm2"], num_groups=num_groups, norm_impl=norm_impl)
-    h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"], padding=1)
+    h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"], padding=1,
+               impl=conv_impl)
     if "conv_shortcut" in params:
         x = conv2d(
             x,
@@ -133,11 +136,11 @@ def downsample(x: jax.Array, params: dict) -> jax.Array:
     return conv2d(x, params["kernel"], params["bias"], stride=2, padding=1)
 
 
-def upsample(x: jax.Array, params: dict) -> jax.Array:
+def upsample(x: jax.Array, params: dict, *, conv_impl: str = "xla") -> jax.Array:
     """Nearest 2x + 3x3 conv — the intended semantics of the reference's dead
     ``Upsample`` (``utils.mojo:1979-2010``, SURVEY.md §5.1 item 2)."""
     x = nearest_upsample(x, 2)
-    return conv2d(x, params["kernel"], params["bias"], padding=1)
+    return conv2d(x, params["kernel"], params["bias"], padding=1, impl=conv_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -164,6 +167,7 @@ def unet_forward(
     timestep_cond: Optional[jax.Array] = None,
     attention_impl: str = "xla",
     norm_impl: str = "xla",
+    conv_impl: str = "xla",
 ) -> jax.Array:
     """Predict noise.  latents: (B, H, W, C_in); timesteps: (B,) or scalar;
     context: (B, L, cross_attention_dim).  Returns (B, H, W, C_out).
@@ -227,7 +231,7 @@ def unet_forward(
         ch = config.block_out_channels[level]
         heads = _heads_for_level(config, ch)
         for i, res in enumerate(block["resnets"]):
-            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl)
+            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl)
             if config.attention_levels[level]:
                 x = attention_block(
                     x,
@@ -246,7 +250,7 @@ def unet_forward(
     if config.mid_block:
         mid = params["mid_block"]
         heads = _heads_for_level(config, config.block_out_channels[-1])
-        x = resnet_block(x, temb, mid["resnets"][0], num_groups=ng, norm_impl=norm_impl)
+        x = resnet_block(x, temb, mid["resnets"][0], num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl)
         x = attention_block(
             x,
             context,
@@ -255,7 +259,7 @@ def unet_forward(
             num_groups=ng,
             implementation=attention_impl,
         )
-        x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng, norm_impl=norm_impl)
+        x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl)
 
     # --- decoder (diffusion.mojo:252-272): concat skip on channel axis ---
     for rev, block in enumerate(params["up_blocks"]):
@@ -264,7 +268,7 @@ def unet_forward(
         heads = _heads_for_level(config, ch)
         for i, res in enumerate(block["resnets"]):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl)
+            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl)
             if config.attention_levels[level]:
                 x = attention_block(
                     x,
@@ -275,7 +279,7 @@ def unet_forward(
                     implementation=attention_impl,
                 )
         if "upsample" in block:
-            x = upsample(x, block["upsample"])
+            x = upsample(x, block["upsample"], conv_impl=conv_impl)
 
     # --- output head (diffusion.mojo:275-291; 32 groups per SD standard,
     # not the reference's 320-group quirk, SURVEY.md §5.1 item 7) ---

@@ -39,14 +39,18 @@ from sdtpu.ops import (
 )
 
 
-def vae_resnet(x: jax.Array, params: dict, *, num_groups: int = 32) -> jax.Array:
+def vae_resnet(
+    x: jax.Array, params: dict, *, num_groups: int = 32, conv_impl: str = "xla"
+) -> jax.Array:
     """Res_Block (``vae.mojo:30-67``) with standard 32-group norms."""
     h = group_norm(x, params["norm1"], num_groups=num_groups, eps=1e-6)
     h = silu(h)
-    h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"], padding=1)
+    h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"], padding=1,
+               impl=conv_impl)
     h = group_norm(h, params["norm2"], num_groups=num_groups, eps=1e-6)
     h = silu(h)
-    h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"], padding=1)
+    h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"], padding=1,
+               impl=conv_impl)
     if "conv_shortcut" in params:
         x = conv2d(
             x,
@@ -71,25 +75,29 @@ def vae_attention(
 
 
 def _mid(
-    x: jax.Array, params: dict, *, num_groups: int, implementation: str = "xla"
+    x: jax.Array, params: dict, *, num_groups: int,
+    implementation: str = "xla", conv_impl: str = "xla",
 ) -> jax.Array:
-    x = vae_resnet(x, params["resnets"][0], num_groups=num_groups)
+    x = vae_resnet(x, params["resnets"][0], num_groups=num_groups,
+                   conv_impl=conv_impl)
     x = vae_attention(
         x, params["attention"], num_groups=num_groups, implementation=implementation
     )
-    return vae_resnet(x, params["resnets"][1], num_groups=num_groups)
+    return vae_resnet(x, params["resnets"][1], num_groups=num_groups,
+                      conv_impl=conv_impl)
 
 
 def vae_encoder(
     x: jax.Array, params: dict, config: VAEConfig, *,
     attention_impl: str = "xla",
+    conv_impl: str = "xla",
 ) -> jax.Array:
     """(B, H, W, 3) image in [-1, 1] -> (B, H/8, W/8, 2*latent) moments."""
     ng = config.norm_num_groups
     h = conv2d(x, params["conv_in"]["kernel"], params["conv_in"]["bias"], padding=1)
     for level, block in enumerate(params["down_blocks"]):
         for res in block["resnets"]:
-            h = vae_resnet(h, res, num_groups=ng)
+            h = vae_resnet(h, res, num_groups=ng, conv_impl=conv_impl)
         if "downsample" in block:
             # Asymmetric (0,1),(0,1) pad + stride-2 conv (vae.mojo:115-116).
             h = conv2d(
@@ -99,7 +107,7 @@ def vae_encoder(
                 stride=2,
                 padding=((0, 1), (0, 1)),
             )
-    h = _mid(h, params["mid_block"], num_groups=ng, implementation=attention_impl)
+    h = _mid(h, params["mid_block"], num_groups=ng, implementation=attention_impl, conv_impl=conv_impl)
     h = group_norm(h, params["norm_out"], num_groups=ng, eps=1e-6)
     h = silu(h)
     h = conv2d(h, params["conv_out"]["kernel"], params["conv_out"]["bias"], padding=1)
@@ -115,10 +123,11 @@ def vae_encode(
     config: VAEConfig,
     *,
     attention_impl: str = "xla",
+    conv_impl: str = "xla",
 ) -> jax.Array:
     """Full img2img encode path (``vae.mojo:118-129,157``): moments ->
     clamp(logvar) -> reparameterize with the given N(0,1) noise -> scale."""
-    moments = vae_encoder(image, params, config, attention_impl=attention_impl)
+    moments = vae_encoder(image, params, config, attention_impl=attention_impl, conv_impl=conv_impl)
     mean, logvar = jnp.split(moments, 2, axis=-1)
     logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
     std = jnp.exp(0.5 * logvar).astype(mean.dtype)
@@ -129,6 +138,7 @@ def vae_encode(
 def vae_decode(
     latents: jax.Array, params: dict, config: VAEConfig, *,
     attention_impl: str = "xla",
+    conv_impl: str = "xla",
 ) -> jax.Array:
     """(B, H/8, W/8, latent) -> (B, H, W, 3) image in [-1, 1]
     (``vae.mojo:221-250``)."""
@@ -141,10 +151,10 @@ def vae_decode(
         padding=0,
     )
     h = conv2d(h, params["conv_in"]["kernel"], params["conv_in"]["bias"], padding=1)
-    h = _mid(h, params["mid_block"], num_groups=ng, implementation=attention_impl)
+    h = _mid(h, params["mid_block"], num_groups=ng, implementation=attention_impl, conv_impl=conv_impl)
     for block in params["up_blocks"]:
         for res in block["resnets"]:
-            h = vae_resnet(h, res, num_groups=ng)
+            h = vae_resnet(h, res, num_groups=ng, conv_impl=conv_impl)
         if "upsample" in block:
             h = nearest_upsample(h, 2)
             h = conv2d(
@@ -152,6 +162,7 @@ def vae_decode(
                 block["upsample"]["kernel"],
                 block["upsample"]["bias"],
                 padding=1,
+                impl=conv_impl,
             )
     h = group_norm(h, params["norm_out"], num_groups=ng, eps=1e-6)
     h = silu(h)

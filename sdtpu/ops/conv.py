@@ -25,15 +25,30 @@ def conv2d(
     *,
     stride: Union[int, Tuple[int, int]] = 1,
     padding: Padding = 0,
+    impl: str = "xla",
 ) -> jax.Array:
     """NHWC conv.  ``kernel`` is HWIO; ``padding`` is symmetric int or
     explicit ``((top, bottom), (left, right))`` — the explicit form covers the
     VAE encoder's asymmetric (0,1),(0,1) stride-2 pad (``vae.mojo:115-116``).
+
+    ``impl="gemm"`` routes eligible 3x3 stride-1 same-padding convs through
+    the Pallas implicit-GEMM kernel (1.1-2.3x over XLA's conv lowering on the
+    hot SD shapes, BENCHLOG.md); everything else stays on XLA.
     """
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    if (
+        impl == "gemm"
+        and stride == (1, 1)
+        and kernel.shape[:2] == (3, 3)
+        and padding == ((1, 1), (1, 1))
+    ):
+        from sdtpu.kernels.conv2d import conv3x3_gemm, fits_fused
+
+        if fits_fused(x.shape, kernel.shape):
+            return conv3x3_gemm(x, kernel, bias)
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
         x,

@@ -320,6 +320,9 @@ class StableDiffusionPipeline:
         if attn_impl == "auto":
             # flash (Pallas) on TPU-class backends; dense XLA on CPU tests
             attn_impl = "xla" if jax.default_backend() == "cpu" else "flash"
+        conv_impl = config.conv_impl
+        if conv_impl == "auto":
+            conv_impl = "xla" if jax.default_backend() == "cpu" else "gemm"
 
         def encode_context(params, ids):
             """SD 1.x: one encoder's hidden states.  SDXL: concat of CLIP-L
@@ -379,6 +382,7 @@ class StableDiffusionPipeline:
                     config.unet, added_cond=added_cond,
                     timestep_cond=timestep_cond,
                     attention_impl=attn_impl, norm_impl=config.norm_impl,
+                    conv_impl=conv_impl,
                 ).astype(jnp.float32)
                 if cfg:
                     cond, uncond = eps[:batch], eps[batch:]
@@ -411,7 +415,7 @@ class StableDiffusionPipeline:
         def decode(params, latents):
             img = vae_decode(
                 latents.astype(compute_dtype), params["vae_decoder"], config.vae,
-                attention_impl=attn_impl,
+                attention_impl=attn_impl, conv_impl=conv_impl,
             )
             return img.astype(jnp.float32)
 
@@ -440,7 +444,7 @@ class StableDiffusionPipeline:
                 lat0 = vae_encode(
                     image.astype(compute_dtype), enc_noise,
                     params["vae_encoder"], config.vae,
-                    attention_impl=attn_impl,
+                    attention_impl=attn_impl, conv_impl=conv_impl,
                 ).astype(jnp.float32)  # pipeline.mojo:66-75
                 latents = sdef.add_noise(schedule, lat0, fwd_noise, 0)  # pipeline.mojo:79
                 latents = denoise(params, context, added, latents, cfg_scale, key)
