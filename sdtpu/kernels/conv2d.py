@@ -23,7 +23,34 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 64 * 1024 * 1024  # per-cell budget incl. double buffering
+_VMEM_BUDGET = 72 * 1024 * 1024  # vs the kernel's 100 MB compiler limit
+# (empirical: Mosaic's real stack allocation runs ~25% above this estimate —
+#  a 128x128x512 map at co_tile=256 hit 105.9 MiB against a 104.5 MiB limit)
+
+
+def _vmem_estimate(h, w, ci, co_tile, itemsize=2) -> int:
+    """Conservative per-cell VMEM: double-buffered input/weight/output blocks
+    plus two copies of the f32 accumulator."""
+    in_b = (h + 2) * (w + 2) * ci * itemsize * 2
+    k_b = 9 * ci * co_tile * itemsize * 2
+    out_b = h * w * co_tile * itemsize * 2
+    acc_b = h * w * co_tile * 4 * 2
+    return in_b + k_b + out_b + acc_b
+
+
+def plan_co_tile(x_shape, kernel_shape):
+    """Pick the largest co_tile that fits VMEM, or None for the XLA path."""
+    b, h, w, ci = x_shape
+    kh, kw, _, co = kernel_shape
+    if (kh, kw) != (3, 3) or h % 8 != 0 or w % 8 != 0:
+        return None
+    # tiny channel counts (conv_in 4->320, conv_out 320->4) waste MXU lanes
+    if ci < 64 or co < 64:
+        return None
+    for co_tile in (256, 128):
+        if _vmem_estimate(h, w, ci, min(co_tile, co)) <= _VMEM_BUDGET:
+            return min(co_tile, co)
+    return None
 
 
 def _kernel(x_ref, k_ref, o_ref, *, h, w):
@@ -41,23 +68,7 @@ def _kernel(x_ref, k_ref, o_ref, *, h, w):
 
 
 def fits_fused(x_shape, kernel_shape) -> bool:
-    b, h, w, ci = x_shape
-    kh, kw, _, co = kernel_shape
-    if (kh, kw) != (3, 3):
-        return False
-    # tiny channel counts (conv_in 4->320, conv_out 320->4) waste MXU lanes
-    # in the GEMM formulation; XLA handles those fine
-    if ci < 64 or co < 64:
-        return False
-    # padded input + weights + f32 acc, with Mosaic double buffering slack
-    in_bytes = (h + 2) * (w + 2) * ci * 2 * 2
-    k_bytes = 9 * ci * min(co, 256) * 2 * 2
-    acc_bytes = h * w * min(co, 256) * 4
-    return (
-        in_bytes + k_bytes + acc_bytes <= _VMEM_BUDGET
-        and h % 8 == 0
-        and w % 8 == 0
-    )
+    return plan_co_tile(x_shape, kernel_shape) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("co_tile", "interpret"))

@@ -45,10 +45,11 @@ def conv2d(
         and kernel.shape[:2] == (3, 3)
         and padding == ((1, 1), (1, 1))
     ):
-        from sdtpu.kernels.conv2d import conv3x3_gemm, fits_fused
+        from sdtpu.kernels.conv2d import conv3x3_gemm, plan_co_tile
 
-        if fits_fused(x.shape, kernel.shape):
-            return conv3x3_gemm(x, kernel, bias)
+        co_tile = plan_co_tile(x.shape, kernel.shape)
+        if co_tile is not None:
+            return conv3x3_gemm(x, kernel, bias, co_tile=co_tile)
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
         x,
