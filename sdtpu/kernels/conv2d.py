@@ -71,6 +71,137 @@ def fits_fused(x_shape, kernel_shape) -> bool:
     return plan_co_tile(x_shape, kernel_shape) is not None
 
 
+# ---------------------------------------------------------------------------
+# Fused GroupNorm + SiLU (+time add) + 3x3 conv
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(
+    x_ref, a_ref, s_ref, b_ref, t_ref, k_ref, o_ref, *, h, w, eps, has_t
+):
+    """GN(+t) -> SiLU -> 3x3 conv, entirely in VMEM.
+
+    The resblock's conv prologue (GN -> SiLU, optionally preceded by the
+    time-embedding add, ``diffusion.mojo:54-66``) is recomputed per co-tile —
+    cheap VPU work — so the feature map makes exactly ONE HBM round trip per
+    resblock conv instead of XLA's separate normalize/activation passes
+    around an unfused custom call.
+    """
+    x = x_ref[0]  # (H, W, Ci), compute dtype
+    ci = x.shape[-1]
+    co = k_ref.shape[-1]
+    if has_t:
+        x = x + t_ref[0, 0].astype(x.dtype)  # (Ci,) broadcast over (H, W, Ci)
+    n = h * w
+    xf = x.reshape(n, ci).astype(jnp.float32)
+    m1 = jnp.sum(xf, axis=0, keepdims=True) / n
+    m2 = jnp.sum(xf * xf, axis=0, keepdims=True) / n
+    a = a_ref[...]
+    gm = jnp.dot(m1, a, preferred_element_type=jnp.float32)
+    gv = jnp.dot(m2, a, preferred_element_type=jnp.float32) - gm * gm
+    inv = jax.lax.rsqrt(gv + eps)
+    y = (xf - gm) * inv * s_ref[...] + b_ref[...]
+    y = (y * jax.nn.sigmoid(y)).astype(x.dtype).reshape(h, w, ci)
+    yp = jnp.pad(y, ((1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((n, co), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = yp[dy : dy + h, dx : dx + w, :].reshape(n, ci)
+            acc = acc + jnp.dot(
+                xs, k_ref[dy, dx], preferred_element_type=jnp.float32
+            )
+    o_ref[0] = acc.reshape(h, w, co).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "eps", "co_tile", "interpret")
+)
+def gn_silu_conv3x3(
+    x: jax.Array,
+    norm_params: dict,
+    kernel: jax.Array,
+    conv_bias=None,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    temb=None,
+    co_tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused (x [+ temb]) -> GroupNorm -> SiLU -> 3x3 same conv.
+
+    x: (B, H, W, Ci); temb: optional (B, Ci) per-batch channel bias (the
+    resblock's time-embedding projection); kernel HWIO."""
+    from sdtpu.kernels.groupnorm_silu import _avg_matrix_cached
+
+    b, h, w, ci = x.shape
+    co = kernel.shape[-1]
+    co_tile = min(co_tile, co)
+    co_pad = ((co + co_tile - 1) // co_tile) * co_tile
+    if co_pad != co:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, co_pad - co)))
+    a = jnp.asarray(_avg_matrix_cached(ci, num_groups))
+    scale = norm_params["scale"].astype(jnp.float32).reshape(1, ci)
+    bias = norm_params["bias"].astype(jnp.float32).reshape(1, ci)
+    has_t = temb is not None
+    t = (
+        temb.astype(jnp.float32).reshape(b, 1, ci)
+        if has_t
+        else jnp.zeros((b, 1, ci), jnp.float32)
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, h=h, w=w, eps=eps, has_t=has_t),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co_pad), x.dtype),
+        grid=(b, co_pad // co_tile),
+        in_specs=[
+            pl.BlockSpec((1, h, w, ci), lambda bi, oi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci, ci), lambda bi, oi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda bi, oi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda bi, oi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ci), lambda bi, oi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ci, co_tile), lambda bi, oi: (0, 0, 0, oi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w, co_tile), lambda bi, oi: (bi, 0, 0, oi),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, a, scale, bias, t, kernel)
+
+    out = out[..., :co]
+    if conv_bias is not None:
+        out = out + conv_bias.astype(out.dtype)
+    return out
+
+
+def plan_fused_co_tile(x_shape, kernel_shape, num_groups: int = 32):
+    """Planner for the fused GN+SiLU+conv path (adds the A matrix and the
+    normalized + padded copies of the map to the budget)."""
+    b, h, w, ci = x_shape
+    co_tile = plan_co_tile(x_shape, kernel_shape)
+    if co_tile is None or ci % num_groups != 0:
+        return None
+    extra = ci * ci * 4 + (h + 2) * (w + 2) * ci * 2  # A + padded copy
+    if _vmem_estimate(h, w, ci, co_tile) + extra > _VMEM_BUDGET:
+        if co_tile == 128:
+            return None
+        co_tile = 128
+        if _vmem_estimate(h, w, ci, co_tile) + extra > _VMEM_BUDGET:
+            return None
+    return co_tile
+
+
 @functools.partial(jax.jit, static_argnames=("co_tile", "interpret"))
 def conv3x3_gemm(
     x: jax.Array,

@@ -56,8 +56,10 @@ def _group_average_matrix(c: int, groups: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def _avg_matrix_cached(c: int, groups: int):
-    return jnp.asarray(_group_average_matrix(c, groups))
+def _avg_matrix_cached(c: int, groups: int) -> np.ndarray:
+    # cache the NUMPY table: caching a jnp array would capture a tracer when
+    # first touched inside a jit trace (UnexpectedTracerError on reuse)
+    return _group_average_matrix(c, groups)
 
 
 def fits_fused(shape, dtype=jnp.float32) -> bool:
@@ -92,7 +94,7 @@ def group_norm_silu(
     b, c = x.shape[0], x.shape[-1]
     hw = int(np.prod(x.shape[1:-1]))
     x2 = x.reshape(b, hw, c)
-    a = _avg_matrix_cached(c, num_groups)
+    a = jnp.asarray(_avg_matrix_cached(c, num_groups))
     scale = params["scale"].astype(jnp.float32).reshape(1, c)
     bias = params["bias"].astype(jnp.float32).reshape(1, c)
 

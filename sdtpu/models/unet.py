@@ -82,14 +82,41 @@ def resnet_block(
     step — the reference re-applies SiLU to the same time vector inside every
     block (``diffusion.mojo:61``); hoisting it is numerically identical.
     """
-    h = _gn_silu(x, params["norm1"], num_groups=num_groups, norm_impl=norm_impl)
-    h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"], padding=1,
-               impl=conv_impl)
-    t = linear(temb, params["time_emb_proj"]).astype(h.dtype)
-    h = h + t[:, None, None, :]
-    h = _gn_silu(h, params["norm2"], num_groups=num_groups, norm_impl=norm_impl)
-    h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"], padding=1,
-               impl=conv_impl)
+    t = linear(temb, params["time_emb_proj"])
+    fused = None
+    if conv_impl == "gemm":
+        from sdtpu.kernels.conv2d import gn_silu_conv3x3, plan_fused_co_tile
+
+        ct1 = plan_fused_co_tile(
+            x.shape, params["conv1"]["kernel"].shape, num_groups
+        )
+        mid_shape = x.shape[:-1] + (params["conv1"]["kernel"].shape[-1],)
+        ct2 = plan_fused_co_tile(
+            mid_shape, params["conv2"]["kernel"].shape, num_groups
+        )
+        if ct1 is not None and ct2 is not None:
+            fused = (ct1, ct2)
+    if fused is not None:
+        # one HBM round trip per conv: GN(+t) + SiLU live inside the kernel
+        h = gn_silu_conv3x3(
+            x, params["norm1"], params["conv1"]["kernel"],
+            params["conv1"]["bias"], num_groups=num_groups, co_tile=fused[0],
+        )
+        h = gn_silu_conv3x3(
+            h, params["norm2"], params["conv2"]["kernel"],
+            params["conv2"]["bias"], num_groups=num_groups, temb=t,
+            co_tile=fused[1],
+        )
+    else:
+        h = _gn_silu(x, params["norm1"], num_groups=num_groups,
+                     norm_impl=norm_impl)
+        h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"],
+                   padding=1, impl=conv_impl)
+        h = h + t.astype(h.dtype)[:, None, None, :]
+        h = _gn_silu(h, params["norm2"], num_groups=num_groups,
+                     norm_impl=norm_impl)
+        h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"],
+                   padding=1, impl=conv_impl)
     if "conv_shortcut" in params:
         x = conv2d(
             x,

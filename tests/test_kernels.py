@@ -3,6 +3,7 @@
 without hardware).
 """
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -155,3 +156,50 @@ class TestConv3x3Gemm:
         assert fits_fused((2, 64, 64, 960), (3, 3, 960, 320))
         assert not fits_fused((1, 512, 512, 128), (3, 3, 128, 128))
         assert not fits_fused((1, 64, 64, 320), (1, 1, 320, 320))  # not 3x3
+
+
+class TestFusedGnSiluConv:
+    @pytest.mark.parametrize("has_t", [False, True])
+    def test_matches_unfused_composition(self, rng, has_t):
+        from sdtpu.kernels.conv2d import gn_silu_conv3x3
+        from sdtpu.ops import conv2d, group_norm, silu
+
+        b, h, w, ci, co, g = 2, 8, 8, 32, 64, 8
+        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
+        norm = {
+            "scale": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+            "bias": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+        }
+        k = jnp.array(rng.standard_normal((3, 3, ci, co), dtype=np.float32)) * 0.1
+        cb = jnp.array(rng.standard_normal(co, dtype=np.float32))
+        t = jnp.array(rng.standard_normal((b, ci), dtype=np.float32)) if has_t else None
+
+        z = x + t[:, None, None, :] if has_t else x
+        expected = conv2d(
+            silu(group_norm(z, norm, num_groups=g)), k, cb, padding=1
+        )
+        got = gn_silu_conv3x3(
+            x, norm, k, cb, num_groups=g, temb=t, co_tile=64, interpret=True
+        )
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+    def test_resnet_block_fused_path_matches_xla_path(self, rng):
+        """resnet_block(conv_impl='gemm') must equal conv_impl='xla' — run in
+        interpret mode by monkeypatching the kernels."""
+        import sdtpu.kernels.conv2d as ck
+        from sdtpu.models.unet import _init_resnet, resnet_block
+
+        params = _init_resnet(jax.random.key(0), 128, 128, 48, dtype=jnp.float32)
+        x = jnp.array(rng.standard_normal((1, 8, 8, 128), dtype=np.float32))
+        temb = jnp.array(rng.standard_normal((1, 48), dtype=np.float32))
+
+        expected = resnet_block(x, temb, params, num_groups=8, conv_impl="xla")
+
+        orig_f, orig_c = ck.gn_silu_conv3x3, ck.conv3x3_gemm
+        try:
+            ck.gn_silu_conv3x3 = functools.partial(orig_f, interpret=True)
+            ck.conv3x3_gemm = functools.partial(orig_c, interpret=True)
+            got = resnet_block(x, temb, params, num_groups=8, conv_impl="gemm")
+        finally:
+            ck.gn_silu_conv3x3, ck.conv3x3_gemm = orig_f, orig_c
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
