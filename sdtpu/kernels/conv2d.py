@@ -38,8 +38,23 @@ def _vmem_estimate(h, w, ci, co_tile, itemsize=2) -> int:
     return in_b + k_b + out_b + acc_b
 
 
+def _co_tile_candidates(co: int):
+    """Tile widths in preference order: exact (no padding), then 128-multiple
+    divisors of co (no padding), then padding 128-multiples, largest first."""
+    exact = [co]
+    divisors = [t for t in (640, 512, 384, 256, 128)
+                if t < co and t % 128 == 0 and co % t == 0]
+    padded = [t for t in (512, 384, 256, 128)
+              if t < co and t % 128 == 0 and co % t != 0]
+    return exact + divisors + padded
+
+
 def plan_co_tile(x_shape, kernel_shape):
-    """Pick the largest co_tile that fits VMEM, or None for the XLA path."""
+    """Pick the best co_tile that fits VMEM, or None for the XLA path.
+
+    Prefer co_tile == co (no output padding: tiling 320-out convs to 256
+    rounds up to 512 and wastes 1.6x MXU work — seen in the XProf trace);
+    fall back to 128-multiples."""
     b, h, w, ci = x_shape
     kh, kw, _, co = kernel_shape
     if (kh, kw) != (3, 3) or h % 8 != 0 or w % 8 != 0:
@@ -47,9 +62,9 @@ def plan_co_tile(x_shape, kernel_shape):
     # tiny channel counts (conv_in 4->320, conv_out 320->4) waste MXU lanes
     if ci < 64 or co < 64:
         return None
-    for co_tile in (256, 128):
-        if _vmem_estimate(h, w, ci, min(co_tile, co)) <= _VMEM_BUDGET:
-            return min(co_tile, co)
+    for co_tile in _co_tile_candidates(co):
+        if _vmem_estimate(h, w, ci, co_tile) <= _VMEM_BUDGET:
+            return co_tile
     return None
 
 
@@ -189,17 +204,14 @@ def plan_fused_co_tile(x_shape, kernel_shape, num_groups: int = 32):
     """Planner for the fused GN+SiLU+conv path (adds the A matrix and the
     normalized + padded copies of the map to the budget)."""
     b, h, w, ci = x_shape
-    co_tile = plan_co_tile(x_shape, kernel_shape)
-    if co_tile is None or ci % num_groups != 0:
+    kh, kw, _, co = kernel_shape
+    if plan_co_tile(x_shape, kernel_shape) is None or ci % num_groups != 0:
         return None
     extra = ci * ci * 4 + (h + 2) * (w + 2) * ci * 2  # A + padded copy
-    if _vmem_estimate(h, w, ci, co_tile) + extra > _VMEM_BUDGET:
-        if co_tile == 128:
-            return None
-        co_tile = 128
-        if _vmem_estimate(h, w, ci, co_tile) + extra > _VMEM_BUDGET:
-            return None
-    return co_tile
+    for co_tile in _co_tile_candidates(co):
+        if _vmem_estimate(h, w, ci, co_tile) + extra <= _VMEM_BUDGET:
+            return co_tile
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("co_tile", "interpret"))
