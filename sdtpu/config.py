@@ -152,9 +152,11 @@ class PipelineConfig:
     # (sdtpu/kernels/groupnorm_silu.py); "xla" keeps the unfused ops.
     norm_impl: str = "xla"
     # "gemm" routes 3x3 stride-1 convs through the Pallas implicit-GEMM
-    # kernel (sdtpu/kernels/conv2d.py, 1.1-2.3x over XLA on hot shapes);
-    # "auto" picks gemm on TPU backends.
-    conv_impl: str = "auto"
+    # kernel (sdtpu/kernels/conv2d.py; 1.1-2.3x over XLA in isolation, but
+    # end-to-end neutral at tiny-sd/512 because the custom calls break XLA's
+    # surrounding fusions — see BENCHLOG.md); "auto" currently keeps XLA
+    # convs, the fastest measured end-to-end configuration.
+    conv_impl: str = "xla"
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
