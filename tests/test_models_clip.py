@@ -107,3 +107,32 @@ class TestClipVsTransformers:
         out = fn(params, ids)
         assert out.shape == (4, SMALL.max_length, SMALL.hidden_size)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTextProjection:
+    def test_projection_mapping_matches_hf(self):
+        """SDXL's CLIPTextModelWithProjection: pooled output through the
+        text_projection matrix."""
+        import torch
+        from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+        cfg = CLIPConfig(
+            vocab_size=1000, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, max_length=16,
+            use_final_layer_norm_output=False, projection_dim=32,
+        )
+        hf_cfg = CLIPTextConfig(
+            vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+            max_position_embeddings=cfg.max_length, hidden_act="quick_gelu",
+            projection_dim=32, eos_token_id=999,
+        )
+        torch.manual_seed(1)
+        model = CLIPTextModelWithProjection(hf_cfg).eval()
+        params = clip_params_from_state_dict(model.state_dict(), cfg)
+        ids = np.array([[5, 7, 999, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]])
+        with torch.no_grad():
+            expected = model(torch.from_numpy(ids)).text_embeds.numpy()
+        _, pooled = clip_encode(jnp.array(ids), params, cfg)
+        assert_allclose(pooled, expected, atol=1e-4, rtol=1e-3)

@@ -184,3 +184,23 @@ class TestLCM:
             cfg=False, cfg_scale=8.0, sampler="lcm",
         )
         assert img.shape == (1, 32, 32, 3)
+
+
+class TestVPredictionPipeline:
+    def test_generate_with_v_prediction_config(self):
+        """SD 2.x-style pipeline (v-prediction scheduler) end-to-end."""
+        import dataclasses
+
+        from test_pipeline import TINY, TOKENS
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+
+        cfg = TINY.replace(
+            scheduler=dataclasses.replace(
+                TINY.scheduler, prediction_type="v_prediction"
+            )
+        )
+        pipe = StableDiffusionPipeline.from_random(cfg, seed=0)
+        for sampler in ("ddpm", "ddim"):
+            img = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                                seed=0, sampler=sampler)
+            assert img.shape == (1, 32, 32, 3)
