@@ -101,7 +101,7 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     *,
-    block_q: int = 512,
+    block_q: int = 256,
     block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
