@@ -117,9 +117,10 @@ def main() -> None:
 
     p50 = statistics.median(times)
     images_per_sec = args.batch / p50
+    variant = "img2img " if args.img2img else ""
     result = {
         "metric": f"{args.preset} {args.image_size}x{args.image_size} "
-                  f"{args.steps}-step DDPM CFG images/sec/chip",
+                  f"{variant}{args.steps}-step {args.sampler} CFG images/sec/chip",
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / 1.0, 4),
