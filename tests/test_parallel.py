@@ -187,3 +187,36 @@ class TestRingAttention:
         got = fn(qs, ks, vs)
         expected = _xla_attention(q, k, v, causal=False)
         assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
+
+
+class TestTpFullUNet:
+    def test_tp_sharded_unet_matches_replicated(self, rng):
+        """Full UNet (convs replicated, attention/MLP tp-sharded) over a
+        (2, 4) mesh must reproduce the single-device numbers — GSPMD inserts
+        the psums around the Megatron-sharded projections."""
+        from sdtpu.config import UNetConfig
+        from sdtpu.models.unet import init_unet, unet_forward
+
+        cfg = UNetConfig(
+            block_out_channels=(16, 24, 32),
+            layers_per_block=1,
+            attention_levels=(True, True, True),
+            num_attention_heads=4,  # divisible by tp=4
+            cross_attention_dim=16,
+            norm_num_groups=8,
+        )
+        params = init_unet(jax.random.key(0), cfg)
+        x = jnp.array(rng.standard_normal((2, 16, 16, 4), dtype=np.float32))
+        ts = jnp.full((2,), 300.0)
+        ctx = jnp.array(rng.standard_normal((2, 7, 16), dtype=np.float32))
+
+        expected = unet_forward(x, ts, ctx, params, cfg)
+
+        mesh = make_mesh(2, 4)
+        with mesh:
+            ps = shard_params_tp(params, mesh)
+            got = jax.jit(lambda p, a, t, c: unet_forward(a, t, c, p, cfg))(
+                ps, shard_batch(x, mesh), shard_batch(ts, mesh),
+                shard_batch(ctx, mesh),
+            )
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-3)
