@@ -23,7 +23,7 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--seed", type=int, default=40)
     ap.add_argument("--sampler", default="ddpm",
-                    choices=["ddpm", "ddim", "euler", "lcm"])
+                    choices=["ddpm", "ddim", "euler", "lcm", "dpm++"])
     ap.add_argument("--cfg-scale", type=float, default=7.5)
     ap.add_argument("--no-cfg", action="store_true")
     ap.add_argument("--init-image", default=None, help="img2img input path")

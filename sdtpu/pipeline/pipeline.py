@@ -369,7 +369,7 @@ class StableDiffusionPipeline:
                 )
 
             def body(carry, step):
-                lat, key = carry
+                lat, key, state = carry
                 i, t = step
                 lat_in = jnp.concatenate([lat, lat]) if cfg else lat
                 if sdef.scale_model_input is not None:
@@ -402,14 +402,22 @@ class StableDiffusionPipeline:
                         noise = jax.random.normal(sub, lat.shape, jnp.float32)
                 else:
                     noise = jnp.zeros_like(lat)
-                lat = sdef.step(schedule, i, lat, eps, noise)
-                return (lat, key), None
+                if sdef.multistep:
+                    lat, state = sdef.step(schedule, i, lat, eps, noise, state)
+                else:
+                    lat = sdef.step(schedule, i, lat, eps, noise)
+                return (lat, key, state), None
 
             steps = (
                 jnp.arange(schedule.num_steps, dtype=jnp.int32),
                 schedule.timesteps,
             )
-            (latents, _), _ = jax.lax.scan(body, (latents, key), steps)
+            state0 = (
+                sdef.state_init(latents) if sdef.multistep else jnp.zeros((), jnp.float32)
+            )
+            (latents, _, _), _ = jax.lax.scan(
+                body, (latents, key, state0), steps
+            )
             return latents
 
         def decode(params, latents):

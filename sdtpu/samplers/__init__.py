@@ -11,6 +11,7 @@ import dataclasses
 from typing import Callable, Optional
 
 from sdtpu.samplers import ddim as _ddim
+from sdtpu.samplers import dpm as _dpm
 from sdtpu.samplers import euler as _euler
 from sdtpu.samplers import lcm as _lcm
 from sdtpu.samplers.ddpm import (
@@ -31,6 +32,10 @@ class SamplerDef:
     add_noise: Callable
     scale_model_input: Optional[Callable] = None
     stochastic: bool = False  # draws per-step variance noise
+    # multistep solvers carry extra state through the scan:
+    # step(schedule, i, lat, eps, noise, state) -> (lat, state)
+    multistep: bool = False
+    state_init: Optional[Callable] = None
 
 
 SAMPLERS = {
@@ -44,6 +49,13 @@ SAMPLERS = {
     ),
     "lcm": SamplerDef(
         _lcm.make_schedule, _lcm.lcm_step, _lcm.add_noise, stochastic=True
+    ),
+    "dpm++": SamplerDef(
+        _dpm.make_schedule,
+        _dpm.dpm_step,
+        _dpm.add_noise,
+        multistep=True,
+        state_init=_dpm.state_init,
     ),
 }
 

@@ -204,3 +204,64 @@ class TestVPredictionPipeline:
             img = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
                                 seed=0, sampler=sampler)
             assert img.shape == (1, 32, 32, 3)
+
+
+class TestDPMSolverPP:
+    def test_final_step_returns_x0(self):
+        """c1[last] == 0, c2[last] == alpha_next == 1: last update = D."""
+        from sdtpu.samplers import dpm
+
+        sched = dpm.make_schedule(CFG, 20)
+        assert float(sched.c1[-1]) == 0.0
+        assert abs(float(sched.c2[-1]) - 1.0) < 1e-6
+        assert float(sched.inv_2r[0]) == 0.0
+        assert np.isfinite(np.asarray(sched.c2)).all()
+
+    def test_oracle_chain_recovers_x0(self):
+        """With oracle eps at each step the ODE solver lands on x0."""
+        from sdtpu.samplers import dpm
+
+        sched = dpm.make_schedule(CFG, 20)
+        x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        z = jax.random.normal(jax.random.key(1), x0.shape)
+        x = dpm.add_noise(sched, x0, z, 0)
+        state = dpm.state_init(x)
+        for i in range(sched.num_steps):
+            sa = sched.sqrt_alpha_prod[i]
+            sb = sched.sqrt_one_minus_alpha_prod[i]
+            e = (x - sa * x0) / sb
+            x, state = dpm.dpm_step(sched, jnp.array(i), x, e, jnp.zeros_like(x), state)
+        assert_allclose(x, x0, atol=1e-2, rtol=1e-2)
+
+    def test_deterministic(self):
+        from sdtpu.samplers import dpm
+
+        sched = dpm.make_schedule(CFG, 10)
+        x = jax.random.normal(jax.random.key(0), (1, 4, 4, 4))
+        e = jax.random.normal(jax.random.key(1), x.shape)
+        s = dpm.state_init(x)
+        a, _ = dpm.dpm_step(sched, jnp.array(2), x, e, jnp.zeros_like(x), s)
+        b, _ = dpm.dpm_step(sched, jnp.array(2), x, e, jnp.ones_like(x), s)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pipeline_dpm(self):
+        from test_pipeline import TINY, TOKENS
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+
+        pipe = StableDiffusionPipeline.from_random(TINY, seed=0)
+        img = pipe.generate("x", token_ids=TOKENS, num_inference_steps=4,
+                            seed=0, sampler="dpm++")
+        assert img.shape == (1, 32, 32, 3)
+
+    def test_second_order_differs_from_first(self):
+        """The multistep correction must actually engage after step 0."""
+        from sdtpu.samplers import dpm
+
+        sched = dpm.make_schedule(CFG, 10)
+        x = jax.random.normal(jax.random.key(0), (1, 4, 4, 4))
+        e = jax.random.normal(jax.random.key(1), x.shape)
+        zero_state = dpm.state_init(x)
+        other_state = jnp.ones_like(x)
+        a, _ = dpm.dpm_step(sched, jnp.array(3), x, e, jnp.zeros_like(x), zero_state)
+        b, _ = dpm.dpm_step(sched, jnp.array(3), x, e, jnp.zeros_like(x), other_state)
+        assert (np.asarray(a) != np.asarray(b)).any()
