@@ -260,6 +260,46 @@ class StableDiffusionPipeline:
             return np.asarray(images, dtype=np.float32)
         return to_uint8(images)
 
+    def warmup(
+        self,
+        *,
+        image_sizes=(512,),
+        step_counts=(25,),
+        batch_sizes=(1,),
+        cfg: bool = True,
+        sampler: str = "ddpm",
+        img2img: bool = False,
+    ) -> int:
+        """Precompile the program buckets a serving deployment will hit, so
+        no request pays compile latency.  Returns the number of programs run.
+        (Combined with the persistent compilation cache —
+        ``sdtpu.utils.runtime.enable_compilation_cache`` — warmup after a
+        restart is a cache read, not a compile.)"""
+        n = 0
+        max_len = self.config.clip.max_length
+        for size in image_sizes:
+            for steps in step_counts:
+                for batch in batch_sizes:
+                    ids = np.ones((batch, max_len), dtype=np.int64)
+                    if img2img:
+                        inits = [
+                            np.zeros((size, size, 3), dtype=np.uint8)
+                        ] * batch
+                        self.generate_batch(
+                            ["warmup"] * batch, token_ids=ids, cfg=cfg,
+                            num_inference_steps=steps, image_size=size,
+                            sampler=sampler, init_images=inits,
+                            seeds=list(range(batch)),
+                        )
+                    else:
+                        self.generate_batch(
+                            ["warmup"] * batch, token_ids=ids, cfg=cfg,
+                            num_inference_steps=steps, image_size=size,
+                            sampler=sampler, seeds=list(range(batch)),
+                        )
+                    n += 1
+        return n
+
     # -- internals -----------------------------------------------------------
 
     def _tokenize(self, prompt, negative_prompt, cfg, token_ids) -> jnp.ndarray:

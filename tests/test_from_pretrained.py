@@ -91,6 +91,11 @@ def _write_unet(dirpath, config):
     _conv(sd, "conv_in", params["conv_in"])
     _lin(sd, "time_embedding.linear_1", params["time_embedding"]["linear_1"])
     _lin(sd, "time_embedding.linear_2", params["time_embedding"]["linear_2"])
+    if "cond_proj" in params["time_embedding"]:
+        _lin(sd, "time_embedding.cond_proj", params["time_embedding"]["cond_proj"])
+    if "add_embedding" in params:
+        _lin(sd, "add_embedding.linear_1", params["add_embedding"]["linear_1"])
+        _lin(sd, "add_embedding.linear_2", params["add_embedding"]["linear_2"])
 
     def resnet(p, r):
         _norm(sd, f"{p}.norm1", r["norm1"])
@@ -243,3 +248,67 @@ class TestFromPretrained:
         b = source.generate("x", token_ids=ids, num_inference_steps=2, seed=9,
                             output="float")
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestFromPretrainedSDXL:
+    def test_dual_encoder_checkpoint(self, tmp_path, monkeypatch):
+        """text_encoder_2 (with text_projection) loads through the same path."""
+        import dataclasses
+
+        import sdtpu.config as C
+
+        clip2 = CLIPConfig(
+            vocab_size=1024, hidden_size=48, intermediate_size=96,
+            num_layers=2, num_heads=2, max_length=16,
+            use_final_layer_norm_output=False, projection_dim=48,
+        )
+        cfg = dataclasses.replace(
+            TINY_CKPT,
+            name="test/ckpt-xl",
+            clip=dataclasses.replace(TINY_CKPT.clip,
+                                     use_final_layer_norm_output=False),
+            clip_2=clip2,
+            unet=dataclasses.replace(
+                TINY_CKPT.unet,
+                cross_attention_dim=32 + 48,
+                addition_embed_dim=48 + 6 * 8,
+                addition_time_embed_dim=8,
+            ),
+        )
+        root = tmp_path / "ckpt-xl"
+        _write_clip(root / "text_encoder", cfg.clip)
+
+        # second encoder with projection
+        from sdtpu.models.clip import init_clip
+
+        params2 = init_clip(jax.random.key(7), clip2)
+        sd2 = {}
+        sd2["text_model.embeddings.token_embedding.weight"] = np.asarray(
+            params2["token_embedding"]["weight"], np.float32)
+        sd2["text_model.embeddings.position_embedding.weight"] = np.asarray(
+            params2["position_embedding"], np.float32)
+        for i in range(clip2.num_layers):
+            layer = jax.tree.map(lambda x: x[i], params2["layers"])
+            p = f"text_model.encoder.layers.{i}"
+            _norm(sd2, f"{p}.layer_norm1", layer["norm1"])
+            for name, key in [("q_proj", "q"), ("k_proj", "k"),
+                              ("v_proj", "v"), ("out_proj", "out")]:
+                _lin(sd2, f"{p}.self_attn.{name}", layer["attn"][key])
+            _norm(sd2, f"{p}.layer_norm2", layer["norm2"])
+            _lin(sd2, f"{p}.mlp.fc1", layer["mlp"]["fc1"])
+            _lin(sd2, f"{p}.mlp.fc2", layer["mlp"]["fc2"])
+        _norm(sd2, "text_model.final_layer_norm", params2["final_norm"])
+        _lin(sd2, "text_projection", params2["text_projection"])
+        (root / "text_encoder_2").mkdir(parents=True)
+        save_file(sd2, str(root / "text_encoder_2" / "model.safetensors"))
+
+        _write_unet(root / "unet", cfg.unet)
+        _write_vae(root / "vae", cfg.vae)
+
+        monkeypatch.setitem(C.PRESETS, "ckpt-xl", cfg)
+        pipe = StableDiffusionPipeline.from_pretrained(str(root), preset="ckpt-xl")
+        assert "clip_2" in pipe.params
+        assert "text_projection" in pipe.params["clip_2"]
+        ids = np.array([[1, 7, 3] + [0] * 13, [1, 2] + [0] * 14])
+        img = pipe.generate("x", token_ids=ids, num_inference_steps=1, seed=0)
+        assert img.shape == (1, 32, 32, 3)

@@ -114,3 +114,17 @@ class TestBatchedImg2Img:
                 ["x"], token_ids=IDS[None], init_images=[np.zeros((32, 32, 3))],
                 strength=2.0,
             )
+
+
+class TestWarmup:
+    def test_warmup_precompiles_buckets(self, pipe):
+        n_before = len(pipe._compiled)
+        n = pipe.warmup(image_sizes=(32,), step_counts=(1, 2), batch_sizes=(2,))
+        assert n == 2
+        assert len(pipe._compiled) >= n_before  # buckets materialized
+        # a subsequent matching request reuses the compiled program
+        ids = np.stack([IDS, IDS])
+        n_cached = len(pipe._compiled)
+        pipe.generate_batch(["a", "b"], token_ids=ids, num_inference_steps=2,
+                            image_size=32, seeds=[1, 2])
+        assert len(pipe._compiled) == n_cached
