@@ -200,12 +200,18 @@ class StableDiffusionPipeline:
         sampler: str = "ddpm",
         init_images: Optional[np.ndarray] = None,
         strength: float = 0.9,
+        mesh=None,
         output: str = "uint8",
     ):
         """Batched txt2img serving: B prompts -> (B, H, W, 3) in ONE compiled
         CFG-batched (2B) program — the large-batch few-step serving path
         (BASELINE config 5).  The reference is hardwired to batch 1
         (``pipeline.mojo:12``).
+
+        ``mesh``: a ``jax.sharding.Mesh`` with a "dp" axis — inputs are
+        sharded over dp (params replicated, or tp-sharded if the caller
+        pre-placed them with ``sdtpu.parallel.shard_params_tp``) and GSPMD
+        partitions the whole program across chips.  B must divide the dp size.
 
         ``seeds`` (one per prompt) switches to per-request RNG: each row's
         image depends only on its own seed, independent of how requests were
@@ -249,13 +255,33 @@ class StableDiffusionPipeline:
             key = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
         else:
             key = jax.random.key(seed)
+
+        params = self.params
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp_ids = NamedSharding(mesh, P("dp", None))
+            ids = jax.device_put(ids, dp_ids)
+            if seeds is not None:
+                key = jax.device_put(key, NamedSharding(mesh, P("dp")))
+            # params: respect pre-placed shardings; replicate plain arrays
+            leaf = jax.tree.leaves(params)[0]
+            if not hasattr(leaf, "sharding") or leaf.sharding.is_fully_replicated:
+                params = jax.device_put(params, NamedSharding(mesh, P()))
+
         if is_img2img:
             imgs_in = jnp.concatenate(
                 [self._prep_image(im, size) for im in init_images]
             )
-            images = fn(self.params, ids, imgs_in, jnp.float32(cfg_scale), key)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                imgs_in = jax.device_put(
+                    imgs_in, NamedSharding(mesh, P("dp", None, None, None))
+                )
+            images = fn(params, ids, imgs_in, jnp.float32(cfg_scale), key)
         else:
-            images = fn(self.params, ids, jnp.float32(cfg_scale), key)
+            images = fn(params, ids, jnp.float32(cfg_scale), key)
         if output == "float":
             return np.asarray(images, dtype=np.float32)
         return to_uint8(images)

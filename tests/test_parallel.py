@@ -220,3 +220,27 @@ class TestTpFullUNet:
                 shard_batch(ctx, mesh),
             )
         assert_allclose(got, expected, atol=1e-4, rtol=1e-3)
+
+
+class TestMeshPipeline:
+    def test_generate_batch_over_mesh_matches_single_device(self):
+        """Full pipeline sharded over an 8-way dp mesh: same images as the
+        unsharded run (per-request keys make rows independent)."""
+        from test_pipeline import TINY
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+
+        pipe = StableDiffusionPipeline.from_random(TINY, seed=0)
+        ids = np.tile(np.array([[1, 5, 9, 2] + [0] * 12]), (8, 1))
+        seeds = list(range(8))
+        expected = pipe.generate_batch(
+            ["p"] * 8, token_ids=ids, num_inference_steps=2, seeds=seeds
+        )
+        mesh = make_mesh(8, 1)
+        with mesh:
+            got = pipe.generate_batch(
+                ["p"] * 8, token_ids=ids, num_inference_steps=2, seeds=seeds,
+                mesh=mesh,
+            )
+        np.testing.assert_allclose(
+            got.astype(np.int32), expected.astype(np.int32), atol=1
+        )
