@@ -21,7 +21,7 @@ branch.  All NHWC; GroupNorm stats in fp32.
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ the 128-wide lane dimension) and kernels HWIO.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

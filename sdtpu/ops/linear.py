@@ -7,7 +7,7 @@ transpose through a scalar triple loop, ``utils.mojo:1549-1569``).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

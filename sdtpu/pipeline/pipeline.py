@@ -26,7 +26,6 @@ DDPM step.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Union
 
 import jax

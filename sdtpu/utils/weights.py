@@ -20,8 +20,8 @@ diffusion_pytorch_model.safetensors`` etc.) or any in-memory
 from __future__ import annotations
 
 import os
-import re
-from typing import Dict, Mapping, Optional
+
+from typing import Dict, Mapping
 
 import jax.numpy as jnp
 import numpy as np
