@@ -103,6 +103,7 @@ class StableDiffusionPipeline:
         token_ids: Optional[np.ndarray] = None,
         sampler: str = "ddpm",
         num_images: int = 1,
+        latents: Optional[np.ndarray] = None,
         output: str = "uint8",
         verbose: bool = False,
     ):
@@ -115,7 +116,12 @@ class StableDiffusionPipeline:
         ``verbose`` logs structured stage timings (compile vs execute) —
         the build's replacement for the reference's bare progress prints
         (``pipeline.mojo:55,68,84,122,126``).
-        """
+
+        ``latents``: pre-drawn initial noise (B, H/8, W/8, C), bypassing the
+        in-jit draw — the numerical-parity affordance for A/B against
+        diffusers under torch RNG (SURVEY.md §7 "hard parts": JAX RNG != torch
+        RNG, so exact-fidelity comparisons feed the same noise fixture to
+        both).  txt2img only."""
         import logging
         import time as _time
 
@@ -154,10 +160,12 @@ class StableDiffusionPipeline:
 
         ids = self._tokenize(prompt, negative_prompt, cfg, token_ids)
         is_img2img = init_image is not None
+        if latents is not None and is_img2img:
+            raise ValueError("latents injection is txt2img-only")
         strength_key = round(strength, 6) if is_img2img else 1.0
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img, strength_key,
-            ids.shape[0], sampler,
+            ids.shape[0], sampler, has_latents=latents is not None,
         )
 
         key = jax.random.key(seed)
@@ -165,6 +173,11 @@ class StableDiffusionPipeline:
         if is_img2img:
             image = self._prep_image(init_image, size)
             images = fn(self.params, ids, image, cfg_scale_arr, key)
+        elif latents is not None:
+            lat0 = jnp.asarray(latents, jnp.float32)
+            if lat0.ndim == 3:
+                lat0 = lat0[None]
+            images = fn(self.params, ids, lat0, cfg_scale_arr, key)
         else:
             images = fn(self.params, ids, cfg_scale_arr, key)
 
@@ -361,21 +374,25 @@ class StableDiffusionPipeline:
         return img
 
     def _get_compiled(
-        self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm"
+        self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
+        has_latents=False,
     ):
-        cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler)
+        cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler,
+                     has_latents)
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
             schedule = sdef.make_schedule(
                 self.config.scheduler, steps, strength if is_img2img else 1.0
             )
-            fn = self._build(sdef, schedule, cfg, is_img2img, size)
+            fn = self._build(sdef, schedule, cfg, is_img2img, size,
+                             has_latents=has_latents)
             self._compiled[cache_key] = fn
         return fn
 
     def _build(
-        self, sdef: SamplerDef, schedule, cfg: bool, is_img2img: bool, size: int
+        self, sdef: SamplerDef, schedule, cfg: bool, is_img2img: bool,
+        size: int, has_latents: bool = False,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -520,6 +537,15 @@ class StableDiffusionPipeline:
                     attention_impl=attn_impl, conv_impl=conv_impl,
                 ).astype(jnp.float32)  # pipeline.mojo:66-75
                 latents = sdef.add_noise(schedule, lat0, fwd_noise, 0)  # pipeline.mojo:79
+                latents = denoise(params, context, added, latents, cfg_scale, key)
+                return decode(params, latents)
+
+        elif has_latents:
+
+            def run(params, ids, lat0, cfg_scale, key):
+                context, added = encode_context(params, ids)
+                # user-supplied N(0,1) fixture; sigma-space samplers scale
+                latents = lat0 * getattr(schedule, "init_sigma", 1.0)
                 latents = denoise(params, context, added, latents, cfg_scale, key)
                 return decode(params, latents)
 

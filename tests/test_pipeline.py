@@ -175,3 +175,24 @@ class TestNumImages:
                              seed=0, num_images=2, init_image=init,
                              strength=0.5)
         assert imgs.shape == (2, 32, 32, 3)
+
+
+class TestLatentsInjection:
+    def test_fixed_latents_deterministic_and_distinct(self, pipe):
+        rng = np.random.default_rng(0)
+        z1 = rng.standard_normal((1, 4, 4, 4)).astype(np.float32)
+        z2 = rng.standard_normal((1, 4, 4, 4)).astype(np.float32)
+        a = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                          seed=0, latents=z1, sampler="ddim")
+        b = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                          seed=0, latents=z1, sampler="ddim")
+        c = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                          seed=0, latents=z2, sampler="ddim")
+        np.testing.assert_array_equal(a, b)
+        assert (a != c).any()
+
+    def test_latents_with_img2img_raises(self, pipe):
+        with pytest.raises(ValueError, match="txt2img"):
+            pipe.generate("x", token_ids=TOKENS,
+                          init_image=np.zeros((32, 32, 3), np.uint8),
+                          latents=np.zeros((1, 4, 4, 4), np.float32))
