@@ -129,10 +129,13 @@ class StableDiffusionPipeline:
         t_start = _time.perf_counter()
         if not 0.0 < strength <= 1.0:
             raise ValueError("strength must be in (0, 1]")  # pipeline.mojo:23-29
+        if num_inference_steps < 1:
+            raise ValueError("num_inference_steps must be >= 1")
         size = image_size or self.config.default_image_size
-        if size % (self.config.vae.downscale_factor) != 0:
+        if size <= 0 or size % (self.config.vae.downscale_factor) != 0:
             raise ValueError(
-                f"image_size must be a multiple of {self.config.vae.downscale_factor}"
+                f"image_size must be a positive multiple of "
+                f"{self.config.vae.downscale_factor}"
             )  # pipeline.mojo:8
 
         if num_images > 1:
@@ -231,9 +234,12 @@ class StableDiffusionPipeline:
         (:mod:`sdtpu.pipeline.serving`).  ``seed`` is the batch-level
         fallback."""
         size = image_size or self.config.default_image_size
-        if size % self.config.vae.downscale_factor != 0:
+        if num_inference_steps < 1:
+            raise ValueError("num_inference_steps must be >= 1")
+        if size <= 0 or size % self.config.vae.downscale_factor != 0:
             raise ValueError(
-                f"image_size must be a multiple of {self.config.vae.downscale_factor}"
+                f"image_size must be a positive multiple of "
+                f"{self.config.vae.downscale_factor}"
             )
         max_len = self.config.clip.max_length
         if token_ids is not None:

@@ -196,3 +196,18 @@ class TestLatentsInjection:
             pipe.generate("x", token_ids=TOKENS,
                           init_image=np.zeros((32, 32, 3), np.uint8),
                           latents=np.zeros((1, 4, 4, 4), np.float32))
+
+
+class TestInputValidation:
+    def test_zero_steps_raises(self, pipe):
+        with pytest.raises(ValueError, match="num_inference_steps"):
+            pipe.generate("x", token_ids=TOKENS, num_inference_steps=0)
+
+    def test_negative_size_raises(self, pipe):
+        with pytest.raises(ValueError, match="positive multiple"):
+            pipe.generate("x", token_ids=TOKENS, image_size=-8)
+
+    def test_batch_zero_steps_raises(self, pipe):
+        with pytest.raises(ValueError, match="num_inference_steps"):
+            pipe.generate_batch(["x"], token_ids=TOKENS[:1],
+                                num_inference_steps=0)
