@@ -169,6 +169,7 @@ class StableDiffusionPipeline:
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img, strength_key,
             ids.shape[0], sampler, has_latents=latents is not None,
+            want_latents=output == "latents",
         )
 
         key = jax.random.key(seed)
@@ -381,10 +382,10 @@ class StableDiffusionPipeline:
 
     def _get_compiled(
         self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
-        has_latents=False,
+        has_latents=False, want_latents=False,
     ):
         cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler,
-                     has_latents)
+                     has_latents, want_latents)
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
@@ -392,13 +393,14 @@ class StableDiffusionPipeline:
                 self.config.scheduler, steps, strength if is_img2img else 1.0
             )
             fn = self._build(sdef, schedule, cfg, is_img2img, size,
-                             has_latents=has_latents)
+                             has_latents=has_latents,
+                             want_latents=want_latents)
             self._compiled[cache_key] = fn
         return fn
 
     def _build(
         self, sdef: SamplerDef, schedule, cfg: bool, is_img2img: bool,
-        size: int, has_latents: bool = False,
+        size: int, has_latents: bool = False, want_latents: bool = False,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -509,6 +511,8 @@ class StableDiffusionPipeline:
             return latents
 
         def decode(params, latents):
+            if want_latents:
+                return latents.astype(jnp.float32)
             img = vae_decode(
                 latents.astype(compute_dtype), params["vae_decoder"], config.vae,
                 attention_impl=attn_impl, conv_impl=conv_impl,

@@ -94,7 +94,9 @@ class TestTxt2Img:
             "x", token_ids=TOKENS, num_inference_steps=2, seed=0,
             output="latents",
         )
-        assert lat.shape == (1, 32, 32, 3)  # decoded image as raw floats
+        # true pre-decode latents: (B, H/4, W/4, latent_channels) for the
+        # 3-level test VAE (downscale factor 4)
+        assert lat.shape == (1, 8, 8, 4)
 
 
 class TestImg2Img:
