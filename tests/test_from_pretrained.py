@@ -4,8 +4,6 @@ working pipeline — the full path the reference never implemented (SURVEY.md
 §5 checkpoint row).
 """
 
-import json
-
 import jax
 import jax.numpy as jnp
 import numpy as np
