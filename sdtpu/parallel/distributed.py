@@ -1,0 +1,62 @@
+"""Multi-host (DCN) initialization helpers (SURVEY.md §5 "failure detection"
+and §2.1 distributed rows — the reference is single-process with no comm
+backend at all).
+
+Single-host single-chip deployments (this environment) never need these; a
+multi-host pod slice calls :func:`initialize` once per process before any
+jax usage, then builds a global (dp, tp) mesh with :func:`global_mesh` —
+data parallelism rides DCN across hosts, tensor parallelism stays on ICI
+within a host, matching the BASELINE scale-out design.
+
+Failure model: JAX multi-host programs are SPMD with a coordinator; a lost
+process fails the collective and surfaces as a distinct error on every peer.
+Recovery = re-`initialize` + reload params (deterministic RNG keys make any
+generation replayable bit-for-bit, the functional substitute for
+mid-generation checkpointing).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Wire this process into a multi-host JAX cluster.  No-op when the
+    environment provides the cluster config (GKE/TPU-VM auto-detection) and
+    for single-process runs."""
+    if num_processes is not None and num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh(dp: Optional[int] = None, tp: int = 1) -> Mesh:
+    """A (dp, tp) mesh over ALL devices in the cluster.  tp should divide the
+    per-host device count so tensor-parallel collectives stay on ICI; dp
+    spans hosts over DCN.  Defaults to dp = total_devices // tp."""
+    devices = jax.devices()
+    n = len(devices)
+    if n % tp != 0:
+        raise ValueError(f"tp={tp} does not divide device count {n}")
+    dp = dp or n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp * tp} != device count {n}")
+    local = jax.local_device_count()
+    if tp > local:
+        raise ValueError(
+            f"tp={tp} exceeds local device count {local}; tensor-parallel "
+            "collectives must stay on ICI (within one host)"
+        )
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))

@@ -244,3 +244,25 @@ class TestMeshPipeline:
         np.testing.assert_allclose(
             got.astype(np.int32), expected.astype(np.int32), atol=1
         )
+
+
+class TestDistributedHelpers:
+    def test_initialize_noop_single_process(self):
+        from sdtpu.parallel.distributed import initialize
+
+        initialize(num_processes=1)  # must not raise or touch the cluster
+
+    def test_global_mesh_shapes(self):
+        from sdtpu.parallel.distributed import global_mesh
+
+        mesh = global_mesh(tp=2)
+        assert mesh.axis_names == ("dp", "tp")
+        assert mesh.devices.shape == (4, 2)
+
+    def test_global_mesh_validates(self):
+        from sdtpu.parallel.distributed import global_mesh
+
+        with pytest.raises(ValueError, match="does not divide"):
+            global_mesh(tp=3)
+        with pytest.raises(ValueError, match="dp\\*tp"):
+            global_mesh(dp=2, tp=2)
