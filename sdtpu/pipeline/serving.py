@@ -57,8 +57,26 @@ class ServingEngine:
         self.max_wait_ms = max_wait_ms
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._shutdown = threading.Event()
+        self._lock = threading.Lock()
+        self._stats = {
+            "requests": 0,
+            "batches": 0,
+            "failures": 0,
+            "batch_seconds": 0.0,
+        }
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def stats(self) -> dict:
+        """Serving counters (SURVEY.md §5 metrics row): requests served,
+        batches executed, mean batch occupancy/latency, failures."""
+        with self._lock:
+            s = dict(self._stats)
+        s["mean_batch_size"] = s["requests"] / s["batches"] if s["batches"] else 0.0
+        s["mean_batch_latency_s"] = (
+            s["batch_seconds"] / s["batches"] if s["batches"] else 0.0
+        )
+        return s
 
     # -- client API ----------------------------------------------------------
 
@@ -132,6 +150,9 @@ class ServingEngine:
             if not batch:
                 continue
             first = batch[0]
+            import time as _time
+
+            t0 = _time.perf_counter()
             try:
                 if any(r.token_ids is None for r in batch):
                     prompts = [r.prompt for r in batch]
@@ -152,7 +173,13 @@ class ServingEngine:
                 )
                 for i, req in enumerate(batch):
                     req.future.set_result(images[i])
+                with self._lock:
+                    self._stats["requests"] += len(batch)
+                    self._stats["batches"] += 1
+                    self._stats["batch_seconds"] += _time.perf_counter() - t0
             except Exception as exc:  # resolve, don't kill the worker
+                with self._lock:
+                    self._stats["failures"] += len(batch)
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(exc)

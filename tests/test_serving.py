@@ -128,3 +128,21 @@ class TestWarmup:
         pipe.generate_batch(["a", "b"], token_ids=ids, num_inference_steps=2,
                             image_size=32, seeds=[1, 2])
         assert len(pipe._compiled) == n_cached
+
+
+class TestStats:
+    def test_counters(self, pipe):
+        engine = ServingEngine(pipe, max_batch_size=4, max_wait_ms=30)
+        try:
+            futs = [engine.submit("p", token_ids=IDS, seed=i,
+                                  num_inference_steps=2, image_size=32)
+                    for i in range(3)]
+            [f.result(300) for f in futs]
+            s = engine.stats()
+        finally:
+            engine.shutdown()
+        assert s["requests"] == 3
+        assert s["batches"] >= 1
+        assert s["failures"] == 0
+        assert s["mean_batch_size"] > 0
+        assert s["mean_batch_latency_s"] > 0
