@@ -11,11 +11,18 @@ import os
 
 
 def enable_compilation_cache(path: str = "/root/.jax_cache") -> None:
-    """Enable JAX's persistent compilation cache (idempotent)."""
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    TPU-class backends only: CPU executables are AOT-compiled against exact
+    host CPU features, and a cache entry produced on a different machine (the
+    remote compile service) loads with a SIGILL hazard.
+    """
     import jax
 
-    os.makedirs(path, exist_ok=True)
     try:
+        if jax.default_backend() == "cpu":
+            return
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
