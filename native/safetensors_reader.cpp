@@ -244,7 +244,8 @@ void* sdtpu_st_open(const char* path) {
   f->size = (size_t)st.st_size;
   uint64_t header_len;
   std::memcpy(&header_len, f->base, 8);
-  if (8 + header_len > f->size ||
+  // subtraction form: "8 + header_len" can wrap on a huge/corrupt length
+  if (header_len > (uint64_t)f->size - 8 ||
       !parse_header(f, (const char*)f->base + 8, header_len)) {
     munmap(base, f->size);
     ::close(fd);
@@ -267,13 +268,36 @@ const char* sdtpu_st_name(void* h, int64_t i) {
 
 // Returns the raw data pointer, fills dtype (caller buffer >= 16 bytes),
 // shape_out (up to 8 dims), ndim_out.  NULL if unknown or out of bounds.
+static uint64_t dtype_itemsize(const std::string& d) {
+  if (d == "F64" || d == "I64" || d == "U64") return 8;
+  if (d == "F32" || d == "I32" || d == "U32") return 4;
+  if (d == "F16" || d == "BF16" || d == "I16" || d == "U16") return 2;
+  if (d == "F8_E4M3" || d == "F8_E5M2" || d == "I8" || d == "U8" || d == "BOOL")
+    return 1;
+  return 0;  // unknown — skip the size cross-check
+}
+
 const void* sdtpu_st_info(void* h, const char* name, char* dtype_out,
                           int64_t* shape_out, int64_t* ndim_out) {
   auto* f = static_cast<File*>(h);
   auto it = f->tensors.find(name);
   if (it == f->tensors.end()) return nullptr;
   const TensorInfo& t = it->second;
-  if (f->data_start + t.end > f->size || t.end < t.begin) return nullptr;
+  // subtraction-form bounds checks — sum forms wrap on corrupt uint64
+  // offsets and would pass validation (data_start <= size by construction)
+  if (t.end < t.begin || t.end > (uint64_t)(f->size - f->data_start))
+    return nullptr;
+  // cross-check data_offsets extent against shape x itemsize
+  uint64_t itemsize = dtype_itemsize(t.dtype);
+  if (itemsize) {
+    uint64_t expect = itemsize;
+    for (int64_t d : t.shape) {
+      if (d < 0) return nullptr;
+      if (d != 0 && expect > UINT64_MAX / (uint64_t)d) return nullptr;
+      expect *= (uint64_t)d;
+    }
+    if (t.end - t.begin != expect) return nullptr;
+  }
   std::strncpy(dtype_out, t.dtype.c_str(), 15);
   dtype_out[15] = 0;
   *ndim_out = (int64_t)t.shape.size();

@@ -94,14 +94,14 @@ class StableDiffusionPipeline:
         negative_prompt: str = "",
         *,
         strength: float = 0.9,
-        cfg: bool = True,
-        cfg_scale: float = 7.5,
-        num_inference_steps: int = 25,
+        cfg: Optional[bool] = None,
+        cfg_scale: Optional[float] = None,
+        num_inference_steps: Optional[int] = None,
         seed: int = 0,
         init_image: Optional[np.ndarray] = None,
         image_size: Optional[int] = None,
         token_ids: Optional[np.ndarray] = None,
-        sampler: str = "ddpm",
+        sampler: Optional[str] = None,
         num_images: int = 1,
         latents: Optional[np.ndarray] = None,
         output: str = "uint8",
@@ -127,6 +127,18 @@ class StableDiffusionPipeline:
 
         log = logging.getLogger("sdtpu.pipeline")
         t_start = _time.perf_counter()
+        # unset runtime knobs fall back to the preset's native defaults
+        # (distilled presets ship few-step samplers with guidance embedding)
+        cfg = self.config.default_cfg if cfg is None else cfg
+        cfg_scale = (
+            self.config.default_cfg_scale if cfg_scale is None else cfg_scale
+        )
+        num_inference_steps = (
+            self.config.default_steps
+            if num_inference_steps is None
+            else num_inference_steps
+        )
+        sampler = sampler or self.config.default_sampler
         if not 0.0 < strength <= 1.0:
             raise ValueError("strength must be in (0, 1]")  # pipeline.mojo:23-29
         if num_inference_steps < 1:
@@ -204,16 +216,16 @@ class StableDiffusionPipeline:
     def generate_batch(
         self,
         prompts,
-        negative_prompt: str = "",
+        negative_prompt="",  # str for the whole batch, or one str per prompt
         *,
-        cfg: bool = True,
-        cfg_scale: float = 7.5,
-        num_inference_steps: int = 25,
+        cfg: Optional[bool] = None,
+        cfg_scale: Optional[float] = None,
+        num_inference_steps: Optional[int] = None,
         seed: int = 0,
         seeds=None,
         image_size: Optional[int] = None,
         token_ids: Optional[np.ndarray] = None,
-        sampler: str = "ddpm",
+        sampler: Optional[str] = None,
         init_images: Optional[np.ndarray] = None,
         strength: float = 0.9,
         mesh=None,
@@ -234,6 +246,16 @@ class StableDiffusionPipeline:
         batched — required for the micro-batching server
         (:mod:`sdtpu.pipeline.serving`).  ``seed`` is the batch-level
         fallback."""
+        cfg = self.config.default_cfg if cfg is None else cfg
+        cfg_scale = (
+            self.config.default_cfg_scale if cfg_scale is None else cfg_scale
+        )
+        num_inference_steps = (
+            self.config.default_steps
+            if num_inference_steps is None
+            else num_inference_steps
+        )
+        sampler = sampler or self.config.default_sampler
         size = image_size or self.config.default_image_size
         if num_inference_steps < 1:
             raise ValueError("num_inference_steps must be >= 1")
@@ -252,11 +274,29 @@ class StableDiffusionPipeline:
                 [self.tokenizer.encode(p, max_length=max_len) for p in prompts]
             )
         if cfg:
+            # negative_prompt: one string for the whole batch, or one per
+            # prompt (the micro-batching server coalesces requests with
+            # DIFFERENT negative prompts — each row gets its own uncond).
+            negs = (
+                list(negative_prompt)
+                if isinstance(negative_prompt, (list, tuple))
+                else [negative_prompt] * cond.shape[0]
+            )
+            if len(negs) != cond.shape[0]:
+                raise ValueError(
+                    "negative_prompt list must match the number of prompts"
+                )
             if self.tokenizer is not None:
-                neg = self.tokenizer.encode(negative_prompt, max_length=max_len)
+                uncond = np.asarray(
+                    [self.tokenizer.encode(n, max_length=max_len) for n in negs]
+                )
             else:
-                neg = [0] * max_len
-            uncond = np.tile(np.asarray(neg)[None], (cond.shape[0], 1))
+                if any(n for n in negs):
+                    raise ValueError(
+                        "no tokenizer installed — non-empty negative prompts "
+                        "require a tokenizer (or pre-tokenize 2B token_ids)"
+                    )
+                uncond = np.tile(self._uncond_row()[None], (cond.shape[0], 1))
             ids = np.concatenate([cond, uncond])  # [cond..., uncond...]
         else:
             ids = cond
@@ -347,6 +387,18 @@ class StableDiffusionPipeline:
 
     # -- internals -----------------------------------------------------------
 
+    def _uncond_row(self) -> np.ndarray:
+        """Empty-prompt token row for CFG's unconditional branch: BOS then
+        EOS-padding (CLIP convention: 49406, 49407, 49407, ...).  Used when
+        the caller pre-tokenized only the cond row — duplicating the cond row
+        would make guidance a mathematical no-op while still paying the 2x
+        CFG batch."""
+        vocab = self.config.clip.vocab_size
+        bos, eos = vocab - 2, vocab - 1
+        row = np.full((self.config.clip.max_length,), eos, dtype=np.int64)
+        row[0] = bos
+        return row
+
     def _tokenize(self, prompt, negative_prompt, cfg, token_ids) -> jnp.ndarray:
         max_len = self.config.clip.max_length
         if token_ids is not None:
@@ -364,7 +416,11 @@ class StableDiffusionPipeline:
                 rows.append(self.tokenizer.encode(negative_prompt, max_length=max_len))
             ids = np.asarray(rows)
         if cfg and ids.shape[0] == 1:
-            ids = np.concatenate([ids, ids], axis=0)  # degenerate uncond
+            if self.tokenizer is not None:
+                neg = self.tokenizer.encode(negative_prompt, max_length=max_len)
+                ids = np.concatenate([ids, np.asarray(neg)[None]], axis=0)
+            else:
+                ids = np.concatenate([ids, self._uncond_row()[None]], axis=0)
         return jnp.asarray(ids, dtype=jnp.int32)
 
     def _prep_image(self, init_image, size) -> jnp.ndarray:
@@ -479,8 +535,11 @@ class StableDiffusionPipeline:
                     eps = uncond + cfg_scale * (cond - uncond)  # pipeline.mojo:111-119
                 if sdef.stochastic:
                     if key.ndim == 1:  # per-request keys: fold by step index
+                        # Salt space: 0 = latent-init/encoder noise, 1 =
+                        # img2img forward noise, 2+i = per-step variance
+                        # noise — disjoint so no two draws share a key.
                         subs = jax.vmap(
-                            lambda k: jax.random.fold_in(k, i + 1)
+                            lambda k: jax.random.fold_in(k, i + 2)
                         )(key)
                         noise = jax.vmap(
                             lambda k: jax.random.normal(

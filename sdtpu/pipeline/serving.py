@@ -13,9 +13,11 @@ returns the same image whether it shared a batch or not).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import List, Optional
 
@@ -38,6 +40,9 @@ class _Request:
 
     @property
     def bucket(self):
+        # negative_prompt is deliberately NOT here: rows with different
+        # negative prompts coalesce safely because generate_batch takes a
+        # per-row uncond list (one CLIP row per request).
         return (self.image_size, self.steps, self.sampler, self.cfg,
                 round(self.cfg_scale, 6))
 
@@ -56,6 +61,7 @@ class ServingEngine:
         self.max_batch_size = max_batch_size
         self.max_wait_ms = max_wait_ms
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._pending: "collections.deque[_Request]" = collections.deque()
         self._shutdown = threading.Event()
         self._lock = threading.Lock()
         self._stats = {
@@ -88,25 +94,34 @@ class ServingEngine:
         seed: int = 0,
         token_ids: Optional[np.ndarray] = None,
         image_size: Optional[int] = None,
-        num_inference_steps: int = 25,
-        sampler: str = "ddpm",
-        cfg: bool = True,
-        cfg_scale: float = 7.5,
+        num_inference_steps: Optional[int] = None,
+        sampler: Optional[str] = None,
+        cfg: Optional[bool] = None,
+        cfg_scale: Optional[float] = None,
     ) -> Future:
-        """Enqueue one txt2img request; resolves to an (H, W, 3) uint8 image."""
+        """Enqueue one txt2img request; resolves to an (H, W, 3) uint8 image.
+        Unset knobs resolve to the pipeline preset's defaults HERE so the
+        compilation bucket is well-defined."""
         if self._shutdown.is_set():
             raise RuntimeError("engine is shut down")
+        config = self.pipeline.config
         req = _Request(
             prompt=prompt,
             negative_prompt=negative_prompt,
             seed=seed,
             token_ids=token_ids,
             future=Future(),
-            image_size=image_size or self.pipeline.config.default_image_size,
-            steps=num_inference_steps,
-            sampler=sampler,
-            cfg=cfg,
-            cfg_scale=cfg_scale,
+            image_size=image_size or config.default_image_size,
+            steps=(
+                config.default_steps
+                if num_inference_steps is None
+                else num_inference_steps
+            ),
+            sampler=sampler or config.default_sampler,
+            cfg=config.default_cfg if cfg is None else cfg,
+            cfg_scale=(
+                config.default_cfg_scale if cfg_scale is None else cfg_scale
+            ),
         )
         self._queue.put(req)
         return req.future
@@ -122,15 +137,32 @@ class ServingEngine:
     # -- worker ---------------------------------------------------------------
 
     def _collect_batch(self) -> List[_Request]:
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
-            return []
+        # _pending holds requests already dequeued but not yet served
+        # (different bucket than an earlier batch) — they keep their arrival
+        # order and are always considered before new queue items.
+        if self._pending:
+            first = self._pending.popleft()
+        else:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                return []
         batch = [first]
-        deadline = threading.Event()
-        # gather same-bucket requests until full or the wait window closes
-        timeout = self.max_wait_ms / 1000.0
+        # sweep already-waiting same-bucket requests (in arrival order)
+        remaining = collections.deque()
+        for req in self._pending:
+            if len(batch) < self.max_batch_size and req.bucket == first.bucket:
+                batch.append(req)
+            else:
+                remaining.append(req)
+        self._pending = remaining
+        # one GLOBAL deadline for the whole batch window (not re-armed per
+        # item — worst-case extra queueing is max_wait_ms, period)
+        deadline = time.monotonic() + self.max_wait_ms / 1000.0
         while len(batch) < self.max_batch_size:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
             try:
                 req = self._queue.get(timeout=timeout)
             except queue.Empty:
@@ -138,21 +170,22 @@ class ServingEngine:
             if req.bucket == first.bucket:
                 batch.append(req)
             else:
-                # different bucket: push back and flush the current batch
-                self._queue.put(req)
-                break
-        del deadline
+                # different bucket: park it (keeps its position for the next
+                # batch) and keep waiting for this bucket until the deadline
+                self._pending.append(req)
         return batch
 
     def _run(self) -> None:
-        while not (self._shutdown.is_set() and self._queue.empty()):
+        while not (
+            self._shutdown.is_set()
+            and self._queue.empty()
+            and not self._pending
+        ):
             batch = self._collect_batch()
             if not batch:
                 continue
             first = batch[0]
-            import time as _time
-
-            t0 = _time.perf_counter()
+            t0 = time.perf_counter()
             try:
                 if any(r.token_ids is None for r in batch):
                     prompts = [r.prompt for r in batch]
@@ -162,7 +195,7 @@ class ServingEngine:
                     token_ids = np.stack([np.asarray(r.token_ids) for r in batch])
                 images = self.pipeline.generate_batch(
                     prompts,
-                    negative_prompt=first.negative_prompt,
+                    negative_prompt=[r.negative_prompt for r in batch],
                     cfg=first.cfg,
                     cfg_scale=first.cfg_scale,
                     num_inference_steps=first.steps,
@@ -176,7 +209,7 @@ class ServingEngine:
                 with self._lock:
                     self._stats["requests"] += len(batch)
                     self._stats["batches"] += 1
-                    self._stats["batch_seconds"] += _time.perf_counter() - t0
+                    self._stats["batch_seconds"] += time.perf_counter() - t0
             except Exception as exc:  # resolve, don't kill the worker
                 with self._lock:
                     self._stats["failures"] += len(batch)

