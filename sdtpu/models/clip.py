@@ -31,11 +31,13 @@ from sdtpu.ops import (
     linear,
     quick_gelu,
 )
-from sdtpu.ops.activations import gelu_tanh
+from sdtpu.ops.activations import gelu_erf
 
 
 def _act(name: str):
-    return quick_gelu if name == "quick_gelu" else gelu_tanh
+    # HF CLIP "gelu" is erf-exact (torch nn.GELU default) — the tanh
+    # approximation drifts ~1e-3 and breaks bit-parity with transformers.
+    return quick_gelu if name == "quick_gelu" else gelu_erf
 
 
 def encoder_layer(

@@ -9,7 +9,7 @@ onto the MXU, which replaces the reference's ``vectorize``/``parallelize``/
 (dicts of arrays) created by each op's ``init_*`` helper.
 """
 
-from sdtpu.ops.activations import silu, gelu_tanh, quick_gelu, geglu
+from sdtpu.ops.activations import silu, gelu_tanh, gelu_erf, quick_gelu, geglu
 from sdtpu.ops.attention import (
     attention,
     init_attention,
@@ -32,6 +32,7 @@ __all__ = [
     "conv2d",
     "embedding_lookup",
     "geglu",
+    "gelu_erf",
     "gelu_tanh",
     "group_norm",
     "init_attention",

@@ -29,6 +29,15 @@ def gelu_tanh(x: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def gelu_erf(x: jax.Array) -> jax.Array:
+    """Exact (erf-based) GELU — what torch ``F.gelu`` defaults to, and what
+    both diffusers' GEGLU gate and HF CLIP's "gelu" activation actually use.
+    The tanh approximation differs by up to ~1e-3, which matters for the
+    PSNR >= 40 dB fidelity target.  f32 island under bf16 compute."""
+    xf = x.astype(jnp.float32)
+    return (xf * 0.5 * (1.0 + jax.lax.erf(xf / jnp.sqrt(2.0).astype(jnp.float32)))).astype(x.dtype)
+
+
 def quick_gelu(x: jax.Array) -> jax.Array:
     """x * sigmoid(1.702 x) — CLIP's activation (``clip.mojo:49-50``)."""
     return x * jax.nn.sigmoid(1.702 * x)
@@ -37,6 +46,8 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 def geglu(x: jax.Array) -> jax.Array:
     """GeGLU: project-to-8x output split into (value, gate); value * GELU(gate)
     (``diffusion.mojo:137-140``: Linear(ch, 8ch) -> chunk(2) -> x * gelu(gate)).
-    """
+    The gate GELU is ERF-exact, matching diffusers' ``GEGLU`` (the reference's
+    Mojo ``Gelu`` is the tanh approximation — a quirk not replicated, since
+    real checkpoints were trained under the exact form)."""
     value, gate = jnp.split(x, 2, axis=-1)
-    return value * gelu_tanh(gate)
+    return value * gelu_erf(gate)

@@ -80,9 +80,8 @@ class TestClipVsTransformers:
         with torch.no_grad():
             expected = model(torch.from_numpy(ids)).last_hidden_state.numpy()
         hidden, _ = clip_encode(jnp.array(ids), params, cfg)
-        # HF "gelu" is erf-exact; ours is the tanh approximation (max err ~1e-3
-        # on activations) — tolerance reflects that; SD 1.x uses quick_gelu.
-        assert_allclose(hidden, expected, atol=5e-3, rtol=5e-2)
+        # both erf-exact now — same tight tolerance as the quick_gelu path
+        assert_allclose(hidden, expected, atol=1e-4, rtol=1e-3)
 
     def test_penultimate_hidden_state(self):
         """SDXL's bigG reads the penultimate layer."""

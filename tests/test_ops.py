@@ -121,10 +121,17 @@ class TestActivations:
         expected = t(x) * torch.sigmoid(1.702 * t(x))
         assert_allclose(ops.quick_gelu(jnp.array(x)), expected.numpy(), atol=1e-6)
 
+    def test_gelu_erf(self, rng):
+        x = rng.standard_normal(128, dtype=np.float32) * 3
+        from sdtpu.ops.activations import gelu_erf
+
+        assert_allclose(gelu_erf(jnp.array(x)), F.gelu(t(x)).numpy(), atol=1e-6)
+
     def test_geglu(self, rng):
+        # diffusers GEGLU gates with EXACT (erf) gelu, torch's F.gelu default
         x = rng.standard_normal((4, 64), dtype=np.float32)
         value, gate = torch.chunk(t(x), 2, dim=-1)
-        expected = value * F.gelu(gate, approximate="tanh")
+        expected = value * F.gelu(gate)
         assert_allclose(ops.geglu(jnp.array(x)), expected.numpy(), atol=1e-6)
 
 
