@@ -51,12 +51,21 @@ def attention(
     k = linear(ctx, params["k"]).reshape(b, ctx.shape[1], num_heads, head_dim)
     v = linear(ctx, params["v"]).reshape(b, ctx.shape[1], num_heads, head_dim)
 
-    if implementation == "flash" and not causal:
-        from sdtpu.kernels.flash_attention import flash_attention
+    out = None
+    if implementation == "ring" and not causal:
+        # sequence-parallel exact attention over the active ring_context
+        # mesh axis (SURVEY.md §5 long-context row); falls back to dense
+        # when no context is active or the token count doesn't shard.
+        from sdtpu.parallel.ring_attention import maybe_ring_attention
 
-        out = flash_attention(q, k, v)
-    else:
-        out = _xla_attention(q, k, v, causal=causal)
+        out = maybe_ring_attention(q, k, v)
+    if out is None:
+        if implementation == "flash" and not causal:
+            from sdtpu.kernels.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v)
+        else:
+            out = _xla_attention(q, k, v, causal=causal)
 
     out = out.reshape(b, lq, d)
     return linear(out, params["out"])

@@ -8,11 +8,14 @@ from sdtpu.parallel.mesh import (
     shard_params_tp,
     tp_spec_for,
 )
+from sdtpu.parallel.ring_attention import ring_attention, ring_context
 
 __all__ = [
     "batch_spec",
     "make_mesh",
     "replicate",
+    "ring_attention",
+    "ring_context",
     "shard_batch",
     "shard_params_tp",
     "tp_spec_for",

@@ -14,7 +14,10 @@ the 8-device virtual CPU mesh (the TPU analogue of multi-node testing).
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,3 +97,47 @@ def ring_attention(
         out_specs=spec,
     )
     return fn(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Model integration: ``attention_impl="ring"``
+#
+# ``sdtpu.ops.attention`` is mesh-agnostic; the mesh + ring axis are supplied
+# ambiently by wrapping the traced call (pipeline.generate / unet_forward) in
+# ``ring_context``.  The context is read at TRACE time, so the shard_map is
+# baked into the compiled program; cached compilations keep the mesh they
+# were traced under.
+# ---------------------------------------------------------------------------
+
+_ring_ctx = threading.local()
+
+
+@contextlib.contextmanager
+def ring_context(mesh: Mesh, axis_name: str = "sp"):
+    """Activate sequence-parallel ring attention for traces entered inside
+    this block (used with ``attention_impl='ring'``)."""
+    prev = getattr(_ring_ctx, "value", None)
+    _ring_ctx.value = (mesh, axis_name)
+    try:
+        yield
+    finally:
+        _ring_ctx.value = prev
+
+
+def get_ring_context() -> Optional[Tuple[Mesh, str]]:
+    return getattr(_ring_ctx, "value", None)
+
+
+def maybe_ring_attention(q, k, v):
+    """Ring attention when a context is active AND the sequence axis divides
+    the ring; None tells the caller to fall back to dense/flash.  Self-
+    attention only (Lq == Lkv): cross-attention's 77-token text context is
+    tiny and never sequence-sharded."""
+    ctx = get_ring_context()
+    if ctx is None:
+        return None
+    mesh, axis = ctx
+    n = mesh.shape[axis]
+    if q.shape[1] != k.shape[1] or q.shape[1] % n != 0 or n == 1:
+        return None
+    return ring_attention(q, k, v, mesh, axis_name=axis)

@@ -189,6 +189,93 @@ class TestRingAttention:
         assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
 
 
+class TestRingIntegration:
+    """attention_impl='ring' reachability (VERDICT round 1, item 4): a
+    sequence-sharded UNet forward must match the dense single-device run."""
+
+    def _sp_mesh(self, n=8):
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(jax.devices()[:n]), ("sp",))
+
+    def test_unet_forward_ring_matches_dense(self, rng):
+        from sdtpu.config import UNetConfig
+        from sdtpu.models.unet import init_unet, unet_forward
+        from sdtpu.parallel import ring_context
+
+        cfg = UNetConfig(
+            block_out_channels=(16, 24, 32),
+            layers_per_block=1,
+            attention_levels=(True, True, True),
+            num_attention_heads=2,
+            cross_attention_dim=16,
+            norm_num_groups=8,
+        )
+        params = init_unet(jax.random.key(0), cfg)
+        # 32x32 latents: levels see 1024/256/64 tokens — all divide 8
+        x = jnp.array(rng.standard_normal((2, 32, 32, 4), dtype=np.float32))
+        ts = jnp.full((2,), 500.0)
+        ctx = jnp.array(rng.standard_normal((2, 7, 16), dtype=np.float32))
+
+        expected = unet_forward(x, ts, ctx, params, cfg, attention_impl="xla")
+        mesh = self._sp_mesh()
+        with ring_context(mesh, "sp"):
+            got = jax.jit(
+                lambda p, a, t, c: unet_forward(
+                    a, t, c, p, cfg, attention_impl="ring"
+                )
+            )(params, x, ts, ctx)
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-3)
+
+    def test_ring_without_context_falls_back_to_dense(self, rng):
+        from sdtpu.ops import attention, init_attention
+
+        params = init_attention(jax.random.key(0), 32)
+        x = jnp.array(rng.standard_normal((1, 16, 32), dtype=np.float32))
+        a = attention(x, params, num_heads=2, implementation="ring")
+        b = attention(x, params, num_heads=2, implementation="xla")
+        assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+    def test_ring_cross_attention_falls_back(self, rng):
+        """77-token text context never shards; ring must fall back."""
+        from sdtpu.ops import attention, init_attention
+        from sdtpu.parallel import ring_context
+
+        params = init_attention(jax.random.key(0), 32, context_dim=24)
+        x = jnp.array(rng.standard_normal((1, 16, 32), dtype=np.float32))
+        ctx = jnp.array(rng.standard_normal((1, 7, 24), dtype=np.float32))
+        with ring_context(self._sp_mesh(), "sp"):
+            a = attention(x, params, num_heads=2, context=ctx,
+                          implementation="ring")
+        b = attention(x, params, num_heads=2, context=ctx,
+                      implementation="xla")
+        assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+    def test_pipeline_ring_matches_xla(self):
+        """Full generate with attention_impl='ring' under a ring_context ==
+        the plain XLA run (image_size 64 -> 256/64/16 latent tokens)."""
+        from test_pipeline import TINY
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+        from sdtpu.parallel import ring_context
+
+        ids = np.array([[1, 5, 9, 2] + [0] * 12])
+        base = StableDiffusionPipeline.from_random(TINY, seed=0)
+        expected = base.generate(
+            "x", token_ids=ids, num_inference_steps=2, seed=4, image_size=64
+        )
+        ring_pipe = StableDiffusionPipeline(
+            TINY.replace(attention_impl="ring"), base.params
+        )
+        with ring_context(self._sp_mesh(), "sp"):
+            got = ring_pipe.generate(
+                "x", token_ids=ids, num_inference_steps=2, seed=4,
+                image_size=64,
+            )
+        np.testing.assert_allclose(
+            got.astype(np.int32), expected.astype(np.int32), atol=1
+        )
+
+
 class TestTpFullUNet:
     def test_tp_sharded_unet_matches_replicated(self, rng):
         """Full UNet (convs replicated, attention/MLP tp-sharded) over a
