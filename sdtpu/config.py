@@ -140,13 +140,23 @@ class PipelineConfig:
     # Second text encoder for SDXL (None for SD 1.x / Tiny-SD).
     clip_2: Optional[CLIPConfig] = None
     default_image_size: int = 512
+    # Preset-level runtime defaults (``generate`` args left unset fall back
+    # here): distilled few-step presets (LCM, SDXL-Turbo) ship with their
+    # native sampler/step-count/guidance so ``generate(prompt)`` just works.
+    default_steps: int = 25
+    default_sampler: str = "ddpm"
+    default_cfg: bool = True
+    default_cfg_scale: float = 7.5
     # bf16 keeps matmuls/convs on the MXU fast path; fp32 islands are applied
     # inside ops where stats need them (GroupNorm/softmax accumulate in f32).
     compute_dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
     # "flash" routes UNet/VAE latent attention through the Pallas blockwise
     # kernel (sdtpu/kernels/flash_attention.py); "xla" uses dense attention;
-    # "auto" picks flash on TPU backends and xla elsewhere (CPU tests).
+    # "auto" picks flash on TPU backends and xla elsewhere (CPU tests);
+    # "ring" runs sequence-parallel ring attention over the mesh axis of an
+    # active sdtpu.parallel.ring_context (falls back to dense where the
+    # token count doesn't shard — e.g. the 77-token text context).
     attention_impl: str = "auto"
     # "fused" routes GroupNorm+SiLU through the Pallas kernel
     # (sdtpu/kernels/groupnorm_silu.py); "xla" keeps the unfused ops.
@@ -245,6 +255,39 @@ SDXL_BASE = PipelineConfig(
     default_image_size=1024,
 )
 
+# LCM-distilled SD 1.5 (e.g. SimianLuo/LCM_Dreamshaper_v7): the SD 1.5
+# architecture plus the guidance-embedding input (time_cond_proj_dim=256) —
+# guidance enters as an embedding (w = cfg_scale - 1), NOT as a CFG batch,
+# so the UNet runs batch B (not 2B) at 4-8 steps: BASELINE config 5's
+# "few-step distilled" serving shape.
+LCM_SD15 = PipelineConfig(
+    name="SimianLuo/LCM_Dreamshaper_v7",
+    clip=CLIPConfig(),
+    unet=dataclasses.replace(SD15.unet, time_cond_proj_dim=256),
+    vae=VAEConfig(),
+    scheduler=SchedulerConfig(),
+    default_steps=4,
+    default_sampler="lcm",
+    default_cfg=False,       # guidance comes through the embedding
+    default_cfg_scale=8.0,   # w = cfg_scale - 1 per the diffusers convention
+)
+
+# SDXL-Turbo (stabilityai/sdxl-turbo): adversarially distilled SDXL served
+# at 512px, 1-4 Euler steps, guidance off.
+SDXL_TURBO = PipelineConfig(
+    name="stabilityai/sdxl-turbo",
+    clip=SDXL_BASE.clip,
+    clip_2=SDXL_BASE.clip_2,
+    unet=SDXL_BASE.unet,
+    vae=SDXL_BASE.vae,
+    scheduler=SchedulerConfig(),
+    default_image_size=512,
+    default_steps=4,
+    default_sampler="euler",
+    default_cfg=False,
+    default_cfg_scale=1.0,
+)
+
 PRESETS = {
     "segmind/tiny-sd": TINY_SD,
     "tiny-sd": TINY_SD,
@@ -254,6 +297,10 @@ PRESETS = {
     "sd21": SD21,
     "stabilityai/stable-diffusion-xl-base-1.0": SDXL_BASE,
     "sdxl": SDXL_BASE,
+    "SimianLuo/LCM_Dreamshaper_v7": LCM_SD15,
+    "lcm-sd15": LCM_SD15,
+    "stabilityai/sdxl-turbo": SDXL_TURBO,
+    "sdxl-turbo": SDXL_TURBO,
 }
 
 
