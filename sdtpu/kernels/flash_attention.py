@@ -111,24 +111,60 @@ def flash_attention(
     are masked with a large negative, padded head lanes contribute zeros).
     """
     b, lq, h, d = q.shape
-    lk = k.shape[1]
-    sm_scale = 1.0 / math.sqrt(d)
+    d_pad = _ceil_to(d, 128)
+
+    # (B, L, H, D) -> (B, H, L, D_pad): Mosaic wants (seq, head_dim) as
+    # the trailing two block dims; the transpose is one fused pad+copy pass.
+    def prep(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))
+
+    out = flash_attention_packed(
+        prep(q), prep(k), prep(v), d_real=d,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return jnp.transpose(out[..., :d], (0, 2, 1, 3))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d_real", "block_q", "block_k", "interpret")
+)
+def flash_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    d_real: int,
+    block_q: int = 256,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention on head-major PRE-PADDED tensors: q (B, H, Lq, Dp),
+    k/v (B, H, Lkv, Dp) with Dp a multiple of 128 and lanes >= d_real zero.
+
+    This is the zero-copy entry: ``sdtpu.ops.attention`` folds the head
+    split + lane padding into the q/k/v projection WEIGHTS (a (C, H, Dp)
+    einsum the compiler hoists out of the denoise scan), so no pad/transpose
+    pass ever touches the (B, H, L, Dp) activations — the round-1 kernel
+    spent an HBM round trip per call on exactly that (BENCHLOG.md).
+    Returns (B, H, Lq, Dp); lanes past d_real hold zeros (PV with zero-padded
+    V), so a zero-padded out-projection consumes it directly.
+    """
+    b, h, lq, d_pad = q.shape
+    lk = k.shape[2]
+    assert d_pad % 128 == 0, d_pad
+    sm_scale = 1.0 / math.sqrt(d_real)
 
     block_q = min(block_q, _ceil_to(lq, 8))
     block_k = min(block_k, _ceil_to(lk, 128))
-    d_pad = _ceil_to(d, 128)
     lq_pad = _ceil_to(lq, block_q)
     lk_pad = _ceil_to(lk, block_k)
-
-    # (B, L, H, D) -> (B, H, L_pad, D_pad): Mosaic wants (seq, head_dim) as
-    # the trailing two block dims; the transpose is one fused pad+copy pass.
-    def prep(x, l_pad):
-        x = jnp.transpose(x, (0, 2, 1, 3))
-        return jnp.pad(
-            x, ((0, 0), (0, 0), (0, l_pad - x.shape[2]), (0, d_pad - d))
-        )
-
-    qp, kp, vp = prep(q, lq_pad), prep(k, lk_pad), prep(v, lk_pad)
+    if lq_pad != lq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
+    if lk_pad != lk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
+    qp, kp, vp = q, k, v
     num_k_blocks = lk_pad // block_k
     grid = (b, h, lq_pad // block_q, num_k_blocks)
 
@@ -178,4 +214,4 @@ def flash_attention(
         interpret=interpret,
     )(qp, kp, vp)
 
-    return jnp.transpose(out[:, :, :lq, :d], (0, 2, 1, 3))
+    return out[:, :, :lq, :]

@@ -47,6 +47,16 @@ def attention(
     head_dim = d // num_heads
     ctx = x if context is None else context
 
+    # Flash pays off for LONG key sequences (latent self-attention, 4096+
+    # keys).  Cross-attention to the 77-token text context is score-cheap
+    # but its packed (B, H, 77, 128) K/V force a Mosaic relayout copy every
+    # denoise step (~3.2 ms/step in the round-2 XProf trace) — dense XLA
+    # attention fuses those away entirely.
+    if implementation == "flash" and not causal and context is None:
+        return _flash_attention_fused_projections(
+            x, ctx, params, num_heads=num_heads, head_dim=head_dim
+        )
+
     q = linear(x, params["q"]).reshape(b, lq, num_heads, head_dim)
     k = linear(ctx, params["k"]).reshape(b, ctx.shape[1], num_heads, head_dim)
     v = linear(ctx, params["v"]).reshape(b, ctx.shape[1], num_heads, head_dim)
@@ -60,15 +70,53 @@ def attention(
 
         out = maybe_ring_attention(q, k, v)
     if out is None:
-        if implementation == "flash" and not causal:
-            from sdtpu.kernels.flash_attention import flash_attention
-
-            out = flash_attention(q, k, v)
-        else:
-            out = _xla_attention(q, k, v, causal=causal)
+        out = _xla_attention(q, k, v, causal=causal)
 
     out = out.reshape(b, lq, d)
     return linear(out, params["out"])
+
+
+def _flash_attention_fused_projections(
+    x: jax.Array, ctx: jax.Array, params: dict, *, num_heads: int,
+    head_dim: int,
+) -> jax.Array:
+    """Flash path with the head split AND the 128-lane head-dim padding
+    folded into the projection WEIGHTS.
+
+    The q/k/v kernels (C, H*Dh) are reshaped to (C, H, Dh) and zero-padded to
+    (C, H, Dp=128k); one einsum then emits q/k/v directly in the packed
+    (B, H, L, Dp) layout the Pallas kernel reads, and the out-projection
+    consumes (B, H, L, Dp) with a zero-row-padded (H, Dp, C) kernel.  The
+    weight pads/reshapes are loop-invariant — XLA hoists them out of the
+    denoise scan — so the (B, H, L, Dp) activations are produced and consumed
+    by MXU matmuls with NO separate pad/transpose pass (which cost an HBM
+    round trip per call in round 1, BENCHLOG.md)."""
+    from sdtpu.kernels.flash_attention import flash_attention_packed
+
+    d_model = num_heads * head_dim
+    d_pad = ((head_dim + 127) // 128) * 128
+
+    def head_proj(t, p):
+        w = p["kernel"].reshape(t.shape[-1], num_heads, head_dim)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, d_pad - head_dim)))
+        out = jnp.einsum("blc,chd->bhld", t, w)
+        if "bias" in p:
+            bias = p["bias"].reshape(num_heads, head_dim)
+            bias = jnp.pad(bias, ((0, 0), (0, d_pad - head_dim)))
+            out = out + bias[None, :, None, :].astype(out.dtype)
+        return out
+
+    q = head_proj(x, params["q"])
+    k = head_proj(ctx, params["k"])
+    v = head_proj(ctx, params["v"])
+    o = flash_attention_packed(q, k, v, d_real=head_dim)  # (B, H, L, Dp)
+
+    wo = params["out"]["kernel"].reshape(num_heads, head_dim, d_model)
+    wo = jnp.pad(wo, ((0, 0), (0, d_pad - head_dim), (0, 0)))
+    out = jnp.einsum("bhld,hdc->blc", o, wo)
+    if "bias" in params["out"]:
+        out = out + params["out"]["bias"].astype(out.dtype)
+    return out
 
 
 def _xla_attention(q, k, v, *, causal: bool) -> jax.Array:

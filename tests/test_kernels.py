@@ -64,22 +64,83 @@ class TestFlashAttention:
             atol=3e-2, rtol=3e-2,
         )
 
-    def test_ops_attention_flash_route(self, rng):
-        """ops.attention(implementation='flash') end-to-end vs xla route."""
+    @pytest.mark.parametrize(
+        "b,lq,lk,h,d",
+        [
+            (1, 256, 256, 2, 40),
+            (2, 128, 77, 2, 40),   # cross-attn KV padding/masking
+            (1, 300, 300, 2, 80),  # non-multiple seq len
+        ],
+    )
+    def test_packed_matches_xla(self, rng, b, lq, lk, h, d):
+        """The zero-copy (B, H, L, Dp) entry: padded lanes in, padded lanes
+        out, numbers identical to dense attention."""
+        from sdtpu.kernels.flash_attention import flash_attention_packed
+
+        q, k, v = rand_qkv(rng, b, lq, lk, h, d)
+        dp = ((d + 127) // 128) * 128
+
+        def pack(x):
+            x = jnp.transpose(x, (0, 2, 1, 3))
+            return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+
+        got = flash_attention_packed(
+            pack(q), pack(k), pack(v), d_real=d,
+            block_q=128, block_k=128, interpret=True,
+        )
+        expected = _xla_attention(q, k, v, causal=False)
+        assert_allclose(
+            jnp.transpose(got[..., :d], (0, 2, 1, 3)), expected,
+            atol=2e-5, rtol=2e-5,
+        )
+        # padded output lanes must be exactly zero (consumed by a zero-row
+        # out-projection without masking)
+        assert float(jnp.abs(got[..., d:]).max()) == 0.0
+
+    @pytest.mark.parametrize("qkv_bias", [False, True])
+    def test_ops_attention_flash_route(self, rng, qkv_bias):
+        """ops.attention(implementation='flash') — the fused-projection
+        path (head split + lane pad folded into the weights) vs xla route."""
         from sdtpu.ops import attention, init_attention
         import sdtpu.kernels.flash_attention as fa
 
-        params = init_attention(jax.random.key(0), 32)
+        params = init_attention(jax.random.key(0), 32, qkv_bias=qkv_bias)
         x = jnp.array(rng.standard_normal((1, 128, 32), dtype=np.float32))
         expected = attention(x, params, num_heads=2, implementation="xla")
-        # monkeypatch interpret mode through the flash path
-        orig = fa.flash_attention
+        orig = fa.flash_attention_packed
         try:
-            fa.flash_attention = lambda q, k, v: orig(q, k, v, interpret=True)
+            fa.flash_attention_packed = functools.partial(orig, interpret=True)
             got = attention(x, params, num_heads=2, implementation="flash")
         finally:
-            fa.flash_attention = orig
+            fa.flash_attention_packed = orig
         assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+    def test_ops_cross_attention_flash_routes_to_dense(self, rng):
+        """implementation='flash' uses DENSE attention for cross-attention
+        (77 text keys are score-cheap; the packed flash K/V layout costs a
+        per-step relayout copy — XProf round 2) — results must be identical
+        to the xla route, and the Pallas kernel must NOT be invoked."""
+        from sdtpu.ops import attention, init_attention
+        import sdtpu.kernels.flash_attention as fa
+
+        params = init_attention(jax.random.key(0), 32, context_dim=24,
+                                qkv_bias=False)
+        x = jnp.array(rng.standard_normal((2, 128, 32), dtype=np.float32))
+        ctx = jnp.array(rng.standard_normal((2, 77, 24), dtype=np.float32))
+        expected = attention(x, params, num_heads=2, context=ctx,
+                             implementation="xla")
+
+        def boom(*a, **kw):
+            raise AssertionError("flash kernel must not run for cross-attn")
+
+        orig = fa.flash_attention_packed
+        try:
+            fa.flash_attention_packed = boom
+            got = attention(x, params, num_heads=2, context=ctx,
+                            implementation="flash")
+        finally:
+            fa.flash_attention_packed = orig
+        assert_allclose(got, expected, atol=1e-6, rtol=1e-6)
 
 
 class TestGroupNormSilu:
@@ -181,6 +242,50 @@ class TestFusedGnSiluConv:
         got = gn_silu_conv3x3(
             x, norm, k, cb, num_groups=g, temb=t, co_tile=64, interpret=True
         )
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+    def test_residual_fold_matches_unfused(self, rng):
+        """The in-kernel residual epilogue (skip add folded into the conv
+        custom call) must equal conv + add."""
+        from sdtpu.kernels.conv2d import gn_silu_conv3x3
+        from sdtpu.ops import conv2d, group_norm, silu
+
+        b, h, w, ci, co, g = 1, 8, 8, 32, 64, 8
+        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
+        res = jnp.array(rng.standard_normal((b, h, w, co), dtype=np.float32))
+        norm = {
+            "scale": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+            "bias": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+        }
+        k = jnp.array(rng.standard_normal((3, 3, ci, co), dtype=np.float32)) * 0.1
+        cb = jnp.array(rng.standard_normal(co, dtype=np.float32))
+        expected = res + conv2d(
+            silu(group_norm(x, norm, num_groups=g)), k, cb, padding=1
+        )
+        got = gn_silu_conv3x3(
+            x, norm, k, cb, num_groups=g, residual=res, co_tile=64,
+            interpret=True,
+        )
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+    def test_resnet_block_fused_path_with_shortcut(self, rng):
+        """Channel-changing resblock (1x1 conv shortcut) through the fused
+        gemm path vs the XLA path."""
+        import sdtpu.kernels.conv2d as ck
+        from sdtpu.models.unet import _init_resnet, resnet_block
+
+        params = _init_resnet(jax.random.key(1), 128, 256, 48,
+                              dtype=jnp.float32)
+        x = jnp.array(rng.standard_normal((1, 8, 8, 128), dtype=np.float32))
+        temb = jnp.array(rng.standard_normal((1, 48), dtype=np.float32))
+        expected = resnet_block(x, temb, params, num_groups=8, conv_impl="xla")
+        orig_f, orig_c = ck.gn_silu_conv3x3, ck.conv3x3_gemm
+        try:
+            ck.gn_silu_conv3x3 = functools.partial(orig_f, interpret=True)
+            ck.conv3x3_gemm = functools.partial(orig_c, interpret=True)
+            got = resnet_block(x, temb, params, num_groups=8, conv_impl="gemm")
+        finally:
+            ck.gn_silu_conv3x3, ck.conv3x3_gemm = orig_f, orig_c
         assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
 
     def test_resnet_block_fused_path_matches_xla_path(self, rng):
