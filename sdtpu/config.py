@@ -162,11 +162,13 @@ class PipelineConfig:
     # (sdtpu/kernels/groupnorm_silu.py); "xla" keeps the unfused ops.
     norm_impl: str = "xla"
     # "gemm" routes 3x3 stride-1 convs through the Pallas implicit-GEMM
-    # kernel (sdtpu/kernels/conv2d.py; 1.1-2.3x over XLA in isolation, but
-    # end-to-end neutral at tiny-sd/512 because the custom calls break XLA's
-    # surrounding fusions — see BENCHLOG.md); "auto" currently keeps XLA
-    # convs, the fastest measured end-to-end configuration.
-    conv_impl: str = "xla"
+    # kernel (sdtpu/kernels/conv2d.py) with the GN+SiLU(+time) prologue and
+    # the bias+residual epilogue fused in-kernel.  Round 1's version was e2e
+    # neutral-to-negative (the custom call broke XLA's surrounding fusions);
+    # folding the resblock skip into the epilogue made it e2e-positive
+    # (BENCHLOG.md round-2 A/B: 13.39 -> 12.99 ms/step vs XLA convs).
+    # "auto" picks gemm on TPU backends and xla elsewhere (CPU tests).
+    conv_impl: str = "auto"
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

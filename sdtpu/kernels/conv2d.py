@@ -92,15 +92,19 @@ def fits_fused(x_shape, kernel_shape) -> bool:
 
 
 def _fused_kernel(
-    x_ref, a_ref, s_ref, b_ref, t_ref, k_ref, o_ref, *, h, w, eps, has_t
+    x_ref, a_ref, s_ref, b_ref, t_ref, k_ref, cb_ref, r_ref, o_ref,
+    *, h, w, eps, has_t, has_res,
 ):
-    """GN(+t) -> SiLU -> 3x3 conv, entirely in VMEM.
+    """GN(+t) -> SiLU -> 3x3 conv (+bias) (+residual), entirely in VMEM.
 
     The resblock's conv prologue (GN -> SiLU, optionally preceded by the
     time-embedding add, ``diffusion.mojo:54-66``) is recomputed per co-tile —
     cheap VPU work — so the feature map makes exactly ONE HBM round trip per
     resblock conv instead of XLA's separate normalize/activation passes
-    around an unfused custom call.
+    around an unfused custom call.  The conv bias and the resblock's residual
+    add (``diffusion.mojo:70-72``) are folded into the epilogue for the same
+    reason: XLA cannot fuse elementwise work INTO a custom call, so leaving
+    them outside costs a full-map HBM round trip each.
     """
     x = x_ref[0]  # (H, W, Ci), compute dtype
     ci = x.shape[-1]
@@ -125,7 +129,11 @@ def _fused_kernel(
             acc = acc + jnp.dot(
                 xs, k_ref[dy, dx], preferred_element_type=jnp.float32
             )
-    o_ref[0] = acc.reshape(h, w, co).astype(o_ref.dtype)
+    acc = acc + cb_ref[...]  # conv bias, (1, co) broadcast
+    out = acc.reshape(h, w, co)
+    if has_res:
+        out = out + r_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -140,13 +148,16 @@ def gn_silu_conv3x3(
     num_groups: int = 32,
     eps: float = 1e-5,
     temb=None,
+    residual=None,
     co_tile: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused (x [+ temb]) -> GroupNorm -> SiLU -> 3x3 same conv.
+    """Fused (x [+ temb]) -> GroupNorm -> SiLU -> 3x3 same conv (+bias)
+    (+residual).
 
     x: (B, H, W, Ci); temb: optional (B, Ci) per-batch channel bias (the
-    resblock's time-embedding projection); kernel HWIO."""
+    resblock's time-embedding projection); residual: optional (B, H, W, Co)
+    added to the conv output in-kernel (the resblock skip); kernel HWIO."""
     from sdtpu.kernels.groupnorm_silu import _avg_matrix_cached
 
     b, h, w, ci = x.shape
@@ -164,9 +175,26 @@ def gn_silu_conv3x3(
         if has_t
         else jnp.zeros((b, 1, ci), jnp.float32)
     )
+    cb = (
+        conv_bias.astype(jnp.float32).reshape(1, co)
+        if conv_bias is not None
+        else jnp.zeros((1, co), jnp.float32)
+    )
+    if co_pad != co:
+        cb = jnp.pad(cb, ((0, 0), (0, co_pad - co)))
+    has_res = residual is not None
+    if has_res:
+        res = residual
+        if co_pad != co:
+            res = jnp.pad(res, ((0, 0), (0, 0), (0, 0), (0, co_pad - co)))
+    else:
+        res = jnp.zeros((b, 1, 1, co_pad), x.dtype)
+    res_h, res_w = (h, w) if has_res else (1, 1)
 
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, h=h, w=w, eps=eps, has_t=has_t),
+        functools.partial(
+            _fused_kernel, h=h, w=w, eps=eps, has_t=has_t, has_res=has_res
+        ),
         out_shape=jax.ShapeDtypeStruct((b, h, w, co_pad), x.dtype),
         grid=(b, co_pad // co_tile),
         in_specs=[
@@ -182,6 +210,13 @@ def gn_silu_conv3x3(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, ci, co_tile), lambda bi, oi: (0, 0, 0, oi),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda bi, oi: (0, oi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, res_h, res_w, co_tile),
+                lambda bi, oi: (bi, 0, 0, oi),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, h, w, co_tile), lambda bi, oi: (bi, 0, 0, oi),
@@ -192,24 +227,27 @@ def gn_silu_conv3x3(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, a, scale, bias, t, kernel)
+    )(x, a, scale, bias, t, kernel, cb, res)
 
-    out = out[..., :co]
-    if conv_bias is not None:
-        out = out + conv_bias.astype(out.dtype)
-    return out
+    return out[..., :co]
 
 
-def plan_fused_co_tile(x_shape, kernel_shape, num_groups: int = 32):
-    """Planner for the fused GN+SiLU+conv path (adds the A matrix and the
-    normalized + padded copies of the map to the budget)."""
+def plan_fused_co_tile(
+    x_shape, kernel_shape, num_groups: int = 32, *, has_residual: bool = False
+):
+    """Planner for the fused GN+SiLU+conv path (adds the A matrix, the
+    normalized + padded copies of the map, and the optional in-kernel
+    residual block to the budget)."""
     b, h, w, ci = x_shape
     kh, kw, _, co = kernel_shape
     if plan_co_tile(x_shape, kernel_shape) is None or ci % num_groups != 0:
         return None
     extra = ci * ci * 4 + (h + 2) * (w + 2) * ci * 2  # A + padded copy
     for co_tile in _co_tile_candidates(co):
-        if _vmem_estimate(h, w, ci, co_tile) + extra <= _VMEM_BUDGET:
+        need = _vmem_estimate(h, w, ci, co_tile) + extra
+        if has_residual:
+            need += h * w * co_tile * 2 * 2  # double-buffered residual block
+        if need <= _VMEM_BUDGET:
             return co_tile
     return None
 

@@ -92,31 +92,43 @@ def resnet_block(
         )
         mid_shape = x.shape[:-1] + (params["conv1"]["kernel"].shape[-1],)
         ct2 = plan_fused_co_tile(
-            mid_shape, params["conv2"]["kernel"].shape, num_groups
+            mid_shape, params["conv2"]["kernel"].shape, num_groups,
+            has_residual=True,
         )
         if ct1 is not None and ct2 is not None:
             fused = (ct1, ct2)
     if fused is not None:
-        # one HBM round trip per conv: GN(+t) + SiLU live inside the kernel
+        # one HBM round trip per conv: GN(+t) + SiLU live inside the kernel,
+        # and the second conv's epilogue consumes the skip add — XLA can't
+        # fuse elementwise work around a custom call, so the round-1 version
+        # paid an extra full-map pass for the residual (BENCHLOG.md conv
+        # ablation: e2e neutral despite 1.1-2.3x isolated kernel wins)
+        shortcut = x
+        if "conv_shortcut" in params:
+            shortcut = conv2d(
+                x,
+                params["conv_shortcut"]["kernel"],
+                params["conv_shortcut"]["bias"],
+                padding=0,
+            )
         h = gn_silu_conv3x3(
             x, params["norm1"], params["conv1"]["kernel"],
             params["conv1"]["bias"], num_groups=num_groups, co_tile=fused[0],
         )
-        h = gn_silu_conv3x3(
+        return gn_silu_conv3x3(
             h, params["norm2"], params["conv2"]["kernel"],
             params["conv2"]["bias"], num_groups=num_groups, temb=t,
-            co_tile=fused[1],
+            residual=shortcut, co_tile=fused[1],
         )
-    else:
-        h = _gn_silu(x, params["norm1"], num_groups=num_groups,
-                     norm_impl=norm_impl)
-        h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"],
-                   padding=1, impl=conv_impl)
-        h = h + t.astype(h.dtype)[:, None, None, :]
-        h = _gn_silu(h, params["norm2"], num_groups=num_groups,
-                     norm_impl=norm_impl)
-        h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"],
-                   padding=1, impl=conv_impl)
+    h = _gn_silu(x, params["norm1"], num_groups=num_groups,
+                 norm_impl=norm_impl)
+    h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"],
+               padding=1, impl=conv_impl)
+    h = h + t.astype(h.dtype)[:, None, None, :]
+    h = _gn_silu(h, params["norm2"], num_groups=num_groups,
+                 norm_impl=norm_impl)
+    h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"],
+               padding=1, impl=conv_impl)
     if "conv_shortcut" in params:
         x = conv2d(
             x,
