@@ -37,7 +37,7 @@ from sdtpu.models.clip import clip_encode
 from sdtpu.models.unet import unet_forward
 from sdtpu.models.vae import vae_decode, vae_encode
 from sdtpu.samplers import SamplerDef, get_sampler
-from sdtpu.utils.image import from_uint8, to_uint8
+from sdtpu.utils.image import from_uint8
 
 
 class StableDiffusionPipeline:
@@ -70,19 +70,34 @@ class StableDiffusionPipeline:
             config = config.replace(param_dtype=dtype, compute_dtype=dtype)
         params = load_pipeline_params(model_dir, config)
         tok_dir = os.path.join(model_dir, "tokenizer")
-        tokenizer = CLIPTokenizer.from_pretrained(tok_dir) if os.path.isdir(tok_dir) else None
+        if os.path.isdir(tok_dir):
+            tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
+        else:  # fall back to repo assets (tools/prepare_tokenizer.py)
+            tokenizer = CLIPTokenizer.from_default_assets()
         return cls(config, params, tokenizer)
 
     @classmethod
     def from_random(
-        cls, preset: Union[str, PipelineConfig], *, seed: int = 0, tokenizer=None
+        cls, preset: Union[str, PipelineConfig], *, seed: int = 0,
+        tokenizer="auto",
     ) -> "StableDiffusionPipeline":
         """Random-init weights (benchmarks, tests; perf is weight-value
         independent — the reference only ever runs this way,
-        ``utils.mojo:1719-1726``)."""
+        ``utils.mojo:1719-1726``).  ``tokenizer="auto"`` picks up repo
+        assets (``assets/tokenizer``, written by tools/prepare_tokenizer.py)
+        when present — but only for real-vocab-sized configs, since a tiny
+        test CLIP can't embed 49408 ids."""
         from sdtpu.utils.weights import init_pipeline_params
 
         config = preset if isinstance(preset, PipelineConfig) else get_preset(preset)
+        if tokenizer == "auto":
+            from sdtpu.tokenizer.bpe import CLIPTokenizer
+
+            tokenizer = CLIPTokenizer.from_default_assets()
+            if tokenizer is not None and (
+                len(tokenizer.vocab) > config.clip.vocab_size
+            ):
+                tokenizer = None
         params = init_pipeline_params(jax.random.key(seed), config)
         return cls(config, params, tokenizer)
 
@@ -104,6 +119,7 @@ class StableDiffusionPipeline:
         sampler: Optional[str] = None,
         num_images: int = 1,
         latents: Optional[np.ndarray] = None,
+        rng: str = "jax",
         output: str = "uint8",
         verbose: bool = False,
     ):
@@ -121,7 +137,14 @@ class StableDiffusionPipeline:
         in-jit draw — the numerical-parity affordance for A/B against
         diffusers under torch RNG (SURVEY.md §7 "hard parts": JAX RNG != torch
         RNG, so exact-fidelity comparisons feed the same noise fixture to
-        both).  txt2img only."""
+        both).  txt2img only.
+
+        ``rng="torch"``: draw the initial latents EXACTLY as diffusers does —
+        ``torch.randn((B, C, h, w), generator=manual_seed(seed))`` NCHW, then
+        transposed — so with real weights and a deterministic sampler the
+        same seed reproduces the same image as the diffusers pipeline.
+        txt2img + deterministic samplers (per-step variance noise still comes
+        from jax.random for stochastic samplers)."""
         import logging
         import time as _time
 
@@ -175,6 +198,23 @@ class StableDiffusionPipeline:
 
         ids = self._tokenize(prompt, negative_prompt, cfg, token_ids)
         is_img2img = init_image is not None
+        if rng == "torch":
+            if is_img2img or latents is not None:
+                raise ValueError("rng='torch' is txt2img-only")
+            import torch as _torch
+
+            g = _torch.Generator().manual_seed(seed)
+            lat_hw = size // self.config.vae.downscale_factor
+            latents = (
+                _torch.randn(
+                    (1, self.config.vae.latent_channels, lat_hw, lat_hw),
+                    generator=g,
+                )
+                .numpy()
+                .transpose(0, 2, 3, 1)
+            )
+        elif rng != "jax":
+            raise ValueError(f"unknown rng {rng!r} (expected 'jax' or 'torch')")
         if latents is not None and is_img2img:
             raise ValueError("latents injection is txt2img-only")
         strength_key = round(strength, 6) if is_img2img else 1.0
@@ -182,27 +222,29 @@ class StableDiffusionPipeline:
             size, num_inference_steps, cfg, is_img2img, strength_key,
             ids.shape[0], sampler, has_latents=latents is not None,
             want_latents=output == "latents",
+            want_uint8=output == "uint8",
         )
 
-        key = jax.random.key(seed)
-        cfg_scale_arr = jnp.float32(cfg_scale)
+        # seed and cfg_scale travel as HOST scalars into the jit call (the
+        # key is built in-jit): eager jax.random.key / jnp.float32 each cost
+        # a device round trip through the relay before the real dispatch
+        seed_arr = np.uint32(seed)
+        cfg_scale_arr = np.float32(cfg_scale)
         if is_img2img:
             image = self._prep_image(init_image, size)
-            images = fn(self.params, ids, image, cfg_scale_arr, key)
+            images = fn(self.params, ids, image, cfg_scale_arr, seed_arr)
         elif latents is not None:
-            lat0 = jnp.asarray(latents, jnp.float32)
+            lat0 = np.asarray(latents, np.float32)
             if lat0.ndim == 3:
                 lat0 = lat0[None]
-            images = fn(self.params, ids, lat0, cfg_scale_arr, key)
+            images = fn(self.params, ids, lat0, cfg_scale_arr, seed_arr)
         else:
-            images = fn(self.params, ids, cfg_scale_arr, key)
+            images = fn(self.params, ids, cfg_scale_arr, seed_arr)
 
-        if output == "latents":
-            result = np.asarray(images)
-        elif output == "float":
+        if output == "float":
             result = np.asarray(images, dtype=np.float32)
-        else:
-            result = to_uint8(images)
+        else:  # "latents" or device-packed "uint8"
+            result = np.asarray(images)
         if verbose:
             log.info(
                 "generate: %dx%d %s steps=%d cfg=%s sampler=%s seed=%d "
@@ -300,20 +342,21 @@ class StableDiffusionPipeline:
             ids = np.concatenate([cond, uncond])  # [cond..., uncond...]
         else:
             ids = cond
-        ids = jnp.asarray(ids, dtype=jnp.int32)
+        ids = np.asarray(ids, dtype=np.int32)
         is_img2img = init_images is not None
         if is_img2img and not 0.0 < strength <= 1.0:
             raise ValueError("strength must be in (0, 1]")
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img,
             round(strength, 6) if is_img2img else 1.0, ids.shape[0], sampler,
+            want_uint8=output == "uint8",
         )
         if seeds is not None:
             if len(seeds) != cond.shape[0]:
                 raise ValueError("seeds must match the number of prompts")
-            key = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
+            key = np.asarray(seeds, np.uint32)  # (B,) -> per-request keys in-jit
         else:
-            key = jax.random.key(seed)
+            key = np.uint32(seed)
 
         params = self.params
         if mesh is not None:
@@ -343,7 +386,7 @@ class StableDiffusionPipeline:
             images = fn(params, ids, jnp.float32(cfg_scale), key)
         if output == "float":
             return np.asarray(images, dtype=np.float32)
-        return to_uint8(images)
+        return np.asarray(images)  # device-packed uint8
 
     def warmup(
         self,
@@ -421,7 +464,7 @@ class StableDiffusionPipeline:
                 ids = np.concatenate([ids, np.asarray(neg)[None]], axis=0)
             else:
                 ids = np.concatenate([ids, self._uncond_row()[None]], axis=0)
-        return jnp.asarray(ids, dtype=jnp.int32)
+        return np.asarray(ids, dtype=np.int32)  # host array; jit transfers once
 
     def _prep_image(self, init_image, size) -> jnp.ndarray:
         from sdtpu.ops.resize import resize_image
@@ -438,10 +481,10 @@ class StableDiffusionPipeline:
 
     def _get_compiled(
         self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
-        has_latents=False, want_latents=False,
+        has_latents=False, want_latents=False, want_uint8=False,
     ):
         cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler,
-                     has_latents, want_latents)
+                     has_latents, want_latents, want_uint8)
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
@@ -450,13 +493,15 @@ class StableDiffusionPipeline:
             )
             fn = self._build(sdef, schedule, cfg, is_img2img, size,
                              has_latents=has_latents,
-                             want_latents=want_latents)
+                             want_latents=want_latents,
+                             want_uint8=want_uint8)
             self._compiled[cache_key] = fn
         return fn
 
     def _build(
         self, sdef: SamplerDef, schedule, cfg: bool, is_img2img: bool,
         size: int, has_latents: bool = False, want_latents: bool = False,
+        want_uint8: bool = False,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -575,12 +620,29 @@ class StableDiffusionPipeline:
             img = vae_decode(
                 latents.astype(compute_dtype), params["vae_decoder"], config.vae,
                 attention_impl=attn_impl, conv_impl=conv_impl,
-            )
-            return img.astype(jnp.float32)
+            ).astype(jnp.float32)
+            if want_uint8:
+                # uint8 packing ON DEVICE (pipeline.mojo:127's rescale+clamp):
+                # the host fetches 1 byte/px instead of 4 — the device->host
+                # relay is a measurable slice of end-to-end latency
+                img = jnp.clip(
+                    jnp.round((img + 1.0) * 127.5), 0.0, 255.0
+                ).astype(jnp.uint8)
+            return img
+
+        def make_key(seeds):
+            """Raw uint32 seed(s) -> typed PRNG key(s), inside the jit (the
+            caller passes host scalars; building keys eagerly costs a relay
+            round trip per call).  () -> scalar key; (B,) -> per-request."""
+            seeds = jnp.asarray(seeds, jnp.uint32)
+            if seeds.ndim == 0:
+                return jax.random.key(seeds)
+            return jax.vmap(jax.random.key)(seeds)
 
         if is_img2img:
 
             def run(params, ids, image, cfg_scale, key):
+                key = make_key(key)
                 context, added = encode_context(params, ids)
                 batch = image.shape[0]
                 lat_shape = (lat_size, lat_size, latent_ch)
@@ -612,6 +674,7 @@ class StableDiffusionPipeline:
         elif has_latents:
 
             def run(params, ids, lat0, cfg_scale, key):
+                key = make_key(key)
                 context, added = encode_context(params, ids)
                 # user-supplied N(0,1) fixture; sigma-space samplers scale
                 latents = lat0 * getattr(schedule, "init_sigma", 1.0)
@@ -621,6 +684,7 @@ class StableDiffusionPipeline:
         else:
 
             def run(params, ids, cfg_scale, key):
+                key = make_key(key)
                 context, added = encode_context(params, ids)
                 batch = ids.shape[0] // 2 if cfg else ids.shape[0]
                 if key.ndim == 1:

@@ -42,8 +42,10 @@ TINY = PipelineConfig(
 
 
 @pytest.fixture(scope="module")
-def pipe():
-    return StableDiffusionPipeline.from_random(TINY, seed=0)
+def pipe(tiny_pipe):
+    # the suite-wide shared pipeline (conftest) — same TINY config, seed 0;
+    # sharing the object shares its compiled-program cache across modules
+    return tiny_pipe
 
 
 TOKENS = np.array([[1, 5, 9, 2] + [0] * 12, [1, 2] + [0] * 14])
@@ -66,6 +68,25 @@ class TestTxt2Img:
         a = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2, seed=1)
         b = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2, seed=2)
         assert (a != b).any()
+
+    def test_torch_rng_matches_explicit_torch_latents(self, pipe):
+        """rng='torch' must equal feeding the diffusers-convention torch
+        initial noise through the latents= fixture path (seed-for-seed
+        diffusers compatibility)."""
+        import torch
+
+        g = torch.Generator().manual_seed(1234)
+        lat = torch.randn((1, 4, 8, 8), generator=g).numpy().transpose(0, 2, 3, 1)
+        a = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                          seed=1234, sampler="ddim", rng="torch")
+        b = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                          seed=0, sampler="ddim", latents=lat)
+        np.testing.assert_array_equal(a, b)
+
+    def test_torch_rng_img2img_rejected(self, pipe):
+        with pytest.raises(ValueError, match="txt2img-only"):
+            pipe.generate("x", token_ids=TOKENS, rng="torch",
+                          init_image=np.zeros((32, 32, 3), np.uint8))
 
     def test_cfg_scale_changes_output_without_recompile(self, pipe):
         a = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
