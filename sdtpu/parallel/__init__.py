@@ -8,10 +8,14 @@ from sdtpu.parallel.mesh import (
     shard_params_tp,
     tp_spec_for,
 )
+from sdtpu.parallel.distributed import global_mesh, health_check, initialize
 from sdtpu.parallel.ring_attention import ring_attention, ring_context
 
 __all__ = [
     "batch_spec",
+    "global_mesh",
+    "health_check",
+    "initialize",
     "make_mesh",
     "replicate",
     "ring_attention",

@@ -41,6 +41,43 @@ def initialize(
     )
 
 
+def health_check(mesh: Optional[Mesh] = None) -> dict:
+    """Heartbeat over the device fleet (SURVEY.md §5 failure-detection row):
+    per-device round trips plus one all-device collective, so a wedged chip
+    or broken ICI path surfaces as a structured report instead of a hang
+    deep inside a generation.
+
+    Returns {"ok", "devices": n, "device_errors": {idx: msg},
+    "collective_ok"}.  Cheap enough to run between serving batches.
+    """
+    import jax.numpy as jnp
+
+    devices = list(mesh.devices.ravel()) if mesh is not None else jax.devices()
+    report = {"devices": len(devices), "device_errors": {}, "collective_ok": False}
+    for i, d in enumerate(devices):
+        try:
+            x = jax.device_put(jnp.float32(i), d)
+            if float(x) != float(i):
+                report["device_errors"][i] = "round-trip value mismatch"
+        except Exception as exc:  # surface, don't raise — this IS the probe
+            report["device_errors"][i] = repr(exc)
+    try:
+        hb = Mesh(np.asarray(devices), ("hb",))
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ones = jnp.ones((len(devices),), jnp.float32)
+        total = shard_map(
+            lambda x: jax.lax.psum(x, "hb"),
+            mesh=hb, in_specs=P("hb"), out_specs=P("hb"),
+        )(ones)
+        report["collective_ok"] = float(np.asarray(total)[0]) == len(devices)
+    except Exception as exc:
+        report["collective_error"] = repr(exc)
+    report["ok"] = not report["device_errors"] and report["collective_ok"]
+    return report
+
+
 def global_mesh(dp: Optional[int] = None, tp: int = 1) -> Mesh:
     """A (dp, tp) mesh over ALL devices in the cluster.  tp should divide the
     per-host device count so tensor-parallel collectives stay on ICI; dp

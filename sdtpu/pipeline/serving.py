@@ -56,10 +56,15 @@ class ServingEngine:
         *,
         max_batch_size: int = 8,
         max_wait_ms: float = 20.0,
+        max_retries: int = 1,
     ):
         self.pipeline = pipeline
         self.max_batch_size = max_batch_size
         self.max_wait_ms = max_wait_ms
+        # transient-failure recovery: system errors (device resets, tunnel
+        # hiccups) retry the whole batch; request errors (ValueError /
+        # TypeError) never retry — they are deterministic
+        self.max_retries = max_retries
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._pending: "collections.deque[_Request]" = collections.deque()
         self._shutdown = threading.Event()
@@ -68,6 +73,7 @@ class ServingEngine:
             "requests": 0,
             "batches": 0,
             "failures": 0,
+            "retries": 0,
             "batch_seconds": 0.0,
         }
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -186,33 +192,42 @@ class ServingEngine:
                 continue
             first = batch[0]
             t0 = time.perf_counter()
-            try:
-                if any(r.token_ids is None for r in batch):
-                    prompts = [r.prompt for r in batch]
-                    token_ids = None
-                else:
-                    prompts = [r.prompt for r in batch]
-                    token_ids = np.stack([np.asarray(r.token_ids) for r in batch])
-                images = self.pipeline.generate_batch(
-                    prompts,
-                    negative_prompt=[r.negative_prompt for r in batch],
-                    cfg=first.cfg,
-                    cfg_scale=first.cfg_scale,
-                    num_inference_steps=first.steps,
-                    seeds=[r.seed for r in batch],
-                    image_size=first.image_size,
-                    token_ids=token_ids,
-                    sampler=first.sampler,
-                )
-                for i, req in enumerate(batch):
-                    req.future.set_result(images[i])
-                with self._lock:
-                    self._stats["requests"] += len(batch)
-                    self._stats["batches"] += 1
-                    self._stats["batch_seconds"] += time.perf_counter() - t0
-            except Exception as exc:  # resolve, don't kill the worker
-                with self._lock:
-                    self._stats["failures"] += len(batch)
-                for req in batch:
-                    if not req.future.done():
-                        req.future.set_exception(exc)
+            if any(r.token_ids is None for r in batch):
+                token_ids = None
+            else:
+                token_ids = np.stack([np.asarray(r.token_ids) for r in batch])
+            prompts = [r.prompt for r in batch]
+            for attempt in range(self.max_retries + 1):
+                try:
+                    images = self.pipeline.generate_batch(
+                        prompts,
+                        negative_prompt=[r.negative_prompt for r in batch],
+                        cfg=first.cfg,
+                        cfg_scale=first.cfg_scale,
+                        num_inference_steps=first.steps,
+                        seeds=[r.seed for r in batch],
+                        image_size=first.image_size,
+                        token_ids=token_ids,
+                        sampler=first.sampler,
+                    )
+                    for i, req in enumerate(batch):
+                        req.future.set_result(images[i])
+                    with self._lock:
+                        self._stats["requests"] += len(batch)
+                        self._stats["batches"] += 1
+                        self._stats["batch_seconds"] += (
+                            time.perf_counter() - t0
+                        )
+                    break
+                except Exception as exc:  # resolve, don't kill the worker
+                    deterministic = isinstance(exc, (ValueError, TypeError))
+                    if not deterministic and attempt < self.max_retries:
+                        with self._lock:
+                            self._stats["retries"] += 1
+                        continue  # transient system error: retry the batch
+                    with self._lock:
+                        self._stats["failures"] += len(batch)
+                    for req in batch:
+                        if not req.future.done():
+                            req.future.set_exception(exc)
+                    break

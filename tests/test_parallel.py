@@ -310,13 +310,10 @@ class TestTpFullUNet:
 
 
 class TestMeshPipeline:
-    def test_generate_batch_over_mesh_matches_single_device(self):
+    def test_generate_batch_over_mesh_matches_single_device(self, tiny_pipe):
         """Full pipeline sharded over an 8-way dp mesh: same images as the
         unsharded run (per-request keys make rows independent)."""
-        from test_pipeline import TINY
-        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
-
-        pipe = StableDiffusionPipeline.from_random(TINY, seed=0)
+        pipe = tiny_pipe
         ids = np.tile(np.array([[1, 5, 9, 2] + [0] * 12]), (8, 1))
         seeds = list(range(8))
         expected = pipe.generate_batch(
@@ -331,6 +328,24 @@ class TestMeshPipeline:
         np.testing.assert_allclose(
             got.astype(np.int32), expected.astype(np.int32), atol=1
         )
+
+
+class TestHealthCheck:
+    def test_all_devices_healthy(self):
+        from sdtpu.parallel import health_check
+
+        report = health_check()
+        assert report["ok"] is True
+        assert report["devices"] == len(jax.devices())
+        assert report["device_errors"] == {}
+        assert report["collective_ok"] is True
+
+    def test_mesh_scoped(self):
+        from sdtpu.parallel import health_check, make_mesh
+
+        report = health_check(make_mesh(2, 2))
+        assert report["ok"] is True
+        assert report["devices"] == 4
 
 
 class TestDistributedHelpers:

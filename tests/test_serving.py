@@ -12,8 +12,8 @@ IDS = np.array([1, 5, 9, 2] + [0] * 12)
 
 
 @pytest.fixture(scope="module")
-def pipe():
-    return StableDiffusionPipeline.from_random(TINY, seed=0)
+def pipe(tiny_pipe):
+    return tiny_pipe
 
 
 class TestPerRequestSeeds:
@@ -74,6 +74,60 @@ class TestServingEngine:
                 f.result(timeout=300)
         finally:
             engine.shutdown()
+
+    def test_transient_failure_retries_batch(self, pipe):
+        """System errors (device reset, tunnel hiccup) retry the whole batch
+        once; the request still succeeds (SURVEY.md §5 failure-recovery)."""
+
+        class FlakyOnce:
+            def __init__(self, inner):
+                self.inner = inner
+                self.config = inner.config
+                self.calls = 0
+
+            def generate_batch(self, *a, **kw):
+                self.calls += 1
+                if self.calls == 1:
+                    raise RuntimeError("simulated transient device failure")
+                return self.inner.generate_batch(*a, **kw)
+
+        flaky = FlakyOnce(pipe)
+        engine = ServingEngine(flaky, max_batch_size=2, max_wait_ms=10)
+        try:
+            img = engine.submit("p", token_ids=IDS, seed=5,
+                                num_inference_steps=2,
+                                image_size=32).result(300)
+            stats = engine.stats()
+        finally:
+            engine.shutdown()
+        assert img.shape == (32, 32, 3)
+        assert flaky.calls == 2
+        assert stats["retries"] == 1
+        assert stats["failures"] == 0
+
+    def test_request_error_does_not_retry(self, pipe):
+        """ValueError is deterministic: fail fast, no retry."""
+
+        class Counting:
+            def __init__(self, inner):
+                self.inner = inner
+                self.config = inner.config
+                self.calls = 0
+
+            def generate_batch(self, *a, **kw):
+                self.calls += 1
+                return self.inner.generate_batch(*a, **kw)
+
+        counting = Counting(pipe)
+        engine = ServingEngine(counting, max_batch_size=2, max_wait_ms=10)
+        try:
+            f = engine.submit("p", token_ids=IDS, seed=0,
+                              num_inference_steps=1, image_size=30)
+            with pytest.raises(ValueError):
+                f.result(timeout=300)
+        finally:
+            engine.shutdown()
+        assert counting.calls == 1
 
     def test_shutdown_rejects_new_requests(self, pipe):
         engine = ServingEngine(pipe, max_batch_size=2, max_wait_ms=10)
