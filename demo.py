@@ -19,12 +19,15 @@ def main() -> None:
     ap.add_argument("--model-dir", default=None,
                     help="local diffusers-layout checkpoint dir")
     ap.add_argument("--preset", default="tiny-sd")
-    ap.add_argument("--image-size", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--image-size", type=int, default=None,
+                    help="default: the preset's native size")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="default: the preset's native step count")
     ap.add_argument("--seed", type=int, default=40)
-    ap.add_argument("--sampler", default="ddpm",
-                    choices=["ddpm", "ddim", "euler", "lcm", "dpm++"])
-    ap.add_argument("--cfg-scale", type=float, default=7.5)
+    ap.add_argument("--sampler", default=None,
+                    choices=["ddpm", "ddim", "euler", "lcm", "dpm++"],
+                    help="default: the preset's native sampler")
+    ap.add_argument("--cfg-scale", type=float, default=None)
     ap.add_argument("--no-cfg", action="store_true")
     ap.add_argument("--init-image", default=None, help="img2img input path")
     ap.add_argument("--strength", type=float, default=0.9)
@@ -49,6 +52,9 @@ def main() -> None:
     if pipe.tokenizer is None:
         import numpy as np
 
+        # real assets (assets/tokenizer, via tools/prepare_tokenizer.py) are
+        # auto-discovered by the pipeline; this fallback only exists for the
+        # offline no-asset environment
         print("no tokenizer assets: hashing prompt to fixed token ids")
         rng = np.random.default_rng(abs(hash(args.prompt)) % 2**32)
         row = rng.integers(0, pipe.config.clip.vocab_size,
@@ -60,7 +66,7 @@ def main() -> None:
         args.prompt,
         args.negative_prompt,
         strength=args.strength,
-        cfg=not args.no_cfg,
+        cfg=False if args.no_cfg else None,  # None -> preset default
         cfg_scale=args.cfg_scale,
         num_inference_steps=args.steps,
         seed=args.seed,

@@ -115,6 +115,30 @@ class CLIPTokenizer:
             f"no vocab.json+merges.txt or tokenizer.json under {path}"
         )
 
+    @staticmethod
+    def default_assets_dir() -> str:
+        """Repo-level asset location written by ``tools/prepare_tokenizer.py``
+        (override with ``$SDTPU_TOKENIZER_DIR``) — the analogue of the
+        reference reading ``tokenizer_clip.bin`` next to the binary
+        (``pipeline.mojo:32-34``)."""
+        env = os.environ.get("SDTPU_TOKENIZER_DIR")
+        if env:
+            return env
+        pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        )))
+        return os.path.join(pkg_root, "assets", "tokenizer")
+
+    @classmethod
+    def from_default_assets(cls) -> Optional["CLIPTokenizer"]:
+        """The installed asset tokenizer, or None when no assets exist (the
+        offline environment without network/checkpoints)."""
+        path = cls.default_assets_dir()
+        try:
+            return cls.from_pretrained(path)
+        except FileNotFoundError:
+            return None
+
     # -- core BPE ----------------------------------------------------------
 
     def _bpe(self, token: str) -> List[str]:
