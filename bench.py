@@ -26,16 +26,26 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tiny-sd")
     ap.add_argument("--image-size", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="default: 25 (or the preset's native step count)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--attention-impl", default=None,
                     choices=["auto", "xla", "flash"])
     ap.add_argument("--norm-impl", default=None, choices=["xla", "fused"])
-    ap.add_argument("--sampler", default="ddpm")
+    ap.add_argument("--sampler", default=None,
+                    help="default: the preset's native sampler")
     ap.add_argument("--img2img", action="store_true",
                     help="BASELINE config 2: VAE-encode an init image first")
     ap.add_argument("--strength", type=float, default=0.75)
+    ap.add_argument("--no-cfg", action="store_true",
+                    help="force guidance off (distilled presets default off)")
+    ap.add_argument("--serving", action="store_true",
+                    help="BASELINE config 5: drive requests through the "
+                         "micro-batching ServingEngine and measure "
+                         "end-to-end request throughput")
+    ap.add_argument("--requests", type=int, default=32,
+                    help="request count for --serving")
     args = ap.parse_args()
 
     import jax
@@ -56,8 +66,12 @@ def main() -> None:
         overrides["norm_impl"] = args.norm_impl
     if overrides:
         config = config.replace(**overrides)
+    steps = args.steps if args.steps is not None else config.default_steps
+    sampler = args.sampler or config.default_sampler
+    cfg = False if args.no_cfg else config.default_cfg
     print(f"device={dev}, preset={config.name}, "
-          f"{args.image_size}px, {args.steps} steps, batch={args.batch}",
+          f"{args.image_size}px, {steps} steps ({sampler}, "
+          f"{'cfg' if cfg else 'no-cfg'}), batch={args.batch}",
           file=sys.stderr)
 
     t0 = time.perf_counter()
@@ -75,8 +89,14 @@ def main() -> None:
     print(f"params materialized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(40)
+    if args.serving:
+        _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg)
+        return
     if args.batch == 1:
-        ids = rng.integers(1, config.clip.vocab_size, (2, config.clip.max_length))
+        ids = rng.integers(
+            1, config.clip.vocab_size,
+            (2 if cfg else 1, config.clip.max_length),
+        )
         init_image = (
             rng.integers(0, 255, (args.image_size, args.image_size, 3),
                          dtype=np.uint8)
@@ -85,9 +105,9 @@ def main() -> None:
 
         def run(seed: int):
             return pipe.generate(
-                "bench", token_ids=ids, num_inference_steps=args.steps,
+                "bench", token_ids=ids, num_inference_steps=steps,
                 seed=seed, image_size=args.image_size, output="float",
-                sampler=args.sampler, init_image=init_image,
+                sampler=sampler, cfg=cfg, init_image=init_image,
                 strength=args.strength,
             )
 
@@ -99,9 +119,9 @@ def main() -> None:
         def run(seed: int):
             return pipe.generate_batch(
                 ["bench"] * args.batch, token_ids=ids,
-                num_inference_steps=args.steps, seed=seed,
+                num_inference_steps=steps, seed=seed,
                 image_size=args.image_size, output="float",
-                sampler=args.sampler,
+                sampler=sampler, cfg=cfg,
             )
 
     t0 = time.perf_counter()
@@ -118,14 +138,92 @@ def main() -> None:
     p50 = statistics.median(times)
     images_per_sec = args.batch / p50
     variant = "img2img " if args.img2img else ""
+    guidance = "CFG" if cfg else "no-CFG"
+    flops = _program_flops(pipe, args, steps, sampler, cfg)
     result = {
         "metric": f"{args.preset} {args.image_size}x{args.image_size} "
-                  f"{variant}{args.steps}-step {args.sampler} CFG images/sec/chip",
+                  f"{variant}{steps}-step {sampler} {guidance} images/sec/chip",
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
+        # the reference publishes NO numbers (BASELINE.md); vs_baseline is
+        # relative to the driver north-star TARGET of 1.0 images/sec/chip
         "vs_baseline": round(images_per_sec / 1.0, 4),
+        "baseline_definition": "north-star target 1.0 img/s (reference publishes none)",
         "p50_latency_s": round(p50, 4),
         "batch": args.batch,
+        "device": str(dev),
+    }
+    if flops:
+        result["program_tflops"] = round(flops / 1e12, 2)
+        # v5e peak: ~197 bf16 TFLOP/s per chip
+        result["mfu_pct"] = round(100.0 * flops / p50 / 197e12, 1)
+    print(json.dumps(result))
+
+
+def _program_flops(pipe, args, steps, sampler, cfg):
+    """Analytic MXU flop count of the generate() program (sdtpu/utils/
+    flops.py) — XLA's cost_analysis counts the 25-step scan body ONCE and
+    under-reports by ~25x, so the structural count is the honest basis for
+    MFU."""
+    try:
+        from sdtpu.utils.flops import pipeline_flops
+
+        return pipeline_flops(
+            pipe.config, args.image_size, steps, args.batch, cfg=cfg
+        )
+    except Exception:
+        return None
+
+
+def _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg) -> None:
+    """BASELINE config 5: few-step large-batch serving THROUGH the
+    micro-batching engine (queueing + coalescing + per-request RNG included),
+    not raw generate_batch."""
+    import time
+
+    import numpy as np
+
+    from sdtpu.pipeline.serving import ServingEngine
+
+    n = args.requests - args.requests % args.batch or args.batch
+    ids = rng.integers(
+        1, config.clip.vocab_size, (n, config.clip.max_length)
+    )
+    # precompile the bucket so the measurement is steady-state serving
+    pipe.warmup(
+        image_sizes=(args.image_size,), step_counts=(steps,),
+        batch_sizes=(args.batch,), cfg=cfg, sampler=sampler,
+    )
+    engine = ServingEngine(pipe, max_batch_size=args.batch, max_wait_ms=5.0)
+    try:
+        t0 = time.perf_counter()
+        futs = [
+            engine.submit(
+                "bench", token_ids=ids[i], seed=i,
+                num_inference_steps=steps, sampler=sampler, cfg=cfg,
+                image_size=args.image_size,
+            )
+            for i in range(n)
+        ]
+        for f in futs:
+            f.result(timeout=600)
+        wall = time.perf_counter() - t0
+        stats = engine.stats()
+    finally:
+        engine.shutdown()
+
+    result = {
+        "metric": f"{args.preset} {args.image_size}x{args.image_size} "
+                  f"{steps}-step {sampler} {'CFG' if cfg else 'no-CFG'} "
+                  f"serving images/sec/chip",
+        "value": round(n / wall, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(n / wall / 1.0, 4),
+        "baseline_definition": "north-star target 1.0 img/s (reference publishes none)",
+        "requests": n,
+        "mean_batch_size": round(stats["mean_batch_size"], 2),
+        "batches": stats["batches"],
+        "wall_s": round(wall, 3),
         "device": str(dev),
     }
     print(json.dumps(result))

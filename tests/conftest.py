@@ -29,6 +29,17 @@ xla_bridge._backend_factories.pop("axon", None)
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache for the CPU test suite: the suite's cost is
+# dominated by jit compiles of tiny pipelines, and the cache makes re-runs
+# read compiled programs from disk.  Machine-local (never committed/copied:
+# CPU cache entries from other machines are a SIGILL hazard — CLAUDE.md).
+_cache_dir = os.environ.get("SDTPU_TEST_CACHE", "/root/.jax_cache_cpu_tests")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -36,6 +47,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_pipe():
+    """ONE shared tiny pipeline (TINY config, seed 0) for every test module
+    that doesn't mutate it — jit programs compile once per suite run instead
+    of once per module (the round-1 suite spent most of its 17 min
+    recompiling identical tiny-pipeline buckets)."""
+    from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+
+    from test_pipeline import TINY
+
+    return StableDiffusionPipeline.from_random(TINY, seed=0)
 
 
 def assert_allclose(actual, desired, *, rtol=1e-5, atol=1e-5):

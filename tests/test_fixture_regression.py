@@ -30,10 +30,11 @@ def _pipe():
     return StableDiffusionPipeline.from_random(TINY, seed=0)
 
 
-def generate_cases() -> dict:
+def generate_cases(pipe=None) -> dict:
     """Every frozen case: name -> float array.  Shared by the fixture
     generator (tools/make_fixtures.py) and the regression test."""
-    pipe = _pipe()
+    if pipe is None:
+        pipe = _pipe()
     ids = np.array([[1, 5, 9, 2] + [0] * 12, [3, 4] + [0] * 14])
     rng = np.random.default_rng(11)
     init = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
@@ -81,8 +82,8 @@ def frozen():
 
 
 @pytest.fixture(scope="module")
-def current():
-    return generate_cases()
+def current(tiny_pipe):
+    return generate_cases(tiny_pipe)
 
 
 class TestFrozenOutputs:
