@@ -29,13 +29,15 @@ _VMEM_BUDGET = 72 * 1024 * 1024  # vs the kernel's 100 MB compiler limit
 
 
 def _vmem_estimate(h, w, ci, co_tile, itemsize=2) -> int:
-    """Conservative per-cell VMEM: double-buffered input/weight/output blocks
-    plus two copies of the f32 accumulator."""
+    """Conservative per-cell VMEM: double-buffered input/weight/output blocks,
+    two copies of the f32 accumulator, plus one in-kernel shifted-window
+    temporary (the 9 strided reshapes materialize one)."""
     in_b = (h + 2) * (w + 2) * ci * itemsize * 2
     k_b = 9 * ci * co_tile * itemsize * 2
     out_b = h * w * co_tile * itemsize * 2
     acc_b = h * w * co_tile * 4 * 2
-    return in_b + k_b + out_b + acc_b
+    core_b = h * w * ci * itemsize
+    return in_b + k_b + out_b + acc_b + core_b
 
 
 def _co_tile_candidates(co: int):
@@ -61,6 +63,12 @@ def plan_co_tile(x_shape, kernel_shape):
         return None
     # tiny channel counts (conv_in 4->320, conv_out 320->4) waste MXU lanes
     if ci < 64 or co < 64:
+        return None
+    # spatial cap: beyond 64x64 tokens Mosaic's register allocator spills
+    # tens of MB of stack (measured: 66.9M spill slots at 96x96x960, VMEM
+    # OOM at 128x128x512) that no buffer-level estimate predicts — those
+    # shapes stay on the XLA conv path
+    if h * w > 64 * 64:
         return None
     for co_tile in _co_tile_candidates(co):
         if _vmem_estimate(h, w, ci, co_tile) <= _VMEM_BUDGET:
