@@ -37,14 +37,21 @@ class _Request:
     sampler: str
     cfg: bool
     cfg_scale: float
+    # img2img: init image (any HxWx3; resized host-side) + strength
+    init_image: Optional[np.ndarray] = None
+    strength: float = 0.9
 
     @property
     def bucket(self):
         # negative_prompt is deliberately NOT here: rows with different
         # negative prompts coalesce safely because generate_batch takes a
-        # per-row uncond list (one CLIP row per request).
+        # per-row uncond list (one CLIP row per request).  Init-image
+        # CONTENT isn't either (host-resized, per-row input); strength is —
+        # it's baked into the compiled schedule.
+        img2img = self.init_image is not None
         return (self.image_size, self.steps, self.sampler, self.cfg,
-                round(self.cfg_scale, 6))
+                round(self.cfg_scale, 6), img2img,
+                round(self.strength, 6) if img2img else None)
 
 
 class ServingEngine:
@@ -104,10 +111,13 @@ class ServingEngine:
         sampler: Optional[str] = None,
         cfg: Optional[bool] = None,
         cfg_scale: Optional[float] = None,
+        init_image: Optional[np.ndarray] = None,
+        strength: float = 0.9,
     ) -> Future:
-        """Enqueue one txt2img request; resolves to an (H, W, 3) uint8 image.
-        Unset knobs resolve to the pipeline preset's defaults HERE so the
-        compilation bucket is well-defined."""
+        """Enqueue one txt2img (or img2img when ``init_image`` is given)
+        request; resolves to an (H, W, 3) uint8 image.  Unset knobs resolve
+        to the pipeline preset's defaults HERE so the compilation bucket is
+        well-defined."""
         if self._shutdown.is_set():
             raise RuntimeError("engine is shut down")
         config = self.pipeline.config
@@ -128,6 +138,8 @@ class ServingEngine:
             cfg_scale=(
                 config.default_cfg_scale if cfg_scale is None else cfg_scale
             ),
+            init_image=init_image,
+            strength=strength,
         )
         self._queue.put(req)
         return req.future
@@ -197,6 +209,10 @@ class ServingEngine:
             else:
                 token_ids = np.stack([np.asarray(r.token_ids) for r in batch])
             prompts = [r.prompt for r in batch]
+            extra = {}
+            if first.init_image is not None:
+                extra["init_images"] = [r.init_image for r in batch]
+                extra["strength"] = first.strength
             for attempt in range(self.max_retries + 1):
                 try:
                     images = self.pipeline.generate_batch(
@@ -209,6 +225,7 @@ class ServingEngine:
                         image_size=first.image_size,
                         token_ids=token_ids,
                         sampler=first.sampler,
+                        **extra,
                     )
                     for i, req in enumerate(batch):
                         req.future.set_result(images[i])

@@ -220,6 +220,49 @@ class TestBatchingPolicy:
         assert all(img.shape == (32, 32, 3) for img in imgs)
 
 
+class TestEngineImg2Img:
+    def test_img2img_through_engine_matches_direct(self, pipe):
+        rng = np.random.default_rng(3)
+        init_a = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        init_b = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        direct = pipe.generate_batch(
+            ["p"], token_ids=IDS[None], num_inference_steps=4, seeds=[5],
+            init_images=[init_a], strength=0.5)
+        engine = ServingEngine(pipe, max_batch_size=2, max_wait_ms=50)
+        try:
+            fa = engine.submit("p", token_ids=IDS, seed=5,
+                               num_inference_steps=4, image_size=32,
+                               init_image=init_a, strength=0.5)
+            fb = engine.submit("p", token_ids=IDS, seed=6,
+                               num_inference_steps=4, image_size=32,
+                               init_image=init_b, strength=0.5)
+            a, b = fa.result(300), fb.result(300)
+            stats = engine.stats()
+        finally:
+            engine.shutdown()
+        np.testing.assert_array_equal(a, direct[0])
+        assert (a != b).any()  # distinct inits -> distinct images
+        assert stats["batches"] <= 2  # same bucket -> coalesced
+
+    def test_img2img_and_txt2img_do_not_coalesce(self, pipe):
+        """Different program shapes must land in different buckets."""
+        rng = np.random.default_rng(4)
+        init = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        engine = ServingEngine(pipe, max_batch_size=4, max_wait_ms=30)
+        try:
+            f1 = engine.submit("p", token_ids=IDS, seed=1,
+                               num_inference_steps=4, image_size=32,
+                               init_image=init, strength=0.5)
+            f2 = engine.submit("p", token_ids=IDS, seed=2,
+                               num_inference_steps=4, image_size=32)
+            imgs = [f.result(300) for f in (f1, f2)]
+            stats = engine.stats()
+        finally:
+            engine.shutdown()
+        assert all(i.shape == (32, 32, 3) for i in imgs)
+        assert stats["batches"] == 2
+
+
 class TestBatchedImg2Img:
     def test_generate_batch_img2img(self, pipe):
         rng = np.random.default_rng(0)
