@@ -25,7 +25,8 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tiny-sd")
-    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--image-size", type=int, default=None,
+                    help="default: the preset's native size")
     ap.add_argument("--steps", type=int, default=None,
                     help="default: 25 (or the preset's native step count)")
     ap.add_argument("--batch", type=int, default=1)
@@ -69,6 +70,8 @@ def main() -> None:
     steps = args.steps if args.steps is not None else config.default_steps
     sampler = args.sampler or config.default_sampler
     cfg = False if args.no_cfg else config.default_cfg
+    if args.image_size is None:
+        args.image_size = config.default_image_size
     print(f"device={dev}, preset={config.name}, "
           f"{args.image_size}px, {steps} steps ({sampler}, "
           f"{'cfg' if cfg else 'no-cfg'}), batch={args.batch}",
@@ -169,7 +172,8 @@ def _program_flops(pipe, args, steps, sampler, cfg):
         from sdtpu.utils.flops import pipeline_flops
 
         return pipeline_flops(
-            pipe.config, args.image_size, steps, args.batch, cfg=cfg
+            pipe.config, args.image_size, steps, args.batch, cfg=cfg,
+            img2img=args.img2img, strength=args.strength,
         )
     except Exception:
         return None

@@ -137,17 +137,47 @@ def vae_decode_flops(config: VAEConfig, lat_size: int, batch: int) -> float:
     return f * batch
 
 
+def vae_encode_flops(config: VAEConfig, image_size: int, batch: int) -> float:
+    chs = config.block_out_channels
+    s = image_size
+    f = _conv(s, s, 3, 3, config.in_channels, chs[0])
+    prev = chs[0]
+    for lvl, ch in enumerate(chs):
+        for i in range(config.layers_per_block):
+            ci = prev if i == 0 else ch
+            f += _conv(s, s, 3, 3, ci, ch) + _conv(s, s, 3, 3, ch, ch)
+            if ci != ch:
+                f += _conv(s, s, 1, 1, ci, ch)
+            prev = ch
+        if lvl < len(chs) - 1:
+            s //= 2
+            f += _conv(s, s, 3, 3, ch, ch)  # stride-2 downsample
+    ch = chs[-1]
+    f += 2 * (_conv(s, s, 3, 3, ch, ch) * 2)  # mid resnets
+    l = s * s
+    f += 4 * _mm(l, ch, ch) + 2 * _mm(l, l, ch)  # mid attention
+    z = config.latent_channels
+    f += _conv(s, s, 3, 3, ch, 2 * z) + _conv(s, s, 1, 1, 2 * z, 2 * z)
+    return f * batch
+
+
 def pipeline_flops(
     config: PipelineConfig, image_size: int, steps: int, batch: int,
-    cfg: bool = True,
+    cfg: bool = True, img2img: bool = False, strength: float = 0.9,
 ) -> float:
     """Total MXU flops of one generate(): CLIP (+CLIP2) once, CFG-batched
-    UNet per step, VAE decode once."""
+    UNet per step, VAE decode once (+VAE encode and strength-truncated step
+    count for img2img — the schedule runs steps - int(steps*(1-strength))
+    steps, sdtpu/samplers/ddpm.py:inference_timesteps)."""
     lat = image_size // config.vae.downscale_factor
     eff_batch = 2 * batch if cfg else batch
     f = clip_flops(config.clip, eff_batch)
     if config.clip_2 is not None:
         f += clip_flops(config.clip_2, eff_batch)
+    if img2img:
+        start = min(max(steps - int(steps * strength), 0), steps - 1)
+        steps = steps - start
+        f += vae_encode_flops(config.vae, image_size, batch)
     f += steps * unet_step_flops(config.unet, lat, eff_batch,
                                  config.clip.max_length)
     f += vae_decode_flops(config.vae, lat, batch)
