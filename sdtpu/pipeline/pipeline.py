@@ -349,7 +349,7 @@ class StableDiffusionPipeline:
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img,
             round(strength, 6) if is_img2img else 1.0, ids.shape[0], sampler,
-            want_uint8=output == "uint8",
+            want_uint8=output in ("uint8", "device"),
         )
         if seeds is not None:
             if len(seeds) != cond.shape[0]:
@@ -384,6 +384,10 @@ class StableDiffusionPipeline:
             images = fn(params, ids, imgs_in, jnp.float32(cfg_scale), key)
         else:
             images = fn(params, ids, jnp.float32(cfg_scale), key)
+        if output == "device":
+            # raw device array (uint8-packed), NOT fetched: the serving
+            # engine dispatches the next batch before blocking on this one
+            return images
         if output == "float":
             return np.asarray(images, dtype=np.float32)
         return np.asarray(images)  # device-packed uint8

@@ -23,6 +23,8 @@ from typing import List, Optional
 
 import numpy as np
 
+_FAILED = object()  # dispatch sentinel: batch already resolved with an error
+
 
 @dataclasses.dataclass
 class _Request:
@@ -154,7 +156,7 @@ class ServingEngine:
 
     # -- worker ---------------------------------------------------------------
 
-    def _collect_batch(self) -> List[_Request]:
+    def _collect_batch(self, initial_timeout: float = 0.1) -> List[_Request]:
         # _pending holds requests already dequeued but not yet served
         # (different bucket than an earlier batch) — they keep their arrival
         # order and are always considered before new queue items.
@@ -162,7 +164,10 @@ class ServingEngine:
             first = self._pending.popleft()
         else:
             try:
-                first = self._queue.get(timeout=0.1)
+                if initial_timeout <= 0:
+                    first = self._queue.get_nowait()
+                else:
+                    first = self._queue.get(timeout=initial_timeout)
             except queue.Empty:
                 return []
         batch = [first]
@@ -193,58 +198,118 @@ class ServingEngine:
                 self._pending.append(req)
         return batch
 
+    def _gen_kwargs(self, batch: List[_Request]) -> tuple:
+        first = batch[0]
+        if any(r.token_ids is None for r in batch):
+            token_ids = None
+        else:
+            token_ids = np.stack([np.asarray(r.token_ids) for r in batch])
+        kw = dict(
+            negative_prompt=[r.negative_prompt for r in batch],
+            cfg=first.cfg,
+            cfg_scale=first.cfg_scale,
+            num_inference_steps=first.steps,
+            seeds=[r.seed for r in batch],
+            image_size=first.image_size,
+            token_ids=token_ids,
+            sampler=first.sampler,
+        )
+        if first.init_image is not None:
+            kw["init_images"] = [r.init_image for r in batch]
+            kw["strength"] = first.strength
+        return [r.prompt for r in batch], kw
+
+    def _dispatch(self, batch: List[_Request]):
+        """Launch a batch WITHOUT blocking on the result (output='device'):
+        the device computes while the worker collects/serves the next batch.
+        Returns the in-flight device array; None defers to a synchronous
+        retry at resolve time (transient errors); deterministic request
+        errors fail the batch's futures immediately (returns _FAILED)."""
+        try:
+            prompts, kw = self._gen_kwargs(batch)
+            return self.pipeline.generate_batch(prompts, output="device", **kw)
+        except (ValueError, TypeError) as exc:  # deterministic: no retry
+            with self._lock:
+                self._stats["failures"] += len(batch)
+            for req in batch:
+                if not req.future.done():
+                    req.future.set_exception(exc)
+            return _FAILED
+        except Exception:
+            with self._lock:  # transient dispatch failure -> sync retry
+                self._stats["retries"] += 1
+            return None
+
+    def _resolve(self, batch: List[_Request], dev, t0) -> None:
+        if dev is not None:
+            try:
+                images = np.asarray(dev)
+                for i, req in enumerate(batch):
+                    req.future.set_result(images[i])
+                with self._lock:
+                    self._stats["requests"] += len(batch)
+                    self._stats["batches"] += 1
+                    self._stats["batch_seconds"] += time.perf_counter() - t0
+                return
+            except Exception:
+                with self._lock:
+                    self._stats["retries"] += 1
+        self._execute_sync(batch, t0)
+
+    def _execute_sync(self, batch: List[_Request], t0) -> None:
+        """Synchronous execution with the retry policy: transient system
+        errors retry the whole batch; deterministic request errors
+        (ValueError/TypeError) fail fast."""
+        prompts, kw = self._gen_kwargs(batch)
+        for attempt in range(self.max_retries + 1):
+            try:
+                images = self.pipeline.generate_batch(prompts, **kw)
+                for i, req in enumerate(batch):
+                    req.future.set_result(images[i])
+                with self._lock:
+                    self._stats["requests"] += len(batch)
+                    self._stats["batches"] += 1
+                    self._stats["batch_seconds"] += time.perf_counter() - t0
+                return
+            except Exception as exc:  # resolve, don't kill the worker
+                deterministic = isinstance(exc, (ValueError, TypeError))
+                if not deterministic and attempt < self.max_retries:
+                    with self._lock:
+                        self._stats["retries"] += 1
+                    continue  # transient system error: retry the batch
+                with self._lock:
+                    self._stats["failures"] += len(batch)
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+                return
+
     def _run(self) -> None:
-        while not (
-            self._shutdown.is_set()
-            and self._queue.empty()
-            and not self._pending
-        ):
-            batch = self._collect_batch()
-            if not batch:
-                continue
-            first = batch[0]
-            t0 = time.perf_counter()
-            if any(r.token_ids is None for r in batch):
-                token_ids = None
-            else:
-                token_ids = np.stack([np.asarray(r.token_ids) for r in batch])
-            prompts = [r.prompt for r in batch]
-            extra = {}
-            if first.init_image is not None:
-                extra["init_images"] = [r.init_image for r in batch]
-                extra["strength"] = first.strength
-            for attempt in range(self.max_retries + 1):
-                try:
-                    images = self.pipeline.generate_batch(
-                        prompts,
-                        negative_prompt=[r.negative_prompt for r in batch],
-                        cfg=first.cfg,
-                        cfg_scale=first.cfg_scale,
-                        num_inference_steps=first.steps,
-                        seeds=[r.seed for r in batch],
-                        image_size=first.image_size,
-                        token_ids=token_ids,
-                        sampler=first.sampler,
-                        **extra,
-                    )
-                    for i, req in enumerate(batch):
-                        req.future.set_result(images[i])
-                    with self._lock:
-                        self._stats["requests"] += len(batch)
-                        self._stats["batches"] += 1
-                        self._stats["batch_seconds"] += (
-                            time.perf_counter() - t0
-                        )
-                    break
-                except Exception as exc:  # resolve, don't kill the worker
-                    deterministic = isinstance(exc, (ValueError, TypeError))
-                    if not deterministic and attempt < self.max_retries:
-                        with self._lock:
-                            self._stats["retries"] += 1
-                        continue  # transient system error: retry the batch
-                    with self._lock:
-                        self._stats["failures"] += len(batch)
-                    for req in batch:
-                        if not req.future.done():
-                            req.future.set_exception(exc)
-                    break
+        # Two batches in flight: while batch N computes on device, the
+        # worker collects and DISPATCHES batch N+1, then blocks fetching N —
+        # host-side batching/fetch overhead hides behind device compute.
+        inflight = None  # (batch, device_images_or_None, t0)
+        while True:
+            drained = (
+                self._shutdown.is_set()
+                and self._queue.empty()
+                and not self._pending
+            )
+            if drained and inflight is None:
+                break
+            batch = (
+                []
+                if drained
+                else self._collect_batch(
+                    initial_timeout=0.0 if inflight else 0.1
+                )
+            )
+            nxt = None
+            if batch:
+                t0 = time.perf_counter()
+                dev = self._dispatch(batch)
+                if dev is not _FAILED:
+                    nxt = (batch, dev, t0)
+            if inflight is not None:
+                self._resolve(*inflight)
+            inflight = nxt
