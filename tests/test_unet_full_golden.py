@@ -49,6 +49,21 @@ SD15_TOPO = UNetConfig(
     mid_block=True,
 )
 
+# SDXL topology: plain outermost level, transformer depth > 1, mid block,
+# and the add_embedding micro-conditioning (pooled 16 + 6 ids x 8 = 64).
+SDXL_TOPO = UNetConfig(
+    block_out_channels=(32, 48, 64),
+    layers_per_block=2,
+    attention_levels=(False, True, True),
+    transformer_layers_per_block=(1, 2, 2),
+    num_attention_heads=2,
+    cross_attention_dim=40,
+    norm_num_groups=8,
+    mid_block=True,
+    addition_embed_dim=64,
+    addition_time_embed_dim=8,
+)
+
 
 def _run_parity(cfg, *, spatial, batch=2, ctx_len=9, seed=1,
                 atol=2e-4, rtol=2e-3):
@@ -102,6 +117,77 @@ class TestFullUNetGolden:
             # deeper/wider accumulation drifts more in f32
             atol=6e-4, rtol=5e-3,
         )
+
+    def test_sdxl_topology_with_micro_conditioning(self):
+        """SDXL shape: no-attention outer level, depth-2 transformers, mid
+        block, AND the add_embedding path (pooled text embeds + time-id
+        sinusoids), end to end through the name mapping."""
+        cfg = SDXL_TOPO
+        model = RefUNet(cfg).eval()
+        randomize_(model, seed=11)
+        params = jax.tree.map(
+            jnp.asarray,
+            unet_params_from_state_dict(state_dict_numpy(model), cfg),
+        )
+        rng = np.random.default_rng(11)
+        batch = 2
+        lat = rng.standard_normal((batch, 16, 16, 4)).astype(np.float32)
+        ctx = rng.standard_normal((batch, 9, 40)).astype(np.float32)
+        ts = np.array([981.0, 1.0], np.float32)
+        pooled = rng.standard_normal((batch, 16)).astype(np.float32)
+        time_ids = np.array(
+            [[512, 512, 0, 0, 512, 512], [768, 768, 10, 20, 512, 512]],
+            np.float32,
+        )
+        with torch.no_grad():
+            want = model(
+                torch.from_numpy(lat.transpose(0, 3, 1, 2)),
+                torch.from_numpy(ts),
+                torch.from_numpy(ctx),
+                text_embeds=torch.from_numpy(pooled),
+                time_ids=torch.from_numpy(time_ids),
+            ).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(
+            unet_forward(
+                jnp.asarray(lat), jnp.asarray(ts), jnp.asarray(ctx), params,
+                cfg,
+                added_cond={
+                    "text_embeds": jnp.asarray(pooled),
+                    "time_ids": jnp.asarray(time_ids),
+                },
+            )
+        )
+        assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+    def test_lcm_guidance_embedding_full_net(self):
+        """LCM cond_proj: the guidance embedding enters the time MLP through
+        a bias-free projection — parity incl. that weight."""
+        cfg = dataclasses.replace(TINY_TOPO, time_cond_proj_dim=8)
+        model = RefUNet(cfg).eval()
+        randomize_(model, seed=13)
+        params = jax.tree.map(
+            jnp.asarray,
+            unet_params_from_state_dict(state_dict_numpy(model), cfg),
+        )
+        rng = np.random.default_rng(13)
+        lat = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+        ctx = rng.standard_normal((1, 5, 40)).astype(np.float32)
+        ts = np.array([400.0], np.float32)
+        w_emb = rng.standard_normal((1, 8)).astype(np.float32)
+        with torch.no_grad():
+            want = model(
+                torch.from_numpy(lat.transpose(0, 3, 1, 2)),
+                torch.from_numpy(ts),
+                torch.from_numpy(ctx),
+                timestep_cond=torch.from_numpy(w_emb),
+            ).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(
+            unet_forward(
+                jnp.asarray(lat), jnp.asarray(ts), jnp.asarray(ctx), params,
+                cfg, timestep_cond=jnp.asarray(w_emb),
+            )
+        )
+        assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
     def test_mapping_rejects_nothing_silently(self):
         """Every torch parameter must land somewhere in the pytree: compare

@@ -50,12 +50,19 @@ class Timesteps(nn.Module):
 
 
 class TimestepEmbedding(nn.Module):
-    def __init__(self, in_channels, time_embed_dim):
+    """linear_1 -> SiLU -> linear_2; LCM checkpoints add a bias-free
+    cond_proj of the guidance embedding to the input first."""
+
+    def __init__(self, in_channels, time_embed_dim, cond_proj_dim=None):
         super().__init__()
         self.linear_1 = nn.Linear(in_channels, time_embed_dim)
         self.linear_2 = nn.Linear(time_embed_dim, time_embed_dim)
+        if cond_proj_dim is not None:
+            self.cond_proj = nn.Linear(cond_proj_dim, in_channels, bias=False)
 
-    def forward(self, sample):
+    def forward(self, sample, condition=None):
+        if condition is not None:
+            sample = sample + self.cond_proj(condition)
         return self.linear_2(F.silu(self.linear_1(sample)))
 
 
@@ -296,7 +303,19 @@ class RefUNet(nn.Module):
         self.cfg = cfg
         self.conv_in = nn.Conv2d(cfg.in_channels, chs[0], 3, padding=1)
         self.time_proj = Timesteps(chs[0], cfg.flip_sin_to_cos, cfg.freq_shift)
-        self.time_embedding = TimestepEmbedding(chs[0], temb_ch)
+        self.time_embedding = TimestepEmbedding(
+            chs[0], temb_ch, cond_proj_dim=cfg.time_cond_proj_dim
+        )
+        if cfg.addition_embed_dim is not None:
+            # SDXL micro-conditioning: pooled text embeds ++ sinusoidal
+            # embeddings of the 6 size/crop time ids -> its own MLP
+            self.add_time_proj = Timesteps(
+                cfg.addition_time_embed_dim, cfg.flip_sin_to_cos,
+                cfg.freq_shift,
+            )
+            self.add_embedding = TimestepEmbedding(
+                cfg.addition_embed_dim, temb_ch
+            )
 
         def heads_for(ch):
             return cfg.num_attention_heads if cfg.num_attention_heads > 0 else ch // 64
@@ -354,9 +373,18 @@ class RefUNet(nn.Module):
         self.conv_norm_out = nn.GroupNorm(groups, chs[0], eps=1e-5)
         self.conv_out = nn.Conv2d(chs[0], cfg.out_channels, 3, padding=1)
 
-    def forward(self, latents, timesteps, context):
-        """latents: (B, C, H, W); timesteps: (B,); context: (B, L, D)."""
-        temb = self.time_embedding(self.time_proj(timesteps))
+    def forward(self, latents, timesteps, context, *, text_embeds=None,
+                time_ids=None, timestep_cond=None):
+        """latents: (B, C, H, W); timesteps: (B,); context: (B, L, D);
+        text_embeds (B, P) + time_ids (B, 6) for SDXL micro-conditioning;
+        timestep_cond (B, cond_proj_dim) for LCM guidance embedding."""
+        temb = self.time_embedding(self.time_proj(timesteps), timestep_cond)
+        if hasattr(self, "add_embedding"):
+            b = latents.shape[0]
+            tid = self.add_time_proj(time_ids.reshape(-1)).reshape(b, -1)
+            temb = temb + self.add_embedding(
+                torch.cat([text_embeds, tid], dim=-1)
+            )
         x = self.conv_in(latents)
         skips = [x]
         for blk in self.down_blocks:
