@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Validate a REAL checkpoint end-to-end against the independent torch
+mirror (tests/torch_ref.py) — the full-fidelity protocol for when a local
+diffusers-layout checkpoint exists (this build environment has none; the
+same mapping is validated with randomized weights in
+tests/test_unet_full_golden.py / test_vae_full_golden.py).
+
+Loads the SAME safetensors into (a) sdtpu pytrees and (b) the torch mirror,
+runs full-network forwards on shared inputs, and reports per-network max
+abs/rel error plus a decoded-image PSNR.  All offline — no diffusers needed.
+
+Usage:
+    PYTHONPATH= JAX_PLATFORMS=cpu python tools/validate_checkpoint.py \
+        /path/to/model_dir [--preset tiny-sd] [--latent 32]
+"""
+
+import argparse
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model_dir")
+    ap.add_argument("--preset", default="tiny-sd")
+    ap.add_argument("--latent", type=int, default=32,
+                    help="latent grid for the UNet check")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from sdtpu.config import get_preset
+    from sdtpu.models.unet import unet_forward
+    from sdtpu.models.vae import vae_decode
+    from sdtpu.utils.image import psnr
+    from sdtpu.utils.weights import (
+        _find_weight_file,
+        load_safetensors,
+        unet_params_from_state_dict,
+        vae_decoder_params_from_state_dict,
+    )
+    from torch_ref import RefAutoencoderKL, RefUNet
+
+    config = get_preset(args.preset)
+    rng = np.random.default_rng(0)
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        return float(np.abs(a - b).max()), float(
+            np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9)
+        )
+
+    # ---- UNet ----
+    unet_sd = load_safetensors(
+        _find_weight_file(os.path.join(args.model_dir, "unet"))
+    )
+    params = jax.tree.map(
+        jnp.asarray, unet_params_from_state_dict(unet_sd, config.unet)
+    )
+    ref = RefUNet(config.unet).eval()
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in unet_sd.items()},
+        strict=False,
+    )
+    if missing or unexpected:
+        print(f"torch mirror key mismatch: missing={missing[:5]} "
+              f"unexpected={unexpected[:5]}")
+    lat = rng.standard_normal(
+        (1, args.latent, args.latent, config.unet.in_channels)
+    ).astype(np.float32)
+    ctx = rng.standard_normal(
+        (1, config.clip.max_length, config.unet.cross_attention_dim)
+    ).astype(np.float32)
+    ts = np.array([500.0], np.float32)
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(lat.transpose(0, 3, 1, 2)),
+            torch.from_numpy(ts), torch.from_numpy(ctx),
+        ).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(
+        unet_forward(jnp.asarray(lat), jnp.asarray(ts), jnp.asarray(ctx),
+                     params, config.unet)
+    )
+    mx, r = rel(got, want)
+    print(f"UNet  forward: max abs err {mx:.2e}, rel {r:.2e} "
+          f"({'OK' if r < 1e-3 else 'INVESTIGATE'})")
+
+    # ---- VAE decode ----
+    vae_sd = load_safetensors(
+        _find_weight_file(os.path.join(args.model_dir, "vae"))
+    )
+    dec = jax.tree.map(
+        jnp.asarray, vae_decoder_params_from_state_dict(vae_sd, config.vae)
+    )
+    vref = RefAutoencoderKL(config.vae).eval()
+    vref.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in vae_sd.items()},
+        strict=False,
+    )
+    z = rng.standard_normal(
+        (1, args.latent, args.latent, config.vae.latent_channels)
+    ).astype(np.float32)
+    with torch.no_grad():
+        want_img = vref.decode(
+            torch.from_numpy(z.transpose(0, 3, 1, 2)), config.vae.scaling_factor
+        ).numpy().transpose(0, 2, 3, 1)
+    got_img = np.asarray(vae_decode(jnp.asarray(z), dec, config.vae))
+    mx, r = rel(got_img, want_img)
+    score = psnr(got_img, want_img)
+    print(f"VAE   decode : max abs err {mx:.2e}, rel {r:.2e}, "
+          f"PSNR {score:.1f} dB ({'OK' if score > 40 else 'INVESTIGATE'})")
+
+
+if __name__ == "__main__":
+    main()
