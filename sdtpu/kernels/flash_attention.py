@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+# Default block sizes (overridable for tuning sweeps; read at import).
+# Round-2 sweep at the tiny-sd 512 shapes, chained 25-step scan (ms/step):
+# 256/1024 12.42, 256/2048 12.24, 512/1024 12.18 (best), 512/2048 12.30;
+# bk=4096 regresses on VMEM pressure (round-1 microbench).
+_BLOCK_Q = int(os.environ.get("SDTPU_FLASH_BLOCK_Q", "512"))
+_BLOCK_K = int(os.environ.get("SDTPU_FLASH_BLOCK_K", "1024"))
 
 
 def _kernel(
@@ -135,8 +143,8 @@ def flash_attention_packed(
     v: jax.Array,
     *,
     d_real: int,
-    block_q: int = 256,
-    block_k: int = 1024,
+    block_q: int = _BLOCK_Q,
+    block_k: int = _BLOCK_K,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention on head-major PRE-PADDED tensors: q (B, H, Lq, Dp),

@@ -4,11 +4,17 @@ config 5).
 The reference is a one-shot CLI hardwired to batch 1 (``pipeline.mojo:12``);
 production TPU serving wants requests coalesced into device-efficient
 batches.  :class:`ServingEngine` runs a background collator thread: requests
-sharing a compilation bucket (image size, steps, sampler, cfg) are batched up
-to ``max_batch_size`` or until ``max_wait_ms`` passes, executed as ONE
-CFG-batched program, and resolved to per-request futures.  Per-request RNG
-keys make each row's output independent of batch composition (a request
+sharing a compilation bucket (image size, steps, sampler, cfg[, img2img
+strength]) are batched up to ``max_batch_size`` or until one GLOBAL
+``max_wait_ms`` window passes, executed as ONE CFG-batched program, and
+resolved to per-request futures.  Per-request RNG keys and per-row negative
+prompts make each row's output independent of batch composition (a request
 returns the same image whether it shared a batch or not).
+
+The worker keeps TWO batches in flight: batch N+1 is collected and
+dispatched (un-fetched device output) while batch N computes, hiding host
+batching/relay latency behind device time.  Transient system errors retry a
+batch once; deterministic request errors fail fast.
 """
 
 from __future__ import annotations
