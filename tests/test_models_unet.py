@@ -114,7 +114,8 @@ class TestUNetStructure:
         params = init_unet(jax.random.key(0), TINY_TEST)
         x = jnp.zeros((2, 16, 16, 4))
         ctx = jnp.zeros((2, 7, TINY_TEST.cross_attention_dim))
-        out = unet_forward(x, jnp.array([500.0, 500.0]), ctx, params, TINY_TEST)
+        fn = jax.jit(lambda p, a, ts, c: unet_forward(a, ts, c, p, TINY_TEST))
+        out = fn(params, x, jnp.array([500.0, 500.0]), ctx)
         assert out.shape == (2, 16, 16, 4)
 
     def test_cfg_batched_two(self):
@@ -125,15 +126,15 @@ class TestUNetStructure:
         ctx_cond = jax.random.normal(jax.random.key(2), (1, 7, 24))
         ctx_uncond = jnp.zeros((1, 7, 24))
 
-        batched = unet_forward(
+        fn = jax.jit(lambda p, a, ts, c: unet_forward(a, ts, c, p, TINY_TEST))
+        batched = fn(
+            params,
             jnp.concatenate([lat, lat]),
             jnp.array([10.0, 10.0]),
             jnp.concatenate([ctx_cond, ctx_uncond]),
-            params,
-            TINY_TEST,
         )
-        solo_cond = unet_forward(lat, jnp.array([10.0]), ctx_cond, params, TINY_TEST)
-        solo_uncond = unet_forward(lat, jnp.array([10.0]), ctx_uncond, params, TINY_TEST)
+        solo_cond = fn(params, lat, jnp.array([10.0]), ctx_cond)
+        solo_uncond = fn(params, lat, jnp.array([10.0]), ctx_uncond)
         assert_allclose(batched[0], solo_cond[0], atol=1e-4, rtol=1e-3)
         assert_allclose(batched[1], solo_uncond[0], atol=1e-4, rtol=1e-3)
 
@@ -151,8 +152,8 @@ class TestUNetStructure:
         )
         params = init_unet(jax.random.key(0), cfg)
         x = jnp.zeros((1, 32, 32, 4))
-        out = unet_forward(
-            x, jnp.array([1.0]), jnp.zeros((1, 7, 16)), params, cfg
+        out = jax.jit(lambda p, a, ts, c: unet_forward(a, ts, c, p, cfg))(
+            params, x, jnp.array([1.0]), jnp.zeros((1, 7, 16))
         )
         assert out.shape == (1, 32, 32, 4)
 
@@ -177,10 +178,11 @@ class TestUNetStructure:
             "text_embeds": jnp.zeros((2, 64 - 6 * 8)),
             "time_ids": jnp.zeros((2, 6)),
         }
-        out = unet_forward(
-            x, jnp.array([1.0, 2.0]), jnp.zeros((2, 7, 32)), params, cfg,
-            added_cond=added,
-        )
+        out = jax.jit(
+            lambda p, a, ts, c: unet_forward(
+                a, ts, c, p, cfg, added_cond=added
+            )
+        )(params, x, jnp.array([1.0, 2.0]), jnp.zeros((2, 7, 32)))
         assert out.shape == (2, 32, 32, 4)
 
     def test_jit_no_recompile_across_timesteps(self):

@@ -77,10 +77,9 @@ class TestPerStageBf16Drift:
             jax.random.key(2), (1, 7, cfg.cross_attention_dim)
         )
         ts = jnp.array([500.0])
-        out32 = unet_forward(x, ts, ctx, params32, cfg)
-        out16 = unet_forward(
-            x.astype(jnp.bfloat16), ts, ctx, params16, cfg
-        )
+        fn = jax.jit(lambda p, a: unet_forward(a, ts, ctx, p, cfg))
+        out32 = fn(params32, x)
+        out16 = fn(params16, x.astype(jnp.bfloat16))
         rel = _rel(out32, out16)
         assert rel < 0.03, f"UNet bf16 drift {rel:.4f} (measured basis 0.0179)"
 
