@@ -11,8 +11,9 @@ Prints ONE JSON line:
 
 Runs with random weights (perf is weight-value independent; the reference
 only ever runs random weights) and fixed token ids (the tokenizer is host-
-side and excluded, as is PNG encoding; timing covers tokens -> uint8-ready
-image floats on device, end to end inside the two jit programs).
+side and excluded, as is PNG encoding; timing covers tokens -> fetched
+uint8 image on the host — the product deliverable — with the rescale/clamp
+packed on device inside the jit program).
 """
 
 import argparse
@@ -109,7 +110,7 @@ def main() -> None:
         def run(seed: int):
             return pipe.generate(
                 "bench", token_ids=ids, num_inference_steps=steps,
-                seed=seed, image_size=args.image_size, output="float",
+                seed=seed, image_size=args.image_size, output="uint8",
                 sampler=sampler, cfg=cfg, init_image=init_image,
                 strength=args.strength,
             )
@@ -123,7 +124,7 @@ def main() -> None:
             return pipe.generate_batch(
                 ["bench"] * args.batch, token_ids=ids,
                 num_inference_steps=steps, seed=seed,
-                image_size=args.image_size, output="float",
+                image_size=args.image_size, output="uint8",
                 sampler=sampler, cfg=cfg,
             )
 

@@ -37,10 +37,16 @@ def attention(
     context: Optional[jax.Array] = None,
     causal: bool = False,
     implementation: str = "xla",
+    kv_cache: Optional[dict] = None,
 ) -> jax.Array:
     """Multi-head (self or cross) attention.
 
     x: (B, Lq, D); context: (B, Lk, Dctx) or None for self-attention.
+    ``kv_cache``: precomputed ``{"k", "v"}`` (B, Lk, D) cross-attention
+    projections — the text context is constant across the denoise scan, so
+    the pipeline hoists these out of the loop (see
+    :func:`precompute_cross_kv`); XLA does not loop-invariant-motion them
+    itself, and they cost a projection + relayout copy per step otherwise.
     """
     b, lq, d = x.shape
     assert d % num_heads == 0
@@ -58,8 +64,13 @@ def attention(
         )
 
     q = linear(x, params["q"]).reshape(b, lq, num_heads, head_dim)
-    k = linear(ctx, params["k"]).reshape(b, ctx.shape[1], num_heads, head_dim)
-    v = linear(ctx, params["v"]).reshape(b, ctx.shape[1], num_heads, head_dim)
+    if kv_cache is not None:
+        lk = kv_cache["k"].shape[1]
+        k = kv_cache["k"].reshape(b, lk, num_heads, head_dim)
+        v = kv_cache["v"].reshape(b, lk, num_heads, head_dim)
+    else:
+        k = linear(ctx, params["k"]).reshape(b, ctx.shape[1], num_heads, head_dim)
+        v = linear(ctx, params["v"]).reshape(b, ctx.shape[1], num_heads, head_dim)
 
     out = None
     if implementation == "ring" and not causal:
@@ -173,6 +184,7 @@ def transformer_block(
     num_heads: int,
     context: jax.Array,
     implementation: str = "xla",
+    cross_kv: Optional[dict] = None,
 ) -> jax.Array:
     h = layer_norm(x, params["norm1"])
     x = x + attention(
@@ -185,10 +197,20 @@ def transformer_block(
         num_heads=num_heads,
         context=context,
         implementation=implementation,
+        kv_cache=cross_kv,
     )
     h = layer_norm(x, params["norm3"])
     h = geglu(linear(h, params["ff"]["proj"]))
     return x + linear(h, params["ff"]["out"])
+
+
+def precompute_transformer_cross_kv(context: jax.Array, params: dict) -> dict:
+    """Cross-attention K/V for one BasicTransformerBlock — the denoise-scan
+    loop-invariant (context never changes across steps)."""
+    return {
+        "k": linear(context, params["attn2"]["k"]),
+        "v": linear(context, params["attn2"]["v"]),
+    }
 
 
 def init_geglu(key: jax.Array, dim: int, *, mult: int = 4, dtype=jnp.float32) -> dict:

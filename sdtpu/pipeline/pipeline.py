@@ -548,6 +548,16 @@ class StableDiffusionPipeline:
             # context: cfg ? (2B, L, D) ordered [cond..., uncond...] : (B, L, D)
             batch = latents.shape[0]
 
+            # cross-attention K/V depend only on the (constant) context:
+            # compute them ONCE here instead of every scan step — XLA does
+            # not hoist them itself (round-2 XProf: ~1.4 ms/step of
+            # projections + relayout copies inside the loop)
+            from sdtpu.models.unet import precompute_cross_kv
+
+            cross_kv = precompute_cross_kv(
+                context.astype(compute_dtype), params["unet"], config.unet
+            )
+
             # LCM-distilled UNets consume the guidance scale as an embedding
             # (w = cfg_scale - 1, diffusers convention) instead of CFG.
             timestep_cond = None
@@ -577,7 +587,7 @@ class StableDiffusionPipeline:
                     config.unet, added_cond=added_cond,
                     timestep_cond=timestep_cond,
                     attention_impl=attn_impl, norm_impl=config.norm_impl,
-                    conv_impl=conv_impl,
+                    conv_impl=conv_impl, cross_kv=cross_kv,
                 ).astype(jnp.float32)
                 if cfg:
                     cond, uncond = eps[:batch], eps[batch:]

@@ -185,6 +185,42 @@ class TestUNetStructure:
         )(params, x, jnp.array([1.0, 2.0]), jnp.zeros((2, 7, 32)))
         assert out.shape == (2, 32, 32, 4)
 
+    def test_cross_kv_cache_matches_uncached(self):
+        """Scan-hoisted cross-attention K/V (precompute_cross_kv) must give
+        numbers identical to computing the projections in-place."""
+        from sdtpu.models.unet import precompute_cross_kv
+
+        params = init_unet(jax.random.key(0), TINY_TEST)
+        lat = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+        ctx = jax.random.normal(jax.random.key(2), (2, 7, 24))
+        ts = jnp.array([500.0, 10.0])
+        cache = precompute_cross_kv(ctx, params, TINY_TEST)
+        a = unet_forward(lat, ts, ctx, params, TINY_TEST)
+        b = unet_forward(lat, ts, ctx, params, TINY_TEST, cross_kv=cache)
+        assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+    def test_cross_kv_cache_with_mid_block(self):
+        from sdtpu.models.unet import precompute_cross_kv
+
+        cfg = UNetConfig(
+            block_out_channels=(16, 24, 32),
+            layers_per_block=1,
+            attention_levels=(False, True, True),
+            transformer_layers_per_block=(1, 2, 2),
+            num_attention_heads=2,
+            cross_attention_dim=24,
+            mid_block=True,
+            norm_num_groups=8,
+        )
+        params = init_unet(jax.random.key(3), cfg)
+        lat = jax.random.normal(jax.random.key(4), (1, 16, 16, 4))
+        ctx = jax.random.normal(jax.random.key(5), (1, 7, 24))
+        ts = jnp.array([77.0])
+        cache = precompute_cross_kv(ctx, params, cfg)
+        a = unet_forward(lat, ts, ctx, params, cfg)
+        b = unet_forward(lat, ts, ctx, params, cfg, cross_kv=cache)
+        assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
     def test_jit_no_recompile_across_timesteps(self):
         params = init_unet(jax.random.key(0), TINY_TEST)
         fn = jax.jit(
