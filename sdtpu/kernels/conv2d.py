@@ -260,6 +260,245 @@ def plan_fused_co_tile(
     return None
 
 
+# ---------------------------------------------------------------------------
+# Row-slab variant: spatial blocking past the 64x64 register-pressure cap
+# ---------------------------------------------------------------------------
+#
+# Beyond ~64x64 spatial tokens per grid cell Mosaic's register allocator
+# spills tens of MB of stack (66.9M spill slots at 96x96x960 — BENCHLOG.md),
+# so the whole-map kernel above refuses those shapes and SD2.1-768 (96x96)
+# and SDXL-1024 (128x128) level-0 maps fell back to XLA convs.  Here the H
+# axis is blocked into row slabs with a 1-row halo on each side; the
+# overlapping slabs are materialized by XLA before the call (one cheap HBM
+# copy, ~5% of the conv's compute time) because Pallas block index maps are
+# block-granular and cannot express overlapping windows.
+#
+# The optional prologue applies a per-(batch, channel) affine + SiLU before
+# the conv — the resblock's GroupNorm (+ time-embedding add) folds into that
+# affine once XLA has computed the group statistics (a single fused
+# reduction pass), so the normalized map is never materialized in HBM.
+
+_SLAB_TOKEN_CAP = 64 * 64  # validated cell size; spills observed above this
+
+
+def _slab_vmem(ht, w, ci, co_tile, *, has_pro, has_res) -> int:
+    in_b = (ht + 2) * (w + 2) * ci * 2 * 2  # double-buffered slab
+    k_b = 9 * ci * co_tile * 2 * 2
+    out_b = ht * w * co_tile * 2 * 2
+    acc_b = ht * w * co_tile * 4 * 2
+    core_b = ht * w * ci * 2  # shifted-window temporary
+    if has_pro:
+        core_b += (ht + 2) * (w + 2) * ci * 4  # f32 normalized slab
+    res_b = ht * w * co_tile * 2 * 2 if has_res else 0
+    return in_b + k_b + out_b + acc_b + core_b + res_b
+
+
+def plan_slab(x_shape, kernel_shape, *, has_prologue=False, has_residual=False):
+    """(h_tile, co_tile) for the row-slab kernel, or None for the XLA path."""
+    b, h, w, ci = x_shape
+    kh, kw, _, co = kernel_shape
+    if (kh, kw) != (3, 3) or h % 8 != 0 or w % 8 != 0:
+        return None
+    if ci < 64 or co < 64:
+        return None
+    for ht in (64, 48, 32, 16, 8):
+        if h % ht != 0 or ht * w > _SLAB_TOKEN_CAP:
+            continue
+        for co_tile in _co_tile_candidates(co):
+            if (
+                _slab_vmem(ht, w, ci, co_tile,
+                           has_pro=has_prologue, has_res=has_residual)
+                <= _VMEM_BUDGET
+            ):
+                return ht, co_tile
+    return None
+
+
+def _slab_kernel(
+    x_ref, a_ref, b_ref, k_ref, cb_ref, r_ref, o_ref,
+    *, ht, w, h, has_pro, has_res,
+):
+    x = x_ref[0, 0]  # (ht+2, w+2, ci) — slab with 1-row halo, pre-padded cols
+    ci = x.shape[-1]
+    co = k_ref.shape[-1]
+    if has_pro:
+        # y = SiLU(x * a + b) with the GN(+temb) fold; the slab includes the
+        # conv's ZERO padding (border rows/cols), which must stay zero after
+        # the prologue — mask on global padded coordinates.
+        si = pl.program_id(1)
+        y = x.astype(jnp.float32) * a_ref[0] + b_ref[0]
+        y = y * jax.nn.sigmoid(y)
+        gr = si * ht + jax.lax.broadcasted_iota(
+            jnp.int32, (ht + 2, w + 2, 1), 0
+        )
+        gc = jax.lax.broadcasted_iota(jnp.int32, (ht + 2, w + 2, 1), 1)
+        interior = (gr > 0) & (gr < h + 1) & (gc > 0) & (gc < w + 1)
+        x = jnp.where(interior, y, 0.0).astype(x.dtype)
+    acc = jnp.zeros((ht * w, co), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = x[dy : dy + ht, dx : dx + w, :].reshape(ht * w, ci)
+            acc = acc + jnp.dot(
+                xs, k_ref[dy, dx], preferred_element_type=jnp.float32
+            )
+    acc = acc + cb_ref[...]
+    out = acc.reshape(ht, w, co)
+    if has_res:
+        out = out + r_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_tile", "co_tile", "interpret"),
+)
+def conv3x3_gemm_slab(
+    x: jax.Array,
+    kernel: jax.Array,
+    conv_bias=None,
+    *,
+    prologue_scale=None,
+    prologue_bias=None,
+    residual=None,
+    h_tile: int,
+    co_tile: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Row-slab NHWC stride-1 same-pad 3x3 conv (+bias) (+residual), with an
+    optional fused per-channel affine + SiLU prologue.
+
+    x: (B, H, W, Ci); kernel HWIO; prologue_scale/bias: (B, Ci) f32 — the
+    folded GroupNorm(+temb) affine (see ``gn_silu_conv3x3_slab``);
+    residual: optional (B, H, W, Co) added to the conv output in-kernel.
+    """
+    b, h, w, ci = x.shape
+    co = kernel.shape[-1]
+    ns = h // h_tile
+    co_pad = ((co + co_tile - 1) // co_tile) * co_tile
+    if co_pad != co:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, co_pad - co)))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # overlapping slabs (B, ns, ht+2, W+2, Ci): one XLA copy
+    slabs = jnp.stack(
+        [xp[:, s * h_tile : s * h_tile + h_tile + 2] for s in range(ns)],
+        axis=1,
+    )
+
+    has_pro = prologue_scale is not None
+    if has_pro:
+        a = prologue_scale.astype(jnp.float32).reshape(b, 1, ci)
+        bb = prologue_bias.astype(jnp.float32).reshape(b, 1, ci)
+    else:
+        a = jnp.ones((b, 1, ci), jnp.float32)
+        bb = jnp.zeros((b, 1, ci), jnp.float32)
+    cb = (
+        conv_bias.astype(jnp.float32).reshape(1, co)
+        if conv_bias is not None
+        else jnp.zeros((1, co), jnp.float32)
+    )
+    if co_pad != co:
+        cb = jnp.pad(cb, ((0, 0), (0, co_pad - co)))
+    has_res = residual is not None
+    if has_res:
+        res = residual
+        if co_pad != co:
+            res = jnp.pad(res, ((0, 0), (0, 0), (0, 0), (0, co_pad - co)))
+        res_ht, res_w = h_tile, w
+        res_map = lambda bi, si, oi: (bi, si, 0, oi)  # noqa: E731
+    else:
+        res = jnp.zeros((b, 1, 1, co_pad), x.dtype)
+        res_ht, res_w = 1, 1
+        res_map = lambda bi, si, oi: (bi, 0, 0, oi)  # noqa: E731
+
+    out = pl.pallas_call(
+        functools.partial(
+            _slab_kernel, ht=h_tile, w=w, h=h, has_pro=has_pro,
+            has_res=has_res,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co_pad), x.dtype),
+        grid=(b, ns, co_pad // co_tile),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, h_tile + 2, w + 2, ci),
+                lambda bi, si, oi: (bi, si, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, ci), lambda bi, si, oi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ci), lambda bi, si, oi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3, 3, ci, co_tile), lambda bi, si, oi: (0, 0, 0, oi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, co_tile), lambda bi, si, oi: (0, oi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, res_ht, res_w, co_tile), res_map,
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h_tile, w, co_tile), lambda bi, si, oi: (bi, si, 0, oi),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(slabs, a, bb, kernel, cb, res)
+
+    return out[..., :co]
+
+
+def gn_silu_conv3x3_slab(
+    x: jax.Array,
+    norm_params: dict,
+    kernel: jax.Array,
+    conv_bias=None,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    temb=None,
+    residual=None,
+    h_tile: int,
+    co_tile: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """(x [+ temb]) -> GroupNorm -> SiLU -> 3x3 conv (+bias) (+residual) for
+    maps past the whole-map kernel's spatial cap.
+
+    Group statistics run as one fused XLA reduction (fp32); the normalize +
+    SiLU collapse to a per-(batch, channel) affine applied inside the slab
+    kernel's prologue, so the normalized map never round-trips HBM:
+    GN(x + t) = x * (inv * gamma) + ((t - mu) * inv * gamma + beta).
+    """
+    b, h, w, ci = x.shape
+    cpg = ci // num_groups
+    xf = x.astype(jnp.float32)
+    t = None
+    if temb is not None:
+        t = temb.astype(jnp.float32)  # (B, Ci)
+        xf = xf + t[:, None, None, :]
+    xg = xf.reshape(b, h * w, num_groups, cpg)
+    mean = jnp.mean(xg, axis=(1, 3))  # (B, G)
+    var = jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)
+    invc = jnp.repeat(inv, cpg, axis=1)  # (B, Ci)
+    muc = jnp.repeat(mean, cpg, axis=1)
+    gamma = norm_params["scale"].astype(jnp.float32)[None]
+    beta = norm_params["bias"].astype(jnp.float32)[None]
+    a = invc * gamma
+    off = -muc if t is None else t - muc
+    bb = off * a + beta
+    return conv3x3_gemm_slab(
+        x, kernel, conv_bias,
+        prologue_scale=a, prologue_bias=bb, residual=residual,
+        h_tile=h_tile, co_tile=co_tile, interpret=interpret,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("co_tile", "interpret"))
 def conv3x3_gemm(
     x: jax.Array,

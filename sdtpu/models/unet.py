@@ -54,6 +54,87 @@ from sdtpu.ops import (
 from sdtpu.ops.attention import precompute_transformer_cross_kv
 
 
+def precompute_time_projections(
+    timesteps: jax.Array,
+    params: dict,
+    config: UNetConfig,
+    *,
+    batch: int,
+    timestep_cond: Optional[jax.Array] = None,
+    added_cond: Optional[dict] = None,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Every time-dependent projection in the UNet, for EVERY scan step.
+
+    The denoise scan's timestep sequence is known before the scan runs, so
+    the sinusoidal embedding -> time-MLP chain (``diffusion.mojo:5-21``) and
+    the per-resblock ``time_emb_proj`` matmuls (``diffusion.mojo:61-65``) —
+    one per resblock per step — can all be computed in ONE batched matmul
+    sweep here instead of ~15 small in-scan matmuls per step (XLA cannot
+    hoist them: they depend on the scan-carried timestep).  The SDXL
+    add-embedding and LCM guidance embedding are constant across steps and
+    fold in here too.
+
+    timesteps: (T,) schedule timesteps; batch: the effective UNet batch
+    (2B under CFG).  Returns a cache pytree; index step ``i`` via
+    ``jax.tree.map(lambda a: a[i], cache)`` and pass as
+    ``unet_forward(time_cache=...)``:
+
+      {"temb": (T, batch, time_embed_dim)   # final, SiLU'd
+       "down": [[(T, batch, out_ch) per resnet] per level],
+       "mid":  [(T, batch, ch)] * 2,
+       "up":   [[(T, batch, out_ch) per resnet] per level]}
+    """
+    T = timesteps.shape[0]
+    temb = timestep_embedding(
+        timesteps.astype(jnp.float32),
+        config.block_out_channels[0],
+        flip_sin_to_cos=config.flip_sin_to_cos,
+        freq_shift=config.freq_shift,
+        dtype=dtype,
+    )  # (T, ch0)
+    temb = jnp.broadcast_to(temb[:, None, :], (T, batch, temb.shape[-1]))
+    if config.time_cond_proj_dim is not None:
+        assert timestep_cond is not None, "LCM config requires timestep_cond"
+        temb = temb + linear(
+            timestep_cond.astype(temb.dtype),
+            params["time_embedding"]["cond_proj"],
+        )[None]
+    temb = linear(temb, params["time_embedding"]["linear_1"])
+    temb = silu(temb)
+    temb = linear(temb, params["time_embedding"]["linear_2"])
+
+    if config.addition_embed_dim is not None:
+        assert added_cond is not None, "SDXL config requires added_cond"
+        time_ids = added_cond["time_ids"].reshape(-1)
+        tid_emb = timestep_embedding(
+            time_ids,
+            config.addition_time_embed_dim,
+            flip_sin_to_cos=config.flip_sin_to_cos,
+            freq_shift=config.freq_shift,
+            dtype=dtype,
+        ).reshape(batch, -1)
+        add_emb = jnp.concatenate(
+            [added_cond["text_embeds"].astype(dtype), tid_emb], axis=-1
+        )
+        aemb = linear(add_emb, params["add_embedding"]["linear_1"])
+        aemb = silu(aemb)
+        aemb = linear(aemb, params["add_embedding"]["linear_2"])
+        temb = temb + aemb[None]
+
+    temb = silu(temb)  # the hoisted per-resblock SiLU (diffusion.mojo:61)
+
+    proj = lambda p: linear(temb, p["time_emb_proj"])  # noqa: E731
+    cache = {"temb": temb, "down": [], "mid": [], "up": []}
+    for block in params["down_blocks"]:
+        cache["down"].append([proj(r) for r in block["resnets"]])
+    if config.mid_block:
+        cache["mid"] = [proj(r) for r in params["mid_block"]["resnets"]]
+    for block in params["up_blocks"]:
+        cache["up"].append([proj(r) for r in block["resnets"]])
+    return cache
+
+
 def precompute_cross_kv(context: jax.Array, params: dict, config: UNetConfig):
     """Cross-attention K/V for EVERY transformer block in the UNet, computed
     once per generation: the text context is constant across the denoise
@@ -106,17 +187,26 @@ def resnet_block(
     num_groups: int = 32,
     norm_impl: str = "xla",
     conv_impl: str = "xla",
+    t_pre: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Unet_Residual_Block (``diffusion.mojo:54-72``).
 
     x: (B, H, W, C_in); temb: (B, time_embed_dim) already SiLU'd once per
     step — the reference re-applies SiLU to the same time vector inside every
     block (``diffusion.mojo:61``); hoisting it is numerically identical.
+    ``t_pre``: the scan-hoisted projected time vector (B, C_out) from
+    ``precompute_time_projections`` — skips the in-scan ``time_emb_proj``.
     """
-    t = linear(temb, params["time_emb_proj"])
+    t = linear(temb, params["time_emb_proj"]) if t_pre is None else t_pre
     fused = None
+    slab = None
     if conv_impl == "gemm":
-        from sdtpu.kernels.conv2d import gn_silu_conv3x3, plan_fused_co_tile
+        from sdtpu.kernels.conv2d import (
+            gn_silu_conv3x3,
+            gn_silu_conv3x3_slab,
+            plan_fused_co_tile,
+            plan_slab,
+        )
 
         ct1 = plan_fused_co_tile(
             x.shape, params["conv1"]["kernel"].shape, num_groups
@@ -128,7 +218,25 @@ def resnet_block(
         )
         if ct1 is not None and ct2 is not None:
             fused = (ct1, ct2)
-    if fused is not None:
+        else:
+            # past the whole-map kernel's 64x64 spatial cap (SD2.1-768 /
+            # SDXL-1024 level-0 maps): row-slab kernel, GN folded to a
+            # per-channel affine prologue
+            st1 = plan_slab(
+                x.shape, params["conv1"]["kernel"].shape, has_prologue=True
+            )
+            st2 = plan_slab(
+                mid_shape, params["conv2"]["kernel"].shape,
+                has_prologue=True, has_residual=True,
+            )
+            if (
+                st1 is not None
+                and st2 is not None
+                and x.shape[-1] % num_groups == 0
+                and mid_shape[-1] % num_groups == 0
+            ):
+                slab = (st1, st2)
+    if fused is not None or slab is not None:
         # one HBM round trip per conv: GN(+t) + SiLU live inside the kernel,
         # and the second conv's epilogue consumes the skip add — XLA can't
         # fuse elementwise work around a custom call, so the round-1 version
@@ -142,14 +250,26 @@ def resnet_block(
                 params["conv_shortcut"]["bias"],
                 padding=0,
             )
-        h = gn_silu_conv3x3(
+        if fused is not None:
+            h = gn_silu_conv3x3(
+                x, params["norm1"], params["conv1"]["kernel"],
+                params["conv1"]["bias"], num_groups=num_groups,
+                co_tile=fused[0],
+            )
+            return gn_silu_conv3x3(
+                h, params["norm2"], params["conv2"]["kernel"],
+                params["conv2"]["bias"], num_groups=num_groups, temb=t,
+                residual=shortcut, co_tile=fused[1],
+            )
+        h = gn_silu_conv3x3_slab(
             x, params["norm1"], params["conv1"]["kernel"],
-            params["conv1"]["bias"], num_groups=num_groups, co_tile=fused[0],
+            params["conv1"]["bias"], num_groups=num_groups,
+            h_tile=slab[0][0], co_tile=slab[0][1],
         )
-        return gn_silu_conv3x3(
+        return gn_silu_conv3x3_slab(
             h, params["norm2"], params["conv2"]["kernel"],
             params["conv2"]["bias"], num_groups=num_groups, temb=t,
-            residual=shortcut, co_tile=fused[1],
+            residual=shortcut, h_tile=slab[1][0], co_tile=slab[1][1],
         )
     h = _gn_silu(x, params["norm1"], num_groups=num_groups,
                  norm_impl=norm_impl)
@@ -242,6 +362,7 @@ def unet_forward(
     norm_impl: str = "xla",
     conv_impl: str = "xla",
     cross_kv: Optional[dict] = None,
+    time_cache: Optional[dict] = None,
 ) -> jax.Array:
     """Predict noise.  latents: (B, H, W, C_in); timesteps: (B,) or scalar;
     context: (B, L, cross_attention_dim).  Returns (B, H, W, C_out).
@@ -250,48 +371,58 @@ def unet_forward(
     "time_ids": (B, 6)}``.  ``timestep_cond`` is the LCM guidance-scale
     embedding (B, time_cond_proj_dim), added to the sinusoidal timestep
     embedding through a bias-free projection before the time MLP.
+    ``time_cache`` is ONE STEP's slice of ``precompute_time_projections``
+    (scan-hoisted time MLP + per-resblock projections); when given,
+    ``timesteps``/``timestep_cond``/the SDXL add-embedding inputs are ignored
+    — they are already folded in.
     """
-    if timesteps.ndim == 0:
-        timesteps = jnp.broadcast_to(timesteps, (latents.shape[0],))
+    if time_cache is not None:
+        temb = time_cache["temb"]
+        tp = time_cache
+    else:
+        tp = None
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (latents.shape[0],))
 
-    # Time embedding (diffusion.mojo:5-21): 320 sinusoidal -> MLP -> 1280.
-    temb = timestep_embedding(
-        timesteps,
-        config.block_out_channels[0],
-        flip_sin_to_cos=config.flip_sin_to_cos,
-        freq_shift=config.freq_shift,
-        dtype=latents.dtype,
-    )
-    if config.time_cond_proj_dim is not None:
-        assert timestep_cond is not None, "LCM config requires timestep_cond"
-        temb = temb + linear(
-            timestep_cond.astype(temb.dtype),
-            params["time_embedding"]["cond_proj"],
-        )
-    temb = linear(temb, params["time_embedding"]["linear_1"])
-    temb = silu(temb)
-    temb = linear(temb, params["time_embedding"]["linear_2"])
-
-    if config.addition_embed_dim is not None:
-        assert added_cond is not None, "SDXL config requires added_cond"
-        time_ids = added_cond["time_ids"].reshape(-1)
-        tid_emb = timestep_embedding(
-            time_ids,
-            config.addition_time_embed_dim,
+        # Time embedding (diffusion.mojo:5-21): 320 sinusoidal -> MLP -> 1280.
+        temb = timestep_embedding(
+            timesteps,
+            config.block_out_channels[0],
             flip_sin_to_cos=config.flip_sin_to_cos,
             freq_shift=config.freq_shift,
             dtype=latents.dtype,
-        ).reshape(latents.shape[0], -1)
-        add_emb = jnp.concatenate(
-            [added_cond["text_embeds"].astype(latents.dtype), tid_emb], axis=-1
         )
-        aemb = linear(add_emb, params["add_embedding"]["linear_1"])
-        aemb = silu(aemb)
-        aemb = linear(aemb, params["add_embedding"]["linear_2"])
-        temb = temb + aemb
+        if config.time_cond_proj_dim is not None:
+            assert timestep_cond is not None, "LCM config requires timestep_cond"
+            temb = temb + linear(
+                timestep_cond.astype(temb.dtype),
+                params["time_embedding"]["cond_proj"],
+            )
+        temb = linear(temb, params["time_embedding"]["linear_1"])
+        temb = silu(temb)
+        temb = linear(temb, params["time_embedding"]["linear_2"])
 
-    # The per-resblock SiLU(time) (diffusion.mojo:61) hoisted once.
-    temb = silu(temb)
+        if config.addition_embed_dim is not None:
+            assert added_cond is not None, "SDXL config requires added_cond"
+            time_ids = added_cond["time_ids"].reshape(-1)
+            tid_emb = timestep_embedding(
+                time_ids,
+                config.addition_time_embed_dim,
+                flip_sin_to_cos=config.flip_sin_to_cos,
+                freq_shift=config.freq_shift,
+                dtype=latents.dtype,
+            ).reshape(latents.shape[0], -1)
+            add_emb = jnp.concatenate(
+                [added_cond["text_embeds"].astype(latents.dtype), tid_emb],
+                axis=-1,
+            )
+            aemb = linear(add_emb, params["add_embedding"]["linear_1"])
+            aemb = silu(aemb)
+            aemb = linear(aemb, params["add_embedding"]["linear_2"])
+            temb = temb + aemb
+
+        # The per-resblock SiLU(time) (diffusion.mojo:61) hoisted once.
+        temb = silu(temb)
 
     ng = config.norm_num_groups
     context = context.astype(latents.dtype)
@@ -305,7 +436,8 @@ def unet_forward(
         ch = config.block_out_channels[level]
         heads = _heads_for_level(config, ch)
         for i, res in enumerate(block["resnets"]):
-            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl)
+            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl,
+                             t_pre=None if tp is None else tp["down"][level][i])
             if config.attention_levels[level]:
                 x = attention_block(
                     x,
@@ -328,7 +460,8 @@ def unet_forward(
     if config.mid_block:
         mid = params["mid_block"]
         heads = _heads_for_level(config, config.block_out_channels[-1])
-        x = resnet_block(x, temb, mid["resnets"][0], num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl)
+        x = resnet_block(x, temb, mid["resnets"][0], num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl,
+                         t_pre=None if tp is None else tp["mid"][0])
         x = attention_block(
             x,
             context,
@@ -338,7 +471,8 @@ def unet_forward(
             implementation=attention_impl,
             cross_kv=None if cross_kv is None else cross_kv["mid"][0],
         )
-        x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl)
+        x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl,
+                         t_pre=None if tp is None else tp["mid"][1])
 
     # --- decoder (diffusion.mojo:252-272): concat skip on channel axis ---
     for rev, block in enumerate(params["up_blocks"]):
@@ -347,7 +481,8 @@ def unet_forward(
         heads = _heads_for_level(config, ch)
         for i, res in enumerate(block["resnets"]):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl)
+            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl,
+                             t_pre=None if tp is None else tp["up"][rev][i])
             if config.attention_levels[level]:
                 x = attention_block(
                     x,

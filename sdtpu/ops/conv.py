@@ -45,11 +45,21 @@ def conv2d(
         and kernel.shape[:2] == (3, 3)
         and padding == ((1, 1), (1, 1))
     ):
-        from sdtpu.kernels.conv2d import conv3x3_gemm, plan_co_tile
+        from sdtpu.kernels.conv2d import (
+            conv3x3_gemm,
+            conv3x3_gemm_slab,
+            plan_co_tile,
+            plan_slab,
+        )
 
         co_tile = plan_co_tile(x.shape, kernel.shape)
         if co_tile is not None:
             return conv3x3_gemm(x, kernel, bias, co_tile=co_tile)
+        slab = plan_slab(x.shape, kernel.shape)
+        if slab is not None:
+            return conv3x3_gemm_slab(
+                x, kernel, bias, h_tile=slab[0], co_tile=slab[1]
+            )
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
         x,

@@ -552,7 +552,10 @@ class StableDiffusionPipeline:
             # compute them ONCE here instead of every scan step — XLA does
             # not hoist them itself (round-2 XProf: ~1.4 ms/step of
             # projections + relayout copies inside the loop)
-            from sdtpu.models.unet import precompute_cross_kv
+            from sdtpu.models.unet import (
+                precompute_cross_kv,
+                precompute_time_projections,
+            )
 
             cross_kv = precompute_cross_kv(
                 context.astype(compute_dtype), params["unet"], config.unet
@@ -573,6 +576,21 @@ class StableDiffusionPipeline:
                     dtype=compute_dtype,
                 )
 
+            # Every time-dependent projection (time MLP, per-resblock
+            # time_emb_proj, SDXL add-embedding, LCM guidance embedding) is
+            # a function of the KNOWN timestep sequence — one batched sweep
+            # here replaces ~15 small matmuls per scan step (XLA cannot
+            # hoist them past the scan-carried timestep).
+            time_cache = precompute_time_projections(
+                schedule.timesteps,
+                params["unet"],
+                config.unet,
+                batch=2 * batch if cfg else batch,
+                timestep_cond=timestep_cond,
+                added_cond=added_cond,
+                dtype=compute_dtype,
+            )
+
             def body(carry, step):
                 lat, key, state = carry
                 i, t = step
@@ -588,6 +606,7 @@ class StableDiffusionPipeline:
                     timestep_cond=timestep_cond,
                     attention_impl=attn_impl, norm_impl=config.norm_impl,
                     conv_impl=conv_impl, cross_kv=cross_kv,
+                    time_cache=jax.tree.map(lambda a: a[i], time_cache),
                 ).astype(jnp.float32)
                 if cfg:
                     cond, uncond = eps[:batch], eps[batch:]

@@ -288,6 +288,83 @@ class TestFusedGnSiluConv:
             ck.gn_silu_conv3x3, ck.conv3x3_gemm = orig_f, orig_c
         assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
 
+    def test_slab_conv_matches_xla_conv(self, rng):
+        """Row-slab kernel (spatial blocking past the 64x64 cap) vs XLA."""
+        from sdtpu.kernels.conv2d import conv3x3_gemm_slab
+        from sdtpu.ops import conv2d
+
+        b, h, w, ci, co = 1, 96, 96, 64, 64
+        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
+        k = jnp.array(rng.standard_normal((3, 3, ci, co), dtype=np.float32)) * 0.1
+        bias = jnp.array(rng.standard_normal(co, dtype=np.float32))
+        expected = conv2d(x, k, bias, padding=1)
+        got = conv3x3_gemm_slab(
+            x, k, bias, h_tile=32, co_tile=64, interpret=True
+        )
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("has_t", [False, True])
+    def test_slab_prologue_residual_matches_unfused(self, rng, has_t):
+        """GN(+temb)->SiLU folded to the slab kernel's affine prologue +
+        residual epilogue vs the unfused composition.  The prologue must not
+        corrupt the conv's zero padding at slab borders (masked in-kernel)."""
+        from sdtpu.kernels.conv2d import gn_silu_conv3x3_slab
+        from sdtpu.ops import conv2d, group_norm, silu
+
+        b, h, w, ci, co, g = 1, 80, 80, 64, 64, 8
+        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
+        res = jnp.array(rng.standard_normal((b, h, w, co), dtype=np.float32))
+        norm = {
+            "scale": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+            "bias": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+        }
+        k = jnp.array(rng.standard_normal((3, 3, ci, co), dtype=np.float32)) * 0.1
+        cb = jnp.array(rng.standard_normal(co, dtype=np.float32))
+        t = (
+            jnp.array(rng.standard_normal((b, ci), dtype=np.float32))
+            if has_t else None
+        )
+        z = x + t[:, None, None, :] if has_t else x
+        expected = res + conv2d(
+            silu(group_norm(z, norm, num_groups=g)), k, cb, padding=1
+        )
+        got = gn_silu_conv3x3_slab(
+            x, norm, k, cb, num_groups=g, temb=t, residual=res,
+            h_tile=16, co_tile=64, interpret=True,
+        )
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+    def test_plan_slab_policy(self):
+        from sdtpu.kernels.conv2d import plan_co_tile, plan_slab
+
+        # SD2.1-768 level-0 map: whole-map kernel refuses, slab plans
+        assert plan_co_tile((2, 96, 96, 320), (3, 3, 320, 320)) is None
+        assert plan_slab((2, 96, 96, 320), (3, 3, 320, 320)) == (32, 320)
+        # SDXL-1024 level-0
+        assert plan_slab((2, 128, 128, 320), (3, 3, 320, 320)) == (32, 320)
+        # VAE decoder full-res map
+        plan = plan_slab((1, 512, 512, 128), (3, 3, 128, 128))
+        assert plan is not None and plan[0] * 512 <= 64 * 64
+        # tiny channels stay on XLA
+        assert plan_slab((1, 96, 96, 4), (3, 3, 4, 320)) is None
+
+    def test_resnet_block_slab_path_matches_xla_path(self, rng):
+        """resnet_block routes past-cap maps through the slab kernels."""
+        import sdtpu.kernels.conv2d as ck
+        from sdtpu.models.unet import _init_resnet, resnet_block
+
+        params = _init_resnet(jax.random.key(2), 64, 64, 48, dtype=jnp.float32)
+        x = jnp.array(rng.standard_normal((1, 80, 80, 64), dtype=np.float32))
+        temb = jnp.array(rng.standard_normal((1, 48), dtype=np.float32))
+        expected = resnet_block(x, temb, params, num_groups=8, conv_impl="xla")
+        orig = ck.gn_silu_conv3x3_slab
+        try:
+            ck.gn_silu_conv3x3_slab = functools.partial(orig, interpret=True)
+            got = resnet_block(x, temb, params, num_groups=8, conv_impl="gemm")
+        finally:
+            ck.gn_silu_conv3x3_slab = orig
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
     def test_resnet_block_fused_path_matches_xla_path(self, rng):
         """resnet_block(conv_impl='gemm') must equal conv_impl='xla' — run in
         interpret mode by monkeypatching the kernels."""

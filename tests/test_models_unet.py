@@ -221,6 +221,57 @@ class TestUNetStructure:
         b = unet_forward(lat, ts, ctx, params, cfg, cross_kv=cache)
         assert_allclose(a, b, atol=1e-6, rtol=1e-6)
 
+    def test_time_projection_cache_matches_uncached(self):
+        """Scan-hoisted time MLP + per-resblock time_emb_proj
+        (precompute_time_projections) must reproduce the in-forward path
+        for every step of a schedule."""
+        from sdtpu.models.unet import precompute_time_projections
+
+        params = init_unet(jax.random.key(0), TINY_TEST)
+        lat = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+        ctx = jax.random.normal(jax.random.key(2), (2, 7, 24))
+        timesteps = jnp.array([981.0, 500.0, 21.0])
+        cache = precompute_time_projections(
+            timesteps, params, TINY_TEST, batch=2, dtype=lat.dtype
+        )
+        for i in range(3):
+            ts = jnp.broadcast_to(timesteps[i], (2,))
+            a = unet_forward(lat, ts, ctx, params, TINY_TEST)
+            b = unet_forward(
+                lat, ts, ctx, params, TINY_TEST,
+                time_cache=jax.tree.map(lambda x: x[i], cache),
+            )
+            assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    def test_time_projection_cache_with_mid_block(self):
+        from sdtpu.models.unet import precompute_time_projections
+
+        cfg = UNetConfig(
+            block_out_channels=(16, 24, 32),
+            layers_per_block=1,
+            attention_levels=(False, True, True),
+            transformer_layers_per_block=(1, 2, 2),
+            num_attention_heads=2,
+            cross_attention_dim=24,
+            mid_block=True,
+            norm_num_groups=8,
+        )
+        params = init_unet(jax.random.key(3), cfg)
+        lat = jax.random.normal(jax.random.key(4), (1, 16, 16, 4))
+        ctx = jax.random.normal(jax.random.key(5), (1, 7, 24))
+        timesteps = jnp.array([77.0, 3.0])
+        cache = precompute_time_projections(
+            timesteps, params, cfg, batch=1, dtype=lat.dtype
+        )
+        for i in range(2):
+            ts = jnp.broadcast_to(timesteps[i], (1,))
+            a = unet_forward(lat, ts, ctx, params, cfg)
+            b = unet_forward(
+                lat, ts, ctx, params, cfg,
+                time_cache=jax.tree.map(lambda x: x[i], cache),
+            )
+            assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
     def test_jit_no_recompile_across_timesteps(self):
         params = init_unet(jax.random.key(0), TINY_TEST)
         fn = jax.jit(

@@ -49,16 +49,35 @@ def main():
     ts = jnp.full((2,), 500.0, jnp.float32)
     ctx = jnp.zeros((2, 77, config.unet.cross_attention_dim), cd)
 
-    def make(attn, conv, norm):
+    def make(attn, conv, norm, hoist=False):
         def run(p, x, t, c):
-            def body(carry, _):
+            kwargs = {}
+            if hoist:
+                from sdtpu.models.unet import (
+                    precompute_cross_kv,
+                    precompute_time_projections,
+                )
+
+                kwargs["cross_kv"] = precompute_cross_kv(c, p, config.unet)
+                tcache = precompute_time_projections(
+                    jnp.linspace(999.0, 1.0, chain), p, config.unet,
+                    batch=x.shape[0], dtype=cd,
+                )
+
+            def body(carry, i):
+                kw = dict(kwargs)
+                if hoist:
+                    kw["time_cache"] = jax.tree.map(lambda a: a[i], tcache)
                 out = unet_forward(
                     carry, t, c, p, config.unet,
                     attention_impl=attn, norm_impl=norm, conv_impl=conv,
+                    **kw,
                 )
                 return out.astype(carry.dtype), ()
 
-            out, _ = jax.lax.scan(body, x, None, length=chain)
+            out, _ = jax.lax.scan(
+                body, x, jnp.arange(chain, dtype=jnp.int32)
+            )
             return out
 
         return jax.jit(run)
@@ -68,6 +87,7 @@ def main():
         ("attn=flash conv=xla ", make("flash", "xla", "xla")),
         ("attn=flash conv=gemm", make("flash", "gemm", "xla")),
         ("attn=xla   conv=gemm", make("xla", "gemm", "xla")),
+        ("flash+gemm + hoists ", make("flash", "gemm", "xla", hoist=True)),
     ]
 
     results = {}
