@@ -443,7 +443,7 @@ def conv3x3_gemm_slab(
             memory_space=pltpu.VMEM,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "parallel"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,

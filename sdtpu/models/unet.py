@@ -179,6 +179,20 @@ def _gn_silu(x, params, *, num_groups, norm_impl):
     return silu(group_norm(x, params, num_groups=num_groups))
 
 
+def _shortcut(x: jax.Array, params: dict) -> jax.Array:
+    """The resblock's 1x1 skip projection (``diffusion.mojo:70-72``),
+    expressed as a token matmul: XLA's conv lowering ran the twelve 1x1
+    convs per step at ~19% MXU (XProf round-2 trace); as a plain dot they
+    ride the matmul path."""
+    if "conv_shortcut" not in params:
+        return x
+    b, h, w, ci = x.shape
+    kernel = params["conv_shortcut"]["kernel"][0, 0]  # (1,1,Ci,Co) -> (Ci,Co)
+    out = x.reshape(b, h * w, ci) @ kernel.astype(x.dtype)
+    out = out + params["conv_shortcut"]["bias"].astype(out.dtype)
+    return out.reshape(b, h, w, kernel.shape[-1])
+
+
 def resnet_block(
     x: jax.Array,
     temb: jax.Array,
@@ -198,69 +212,33 @@ def resnet_block(
     ``precompute_time_projections`` — skips the in-scan ``time_emb_proj``.
     """
     t = linear(temb, params["time_emb_proj"]) if t_pre is None else t_pre
-    fused = None
     slab = None
     if conv_impl == "gemm":
-        from sdtpu.kernels.conv2d import (
-            gn_silu_conv3x3,
-            gn_silu_conv3x3_slab,
-            plan_fused_co_tile,
-            plan_slab,
-        )
+        from sdtpu.kernels.conv2d import gn_silu_conv3x3_slab, plan_slab
 
-        ct1 = plan_fused_co_tile(
-            x.shape, params["conv1"]["kernel"].shape, num_groups
-        )
         mid_shape = x.shape[:-1] + (params["conv1"]["kernel"].shape[-1],)
-        ct2 = plan_fused_co_tile(
-            mid_shape, params["conv2"]["kernel"].shape, num_groups,
-            has_residual=True,
+        st1 = plan_slab(
+            x.shape, params["conv1"]["kernel"].shape, has_prologue=True
         )
-        if ct1 is not None and ct2 is not None:
-            fused = (ct1, ct2)
-        else:
-            # past the whole-map kernel's 64x64 spatial cap (SD2.1-768 /
-            # SDXL-1024 level-0 maps): row-slab kernel, GN folded to a
-            # per-channel affine prologue
-            st1 = plan_slab(
-                x.shape, params["conv1"]["kernel"].shape, has_prologue=True
-            )
-            st2 = plan_slab(
-                mid_shape, params["conv2"]["kernel"].shape,
-                has_prologue=True, has_residual=True,
-            )
-            if (
-                st1 is not None
-                and st2 is not None
-                and x.shape[-1] % num_groups == 0
-                and mid_shape[-1] % num_groups == 0
-            ):
-                slab = (st1, st2)
-    if fused is not None or slab is not None:
-        # one HBM round trip per conv: GN(+t) + SiLU live inside the kernel,
-        # and the second conv's epilogue consumes the skip add — XLA can't
-        # fuse elementwise work around a custom call, so the round-1 version
-        # paid an extra full-map pass for the residual (BENCHLOG.md conv
-        # ablation: e2e neutral despite 1.1-2.3x isolated kernel wins)
-        shortcut = x
-        if "conv_shortcut" in params:
-            shortcut = conv2d(
-                x,
-                params["conv_shortcut"]["kernel"],
-                params["conv_shortcut"]["bias"],
-                padding=0,
-            )
-        if fused is not None:
-            h = gn_silu_conv3x3(
-                x, params["norm1"], params["conv1"]["kernel"],
-                params["conv1"]["bias"], num_groups=num_groups,
-                co_tile=fused[0],
-            )
-            return gn_silu_conv3x3(
-                h, params["norm2"], params["conv2"]["kernel"],
-                params["conv2"]["bias"], num_groups=num_groups, temb=t,
-                residual=shortcut, co_tile=fused[1],
-            )
+        st2 = plan_slab(
+            mid_shape, params["conv2"]["kernel"].shape,
+            has_prologue=True, has_residual=True,
+        )
+        if (
+            st1 is not None
+            and st2 is not None
+            and x.shape[-1] % num_groups == 0
+            and mid_shape[-1] % num_groups == 0
+        ):
+            slab = (st1, st2)
+    if slab is not None:
+        # One HBM round trip per conv: the GroupNorm(+t)+SiLU prologue is a
+        # per-channel affine inside the kernel (stats run as a tiny XLA
+        # reduction fused into the map's producer — measured faster than
+        # recomputing stats in-kernel per co-tile at >=640 ch), and the
+        # second conv's epilogue consumes the skip add — XLA can't fuse
+        # elementwise work around a custom call, so the unfused version
+        # paid an extra full-map HBM pass for the residual (BENCHLOG.md).
         h = gn_silu_conv3x3_slab(
             x, params["norm1"], params["conv1"]["kernel"],
             params["conv1"]["bias"], num_groups=num_groups,
@@ -269,7 +247,8 @@ def resnet_block(
         return gn_silu_conv3x3_slab(
             h, params["norm2"], params["conv2"]["kernel"],
             params["conv2"]["bias"], num_groups=num_groups, temb=t,
-            residual=shortcut, h_tile=slab[1][0], co_tile=slab[1][1],
+            residual=_shortcut(x, params), h_tile=slab[1][0],
+            co_tile=slab[1][1],
         )
     h = _gn_silu(x, params["norm1"], num_groups=num_groups,
                  norm_impl=norm_impl)
@@ -280,14 +259,7 @@ def resnet_block(
                  norm_impl=norm_impl)
     h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"],
                padding=1, impl=conv_impl)
-    if "conv_shortcut" in params:
-        x = conv2d(
-            x,
-            params["conv_shortcut"]["kernel"],
-            params["conv_shortcut"]["bias"],
-            padding=0,
-        )
-    return x + h
+    return _shortcut(x, params) + h
 
 
 def attention_block(

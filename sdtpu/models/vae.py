@@ -39,10 +39,52 @@ from sdtpu.ops import (
 )
 
 
+def _shortcut(x: jax.Array, params: dict) -> jax.Array:
+    """1x1 skip projection as a token matmul (see unet._shortcut)."""
+    if "conv_shortcut" not in params:
+        return x
+    b, h, w, ci = x.shape
+    kernel = params["conv_shortcut"]["kernel"][0, 0]
+    out = x.reshape(b, h * w, ci) @ kernel.astype(x.dtype)
+    out = out + params["conv_shortcut"]["bias"].astype(out.dtype)
+    return out.reshape(b, h, w, kernel.shape[-1])
+
+
 def vae_resnet(
     x: jax.Array, params: dict, *, num_groups: int = 32, conv_impl: str = "xla"
 ) -> jax.Array:
-    """Res_Block (``vae.mojo:30-67``) with standard 32-group norms."""
+    """Res_Block (``vae.mojo:30-67``) with standard 32-group norms.
+
+    On TPU (``conv_impl="gemm"``) both convs route through the row-slab
+    GN+SiLU+conv kernel: the decoder's full-resolution maps (up to
+    512x512x128) never round-trip HBM between normalize and conv."""
+    if conv_impl == "gemm":
+        from sdtpu.kernels.conv2d import gn_silu_conv3x3_slab, plan_slab
+
+        mid_shape = x.shape[:-1] + (params["conv1"]["kernel"].shape[-1],)
+        st1 = plan_slab(
+            x.shape, params["conv1"]["kernel"].shape, has_prologue=True
+        )
+        st2 = plan_slab(
+            mid_shape, params["conv2"]["kernel"].shape,
+            has_prologue=True, has_residual=True,
+        )
+        if (
+            st1 is not None
+            and st2 is not None
+            and x.shape[-1] % num_groups == 0
+            and mid_shape[-1] % num_groups == 0
+        ):
+            h = gn_silu_conv3x3_slab(
+                x, params["norm1"], params["conv1"]["kernel"],
+                params["conv1"]["bias"], num_groups=num_groups, eps=1e-6,
+                h_tile=st1[0], co_tile=st1[1],
+            )
+            return gn_silu_conv3x3_slab(
+                h, params["norm2"], params["conv2"]["kernel"],
+                params["conv2"]["bias"], num_groups=num_groups, eps=1e-6,
+                residual=_shortcut(x, params), h_tile=st2[0], co_tile=st2[1],
+            )
     h = group_norm(x, params["norm1"], num_groups=num_groups, eps=1e-6)
     h = silu(h)
     h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"], padding=1,
@@ -51,14 +93,7 @@ def vae_resnet(
     h = silu(h)
     h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"], padding=1,
                impl=conv_impl)
-    if "conv_shortcut" in params:
-        x = conv2d(
-            x,
-            params["conv_shortcut"]["kernel"],
-            params["conv_shortcut"]["bias"],
-            padding=0,
-        )
-    return x + h
+    return _shortcut(x, params) + h
 
 
 def vae_attention(

@@ -279,13 +279,12 @@ class TestFusedGnSiluConv:
         x = jnp.array(rng.standard_normal((1, 8, 8, 128), dtype=np.float32))
         temb = jnp.array(rng.standard_normal((1, 48), dtype=np.float32))
         expected = resnet_block(x, temb, params, num_groups=8, conv_impl="xla")
-        orig_f, orig_c = ck.gn_silu_conv3x3, ck.conv3x3_gemm
+        orig = ck.gn_silu_conv3x3_slab
         try:
-            ck.gn_silu_conv3x3 = functools.partial(orig_f, interpret=True)
-            ck.conv3x3_gemm = functools.partial(orig_c, interpret=True)
+            ck.gn_silu_conv3x3_slab = functools.partial(orig, interpret=True)
             got = resnet_block(x, temb, params, num_groups=8, conv_impl="gemm")
         finally:
-            ck.gn_silu_conv3x3, ck.conv3x3_gemm = orig_f, orig_c
+            ck.gn_silu_conv3x3_slab = orig
         assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
 
     def test_slab_conv_matches_xla_conv(self, rng):
@@ -348,6 +347,22 @@ class TestFusedGnSiluConv:
         # tiny channels stay on XLA
         assert plan_slab((1, 96, 96, 4), (3, 3, 4, 320)) is None
 
+    def test_vae_resnet_slab_path_matches_xla_path(self, rng):
+        import sdtpu.kernels.conv2d as ck
+        from sdtpu.models.vae import _init_vae_resnet, vae_resnet
+
+        params = _init_vae_resnet(jax.random.key(5), 64, 128,
+                                  dtype=jnp.float32)
+        x = jnp.array(rng.standard_normal((1, 16, 16, 64), dtype=np.float32))
+        expected = vae_resnet(x, params, num_groups=8, conv_impl="xla")
+        orig = ck.gn_silu_conv3x3_slab
+        try:
+            ck.gn_silu_conv3x3_slab = functools.partial(orig, interpret=True)
+            got = vae_resnet(x, params, num_groups=8, conv_impl="gemm")
+        finally:
+            ck.gn_silu_conv3x3_slab = orig
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
     def test_resnet_block_slab_path_matches_xla_path(self, rng):
         """resnet_block routes past-cap maps through the slab kernels."""
         import sdtpu.kernels.conv2d as ck
@@ -377,11 +392,10 @@ class TestFusedGnSiluConv:
 
         expected = resnet_block(x, temb, params, num_groups=8, conv_impl="xla")
 
-        orig_f, orig_c = ck.gn_silu_conv3x3, ck.conv3x3_gemm
+        orig = ck.gn_silu_conv3x3_slab
         try:
-            ck.gn_silu_conv3x3 = functools.partial(orig_f, interpret=True)
-            ck.conv3x3_gemm = functools.partial(orig_c, interpret=True)
+            ck.gn_silu_conv3x3_slab = functools.partial(orig, interpret=True)
             got = resnet_block(x, temb, params, num_groups=8, conv_impl="gemm")
         finally:
-            ck.gn_silu_conv3x3, ck.conv3x3_gemm = orig_f, orig_c
+            ck.gn_silu_conv3x3_slab = orig
         assert_allclose(got, expected, atol=1e-4, rtol=1e-4)

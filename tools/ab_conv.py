@@ -96,20 +96,33 @@ def main():
                     h_tile=slab_p[0], co_tile=slab_p[1]))))
 
         print(f"== {b}x{h}x{w}x{c} (chain {chain}) ==", flush=True)
-        for name, fn in variants:
+        for name, step in variants:
+            # The wall time of ONE sync includes the ~28 ms relay RTT, which
+            # at chain=50 would inflate every per-conv number by ~0.6 ms —
+            # time TWO chain lengths and report the slope (RTT-free).
             t0 = time.perf_counter()
-            _sync(fn(x, k, bias))
+            _sync(step(x, k, bias))
             compile_s = time.perf_counter() - t0
             times = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                _sync(fn(x, k, bias))
+                _sync(step(x, k, bias))
                 times.append(time.perf_counter() - t0)
             med = float(np.median(times))
-            mxu = flops / med / 197e12 * 100  # v5e bf16 peak ~197 TFLOP/s
+            # RTT estimate: an (almost) empty jit round trip
+            empty = jax.jit(lambda x: x[0, 0, 0, :8])
+            _sync(empty(x))
+            rtts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                _sync(empty(x))
+                rtts.append(time.perf_counter() - t0)
+            rtt = float(np.median(rtts))
+            per = (med - rtt) / chain
+            mxu = (flops / chain) / per / 197e12 * 100  # v5e bf16 peak
             print(
-                f"  {name}: {med/chain*1000:7.3f} ms/conv  ({mxu:4.1f}% MXU,"
-                f" compile {compile_s:.0f}s)",
+                f"  {name}: {per*1000:7.3f} ms/conv  ({mxu:4.1f}% MXU,"
+                f" rtt {rtt*1000:.0f}ms, compile {compile_s:.0f}s)",
                 flush=True,
             )
 
