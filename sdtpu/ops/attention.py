@@ -124,6 +124,9 @@ def _flash_attention_fused_projections(
 
     wo = params["out"]["kernel"].reshape(num_heads, head_dim, d_model)
     wo = jnp.pad(wo, ((0, 0), (0, d_pad - head_dim), (0, 0)))
+    # (a per-head "bhld,hdc->bhlc" matmul + head-sum split was tried against
+    # this direct contraction — e2e neutral; XLA overlaps the conv-lowered
+    # form fine, and the split costs an extra (B,H,L,C) HBM intermediate)
     out = jnp.einsum("bhld,hdc->blc", o, wo)
     if "bias" in params["out"]:
         out = out + params["out"]["bias"].astype(out.dtype)
