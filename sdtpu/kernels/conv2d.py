@@ -95,172 +95,6 @@ def fits_fused(x_shape, kernel_shape) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Fused GroupNorm + SiLU (+time add) + 3x3 conv
-# ---------------------------------------------------------------------------
-
-
-def _fused_kernel(
-    x_ref, a_ref, s_ref, b_ref, t_ref, k_ref, cb_ref, r_ref, o_ref,
-    *, h, w, eps, has_t, has_res,
-):
-    """GN(+t) -> SiLU -> 3x3 conv (+bias) (+residual), entirely in VMEM.
-
-    The resblock's conv prologue (GN -> SiLU, optionally preceded by the
-    time-embedding add, ``diffusion.mojo:54-66``) is recomputed per co-tile —
-    cheap VPU work — so the feature map makes exactly ONE HBM round trip per
-    resblock conv instead of XLA's separate normalize/activation passes
-    around an unfused custom call.  The conv bias and the resblock's residual
-    add (``diffusion.mojo:70-72``) are folded into the epilogue for the same
-    reason: XLA cannot fuse elementwise work INTO a custom call, so leaving
-    them outside costs a full-map HBM round trip each.
-    """
-    x = x_ref[0]  # (H, W, Ci), compute dtype
-    ci = x.shape[-1]
-    co = k_ref.shape[-1]
-    if has_t:
-        x = x + t_ref[0, 0].astype(x.dtype)  # (Ci,) broadcast over (H, W, Ci)
-    n = h * w
-    xf = x.reshape(n, ci).astype(jnp.float32)
-    m1 = jnp.sum(xf, axis=0, keepdims=True) / n
-    m2 = jnp.sum(xf * xf, axis=0, keepdims=True) / n
-    a = a_ref[...]
-    gm = jnp.dot(m1, a, preferred_element_type=jnp.float32)
-    gv = jnp.dot(m2, a, preferred_element_type=jnp.float32) - gm * gm
-    inv = jax.lax.rsqrt(gv + eps)
-    y = (xf - gm) * inv * s_ref[...] + b_ref[...]
-    y = (y * jax.nn.sigmoid(y)).astype(x.dtype).reshape(h, w, ci)
-    yp = jnp.pad(y, ((1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros((n, co), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            xs = yp[dy : dy + h, dx : dx + w, :].reshape(n, ci)
-            acc = acc + jnp.dot(
-                xs, k_ref[dy, dx], preferred_element_type=jnp.float32
-            )
-    acc = acc + cb_ref[...]  # conv bias, (1, co) broadcast
-    out = acc.reshape(h, w, co)
-    if has_res:
-        out = out + r_ref[0].astype(jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("num_groups", "eps", "co_tile", "interpret")
-)
-def gn_silu_conv3x3(
-    x: jax.Array,
-    norm_params: dict,
-    kernel: jax.Array,
-    conv_bias=None,
-    *,
-    num_groups: int = 32,
-    eps: float = 1e-5,
-    temb=None,
-    residual=None,
-    co_tile: int = 256,
-    interpret: bool = False,
-) -> jax.Array:
-    """Fused (x [+ temb]) -> GroupNorm -> SiLU -> 3x3 same conv (+bias)
-    (+residual).
-
-    x: (B, H, W, Ci); temb: optional (B, Ci) per-batch channel bias (the
-    resblock's time-embedding projection); residual: optional (B, H, W, Co)
-    added to the conv output in-kernel (the resblock skip); kernel HWIO."""
-    from sdtpu.kernels.groupnorm_silu import _avg_matrix_cached
-
-    b, h, w, ci = x.shape
-    co = kernel.shape[-1]
-    co_tile = min(co_tile, co)
-    co_pad = ((co + co_tile - 1) // co_tile) * co_tile
-    if co_pad != co:
-        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, co_pad - co)))
-    a = jnp.asarray(_avg_matrix_cached(ci, num_groups))
-    scale = norm_params["scale"].astype(jnp.float32).reshape(1, ci)
-    bias = norm_params["bias"].astype(jnp.float32).reshape(1, ci)
-    has_t = temb is not None
-    t = (
-        temb.astype(jnp.float32).reshape(b, 1, ci)
-        if has_t
-        else jnp.zeros((b, 1, ci), jnp.float32)
-    )
-    cb = (
-        conv_bias.astype(jnp.float32).reshape(1, co)
-        if conv_bias is not None
-        else jnp.zeros((1, co), jnp.float32)
-    )
-    if co_pad != co:
-        cb = jnp.pad(cb, ((0, 0), (0, co_pad - co)))
-    has_res = residual is not None
-    if has_res:
-        res = residual
-        if co_pad != co:
-            res = jnp.pad(res, ((0, 0), (0, 0), (0, 0), (0, co_pad - co)))
-    else:
-        res = jnp.zeros((b, 1, 1, co_pad), x.dtype)
-    res_h, res_w = (h, w) if has_res else (1, 1)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _fused_kernel, h=h, w=w, eps=eps, has_t=has_t, has_res=has_res
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, co_pad), x.dtype),
-        grid=(b, co_pad // co_tile),
-        in_specs=[
-            pl.BlockSpec((1, h, w, ci), lambda bi, oi: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ci, ci), lambda bi, oi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci), lambda bi, oi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci), lambda bi, oi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ci), lambda bi, oi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, ci, co_tile), lambda bi, oi: (0, 0, 0, oi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co_tile), lambda bi, oi: (0, oi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, res_h, res_w, co_tile),
-                lambda bi, oi: (bi, 0, 0, oi),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, h, w, co_tile), lambda bi, oi: (bi, 0, 0, oi),
-            memory_space=pltpu.VMEM,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(x, a, scale, bias, t, kernel, cb, res)
-
-    return out[..., :co]
-
-
-def plan_fused_co_tile(
-    x_shape, kernel_shape, num_groups: int = 32, *, has_residual: bool = False
-):
-    """Planner for the fused GN+SiLU+conv path (adds the A matrix, the
-    normalized + padded copies of the map, and the optional in-kernel
-    residual block to the budget)."""
-    b, h, w, ci = x_shape
-    kh, kw, _, co = kernel_shape
-    if plan_co_tile(x_shape, kernel_shape) is None or ci % num_groups != 0:
-        return None
-    extra = ci * ci * 4 + (h + 2) * (w + 2) * ci * 2  # A + padded copy
-    for co_tile in _co_tile_candidates(co):
-        need = _vmem_estimate(h, w, ci, co_tile) + extra
-        if has_residual:
-            need += h * w * co_tile * 2 * 2  # double-buffered residual block
-        if need <= _VMEM_BUDGET:
-            return co_tile
-    return None
-
-
-# ---------------------------------------------------------------------------
 # Row-slab variant: spatial blocking past the 64x64 register-pressure cap
 # ---------------------------------------------------------------------------
 #
@@ -281,20 +115,24 @@ def plan_fused_co_tile(
 _SLAB_TOKEN_CAP = 64 * 64  # validated cell size; spills observed above this
 
 
-def _slab_vmem(ht, w, ci, co_tile, *, has_pro, has_res) -> int:
-    in_b = (ht + 2) * (w + 2) * ci * 2 * 2  # double-buffered slab
-    k_b = 9 * ci * co_tile * 2 * 2
-    out_b = ht * w * co_tile * 2 * 2
+def _slab_vmem(ht, w, ci, co_tile, *, has_pro, has_res, itemsize=2) -> int:
+    in_b = (ht + 2) * (w + 2) * ci * itemsize * 2  # double-buffered slab
+    k_b = 9 * ci * co_tile * itemsize * 2
+    out_b = ht * w * co_tile * itemsize * 2
     acc_b = ht * w * co_tile * 4 * 2
-    core_b = ht * w * ci * 2  # shifted-window temporary
+    core_b = ht * w * ci * itemsize  # shifted-window temporary
     if has_pro:
         core_b += (ht + 2) * (w + 2) * ci * 4  # f32 normalized slab
-    res_b = ht * w * co_tile * 2 * 2 if has_res else 0
+    res_b = ht * w * co_tile * itemsize * 2 if has_res else 0
     return in_b + k_b + out_b + acc_b + core_b + res_b
 
 
-def plan_slab(x_shape, kernel_shape, *, has_prologue=False, has_residual=False):
-    """(h_tile, co_tile) for the row-slab kernel, or None for the XLA path."""
+def plan_slab(x_shape, kernel_shape, *, has_prologue=False, has_residual=False,
+              itemsize=2):
+    """(h_tile, co_tile) for the row-slab kernel, or None for the XLA path.
+
+    ``itemsize``: bytes per element of the compute dtype — pass
+    ``x.dtype.itemsize`` so f32 runs don't under-budget VMEM 2x."""
     b, h, w, ci = x_shape
     kh, kw, _, co = kernel_shape
     if (kh, kw) != (3, 3) or h % 8 != 0 or w % 8 != 0:
@@ -306,8 +144,8 @@ def plan_slab(x_shape, kernel_shape, *, has_prologue=False, has_residual=False):
             continue
         for co_tile in _co_tile_candidates(co):
             if (
-                _slab_vmem(ht, w, ci, co_tile,
-                           has_pro=has_prologue, has_res=has_residual)
+                _slab_vmem(ht, w, ci, co_tile, has_pro=has_prologue,
+                           has_res=has_residual, itemsize=itemsize)
                 <= _VMEM_BUDGET
             ):
                 return ht, co_tile

@@ -180,17 +180,13 @@ def _gn_silu(x, params, *, num_groups, norm_impl):
 
 
 def _shortcut(x: jax.Array, params: dict) -> jax.Array:
-    """The resblock's 1x1 skip projection (``diffusion.mojo:70-72``),
-    expressed as a token matmul: XLA's conv lowering ran the twelve 1x1
-    convs per step at ~19% MXU (XProf round-2 trace); as a plain dot they
-    ride the matmul path."""
+    """The resblock's 1x1 skip projection (``diffusion.mojo:70-72``) as a
+    token matmul (see :func:`sdtpu.ops.conv.conv1x1_tokens`)."""
     if "conv_shortcut" not in params:
         return x
-    b, h, w, ci = x.shape
-    kernel = params["conv_shortcut"]["kernel"][0, 0]  # (1,1,Ci,Co) -> (Ci,Co)
-    out = x.reshape(b, h * w, ci) @ kernel.astype(x.dtype)
-    out = out + params["conv_shortcut"]["bias"].astype(out.dtype)
-    return out.reshape(b, h, w, kernel.shape[-1])
+    from sdtpu.ops.conv import conv1x1_tokens
+
+    return conv1x1_tokens(x, params["conv_shortcut"])
 
 
 def resnet_block(
@@ -218,11 +214,13 @@ def resnet_block(
 
         mid_shape = x.shape[:-1] + (params["conv1"]["kernel"].shape[-1],)
         st1 = plan_slab(
-            x.shape, params["conv1"]["kernel"].shape, has_prologue=True
+            x.shape, params["conv1"]["kernel"].shape, has_prologue=True,
+            itemsize=x.dtype.itemsize,
         )
         st2 = plan_slab(
             mid_shape, params["conv2"]["kernel"].shape,
             has_prologue=True, has_residual=True,
+            itemsize=x.dtype.itemsize,
         )
         if (
             st1 is not None

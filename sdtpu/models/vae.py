@@ -21,8 +21,6 @@ branch.  All NHWC; GroupNorm stats in fp32.
 
 from __future__ import annotations
 
-
-
 import jax
 import jax.numpy as jnp
 
@@ -40,14 +38,13 @@ from sdtpu.ops import (
 
 
 def _shortcut(x: jax.Array, params: dict) -> jax.Array:
-    """1x1 skip projection as a token matmul (see unet._shortcut)."""
+    """1x1 skip projection as a token matmul
+    (see :func:`sdtpu.ops.conv.conv1x1_tokens`)."""
     if "conv_shortcut" not in params:
         return x
-    b, h, w, ci = x.shape
-    kernel = params["conv_shortcut"]["kernel"][0, 0]
-    out = x.reshape(b, h * w, ci) @ kernel.astype(x.dtype)
-    out = out + params["conv_shortcut"]["bias"].astype(out.dtype)
-    return out.reshape(b, h, w, kernel.shape[-1])
+    from sdtpu.ops.conv import conv1x1_tokens
+
+    return conv1x1_tokens(x, params["conv_shortcut"])
 
 
 def vae_resnet(
@@ -63,11 +60,13 @@ def vae_resnet(
 
         mid_shape = x.shape[:-1] + (params["conv1"]["kernel"].shape[-1],)
         st1 = plan_slab(
-            x.shape, params["conv1"]["kernel"].shape, has_prologue=True
+            x.shape, params["conv1"]["kernel"].shape, has_prologue=True,
+            itemsize=x.dtype.itemsize,
         )
         st2 = plan_slab(
             mid_shape, params["conv2"]["kernel"].shape,
             has_prologue=True, has_residual=True,
+            itemsize=x.dtype.itemsize,
         )
         if (
             st1 is not None

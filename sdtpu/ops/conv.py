@@ -55,7 +55,7 @@ def conv2d(
         co_tile = plan_co_tile(x.shape, kernel.shape)
         if co_tile is not None:
             return conv3x3_gemm(x, kernel, bias, co_tile=co_tile)
-        slab = plan_slab(x.shape, kernel.shape)
+        slab = plan_slab(x.shape, kernel.shape, itemsize=x.dtype.itemsize)
         if slab is not None:
             return conv3x3_gemm_slab(
                 x, kernel, bias, h_tile=slab[0], co_tile=slab[1]
@@ -71,6 +71,19 @@ def conv2d(
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def conv1x1_tokens(x: jax.Array, params: dict) -> jax.Array:
+    """A 1x1 conv expressed as a token matmul: (B, H, W, Ci) -> (B, H, W, Co).
+
+    XLA's conv lowering ran the UNet's twelve per-step 1x1 shortcut convs
+    (``diffusion.mojo:70-72``) at ~19% MXU (round-2 XProf trace); as a plain
+    (B, HW, Ci) @ (Ci, Co) dot they ride the matmul path."""
+    b, h, w, ci = x.shape
+    kernel = params["kernel"][0, 0]  # (1, 1, Ci, Co) -> (Ci, Co)
+    out = x.reshape(b, h * w, ci) @ kernel.astype(x.dtype)
+    out = out + params["bias"].astype(out.dtype)
+    return out.reshape(b, h, w, kernel.shape[-1])
 
 
 def init_conv2d(

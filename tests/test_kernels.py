@@ -219,74 +219,7 @@ class TestConv3x3Gemm:
         assert not fits_fused((1, 64, 64, 320), (1, 1, 320, 320))  # not 3x3
 
 
-class TestFusedGnSiluConv:
-    @pytest.mark.parametrize("has_t", [False, True])
-    def test_matches_unfused_composition(self, rng, has_t):
-        from sdtpu.kernels.conv2d import gn_silu_conv3x3
-        from sdtpu.ops import conv2d, group_norm, silu
-
-        b, h, w, ci, co, g = 2, 8, 8, 32, 64, 8
-        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
-        norm = {
-            "scale": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
-            "bias": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
-        }
-        k = jnp.array(rng.standard_normal((3, 3, ci, co), dtype=np.float32)) * 0.1
-        cb = jnp.array(rng.standard_normal(co, dtype=np.float32))
-        t = jnp.array(rng.standard_normal((b, ci), dtype=np.float32)) if has_t else None
-
-        z = x + t[:, None, None, :] if has_t else x
-        expected = conv2d(
-            silu(group_norm(z, norm, num_groups=g)), k, cb, padding=1
-        )
-        got = gn_silu_conv3x3(
-            x, norm, k, cb, num_groups=g, temb=t, co_tile=64, interpret=True
-        )
-        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
-
-    def test_residual_fold_matches_unfused(self, rng):
-        """The in-kernel residual epilogue (skip add folded into the conv
-        custom call) must equal conv + add."""
-        from sdtpu.kernels.conv2d import gn_silu_conv3x3
-        from sdtpu.ops import conv2d, group_norm, silu
-
-        b, h, w, ci, co, g = 1, 8, 8, 32, 64, 8
-        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
-        res = jnp.array(rng.standard_normal((b, h, w, co), dtype=np.float32))
-        norm = {
-            "scale": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
-            "bias": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
-        }
-        k = jnp.array(rng.standard_normal((3, 3, ci, co), dtype=np.float32)) * 0.1
-        cb = jnp.array(rng.standard_normal(co, dtype=np.float32))
-        expected = res + conv2d(
-            silu(group_norm(x, norm, num_groups=g)), k, cb, padding=1
-        )
-        got = gn_silu_conv3x3(
-            x, norm, k, cb, num_groups=g, residual=res, co_tile=64,
-            interpret=True,
-        )
-        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
-
-    def test_resnet_block_fused_path_with_shortcut(self, rng):
-        """Channel-changing resblock (1x1 conv shortcut) through the fused
-        gemm path vs the XLA path."""
-        import sdtpu.kernels.conv2d as ck
-        from sdtpu.models.unet import _init_resnet, resnet_block
-
-        params = _init_resnet(jax.random.key(1), 128, 256, 48,
-                              dtype=jnp.float32)
-        x = jnp.array(rng.standard_normal((1, 8, 8, 128), dtype=np.float32))
-        temb = jnp.array(rng.standard_normal((1, 48), dtype=np.float32))
-        expected = resnet_block(x, temb, params, num_groups=8, conv_impl="xla")
-        orig = ck.gn_silu_conv3x3_slab
-        try:
-            ck.gn_silu_conv3x3_slab = functools.partial(orig, interpret=True)
-            got = resnet_block(x, temb, params, num_groups=8, conv_impl="gemm")
-        finally:
-            ck.gn_silu_conv3x3_slab = orig
-        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
-
+class TestSlabGnSiluConv:
     def test_slab_conv_matches_xla_conv(self, rng):
         """Row-slab kernel (spatial blocking past the 64x64 cap) vs XLA."""
         from sdtpu.kernels.conv2d import conv3x3_gemm_slab
@@ -380,7 +313,26 @@ class TestFusedGnSiluConv:
             ck.gn_silu_conv3x3_slab = orig
         assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
 
-    def test_resnet_block_fused_path_matches_xla_path(self, rng):
+    def test_resnet_block_slab_path_with_shortcut(self, rng):
+        """Channel-changing resblock (1x1 matmul shortcut) through the slab
+        gemm path vs the XLA path."""
+        import sdtpu.kernels.conv2d as ck
+        from sdtpu.models.unet import _init_resnet, resnet_block
+
+        params = _init_resnet(jax.random.key(1), 128, 256, 48,
+                              dtype=jnp.float32)
+        x = jnp.array(rng.standard_normal((1, 8, 8, 128), dtype=np.float32))
+        temb = jnp.array(rng.standard_normal((1, 48), dtype=np.float32))
+        expected = resnet_block(x, temb, params, num_groups=8, conv_impl="xla")
+        orig = ck.gn_silu_conv3x3_slab
+        try:
+            ck.gn_silu_conv3x3_slab = functools.partial(orig, interpret=True)
+            got = resnet_block(x, temb, params, num_groups=8, conv_impl="gemm")
+        finally:
+            ck.gn_silu_conv3x3_slab = orig
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+    def test_resnet_block_small_map_slab_path(self, rng):
         """resnet_block(conv_impl='gemm') must equal conv_impl='xla' — run in
         interpret mode by monkeypatching the kernels."""
         import sdtpu.kernels.conv2d as ck

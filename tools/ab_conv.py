@@ -96,6 +96,9 @@ def main():
                     h_tile=slab_p[0], co_tile=slab_p[1]))))
 
         print(f"== {b}x{h}x{w}x{c} (chain {chain}) ==", flush=True)
+        # RTT probe: one compile per shape, reused across variants
+        empty = jax.jit(lambda x: x[0, 0, 0, :8])
+        _sync(empty(x))
         for name, step in variants:
             # The wall time of ONE sync includes the ~28 ms relay RTT, which
             # at chain=50 would inflate every per-conv number by ~0.6 ms —
@@ -109,8 +112,6 @@ def main():
                 _sync(step(x, k, bias))
                 times.append(time.perf_counter() - t0)
             med = float(np.median(times))
-            # RTT estimate: an (almost) empty jit round trip
-            empty = jax.jit(lambda x: x[0, 0, 0, :8])
             _sync(empty(x))
             rtts = []
             for _ in range(5):
