@@ -101,6 +101,26 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block(pref: int, length: int, mult: int) -> int:
+    """Block size <= ~1.5*pref (a multiple of ``mult``) minimizing the padded
+    sequence length, preferring fewer blocks on ties.
+
+    The naive ``min(pref, ceil(length))`` clamp is exact for power-of-two
+    grids (tiny-sd/SD1.5/SDXL token counts divide the 512/1024 defaults) but
+    SD2.1-768's levels have 9216/2304/576 tokens: 2304 keys padded to 3 x
+    1024 cost 33% wasted QK^T/PV work, and 576 queries padded to 2 x 512
+    cost 78% — picking 768/576 instead makes the padding zero."""
+    length_p = _ceil_to(length, mult)
+    if length_p <= pref + pref // 2:
+        return length_p  # single block, zero sequence padding
+    best_c, best_pad = pref, _ceil_to(length, pref)
+    for c in range(pref, mult - 1, -mult):
+        pad = _ceil_to(length, c)
+        if pad < best_pad:
+            best_c, best_pad = c, pad
+    return best_c
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
@@ -163,8 +183,8 @@ def flash_attention_packed(
     assert d_pad % 128 == 0, d_pad
     sm_scale = 1.0 / math.sqrt(d_real)
 
-    block_q = min(block_q, _ceil_to(lq, 8))
-    block_k = min(block_k, _ceil_to(lk, 128))
+    block_q = _pick_block(block_q, lq, 8)
+    block_k = _pick_block(block_k, lk, 128)
     lq_pad = _ceil_to(lq, block_q)
     lk_pad = _ceil_to(lk, block_k)
     if lq_pad != lq:

@@ -97,6 +97,20 @@ class TestFlashAttention:
         # out-projection without masking)
         assert float(jnp.abs(got[..., d:]).max()) == 0.0
 
+    def test_pick_block_minimizes_sequence_padding(self):
+        """SD2.1-768's non-power-of-two levels (9216/2304/576 tokens) must
+        not pad to the 512/1024 defaults (33-78% wasted QK/PV work)."""
+        from sdtpu.kernels.flash_attention import _pick_block
+
+        assert _pick_block(512, 2304, 8) == 384      # 2304 % 384 == 0
+        assert _pick_block(1024, 2304, 128) == 768   # was 3x1024 (33% waste)
+        assert _pick_block(512, 576, 8) == 576       # was 2x512 (78% waste)
+        assert _pick_block(1024, 576, 128) == 640    # single block
+        # power-of-two grids keep the tuned defaults
+        assert _pick_block(512, 4096, 8) == 512
+        assert _pick_block(1024, 4096, 128) == 1024
+        assert _pick_block(1024, 256, 128) == 256
+
     @pytest.mark.parametrize("qkv_bias", [False, True])
     def test_ops_attention_flash_route(self, rng, qkv_bias):
         """ops.attention(implementation='flash') — the fused-projection
