@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--cfg-scale", type=float, default=None)
     ap.add_argument("--no-cfg", action="store_true")
     ap.add_argument("--init-image", default=None, help="img2img input path")
+    ap.add_argument("--mask-image", default=None,
+                    help="inpainting mask path (white = repaint); "
+                         "requires --init-image")
     ap.add_argument("--strength", type=float, default=0.9)
     ap.add_argument("--out", default="out.png")
     args = ap.parse_args()
@@ -71,6 +74,7 @@ def main() -> None:
         num_inference_steps=args.steps,
         seed=args.seed,
         init_image=load_image(args.init_image) if args.init_image else None,
+        mask_image=load_image(args.mask_image) if args.mask_image else None,
         image_size=args.image_size,
         token_ids=token_ids,
         sampler=args.sampler,

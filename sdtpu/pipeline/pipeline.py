@@ -114,6 +114,7 @@ class StableDiffusionPipeline:
         num_inference_steps: Optional[int] = None,
         seed: int = 0,
         init_image: Optional[np.ndarray] = None,
+        mask_image: Optional[np.ndarray] = None,
         image_size: Optional[int] = None,
         token_ids: Optional[np.ndarray] = None,
         sampler: Optional[str] = None,
@@ -124,6 +125,12 @@ class StableDiffusionPipeline:
         verbose: bool = False,
     ):
         """Text->image (or image->image when ``init_image`` is given).
+
+        ``mask_image`` (with ``init_image``) switches to INPAINTING: only
+        the masked region (mask > 0 — white pixels / 1.0 floats) is
+        regenerated from the prompt; the rest of the init image is
+        preserved (diffusers legacy-inpaint blending, one extra fused
+        elementwise op per denoise step).
 
         ``token_ids`` bypasses the tokenizer (pre-tokenized prompts; also the
         benchmarking path when no vocab asset is installed).  ``sampler``:
@@ -192,12 +199,18 @@ class StableDiffusionPipeline:
                 ),
                 sampler=sampler,
                 init_images=init_images,
+                mask_images=(
+                    [mask_image] * num_images
+                    if mask_image is not None else None
+                ),
                 strength=strength,
                 output=output,
             )
 
         ids = self._tokenize(prompt, negative_prompt, cfg, token_ids)
         is_img2img = init_image is not None
+        if mask_image is not None and not is_img2img:
+            raise ValueError("mask_image requires init_image (inpainting)")
         if rng == "torch":
             if is_img2img or latents is not None:
                 raise ValueError("rng='torch' is txt2img-only")
@@ -223,6 +236,7 @@ class StableDiffusionPipeline:
             ids.shape[0], sampler, has_latents=latents is not None,
             want_latents=output == "latents",
             want_uint8=output == "uint8",
+            has_mask=mask_image is not None,
         )
 
         # seed and cfg_scale travel as HOST scalars into the jit call (the
@@ -232,7 +246,12 @@ class StableDiffusionPipeline:
         cfg_scale_arr = np.float32(cfg_scale)
         if is_img2img:
             image = self._prep_image(init_image, size)
-            images = fn(self.params, ids, image, cfg_scale_arr, seed_arr)
+            if mask_image is not None:
+                mask = self._prep_mask(mask_image, size)
+                images = fn(self.params, ids, image, mask, cfg_scale_arr,
+                            seed_arr)
+            else:
+                images = fn(self.params, ids, image, cfg_scale_arr, seed_arr)
         elif latents is not None:
             lat0 = np.asarray(latents, np.float32)
             if lat0.ndim == 3:
@@ -269,6 +288,7 @@ class StableDiffusionPipeline:
         token_ids: Optional[np.ndarray] = None,
         sampler: Optional[str] = None,
         init_images: Optional[np.ndarray] = None,
+        mask_images=None,
         strength: float = 0.9,
         mesh=None,
         output: str = "uint8",
@@ -346,10 +366,13 @@ class StableDiffusionPipeline:
         is_img2img = init_images is not None
         if is_img2img and not 0.0 < strength <= 1.0:
             raise ValueError("strength must be in (0, 1]")
+        if mask_images is not None and not is_img2img:
+            raise ValueError("mask_images requires init_images (inpainting)")
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img,
             round(strength, 6) if is_img2img else 1.0, ids.shape[0], sampler,
             want_uint8=output in ("uint8", "device"),
+            has_mask=mask_images is not None,
         )
         if seeds is not None:
             if len(seeds) != cond.shape[0]:
@@ -381,7 +404,18 @@ class StableDiffusionPipeline:
                 imgs_in = jax.device_put(
                     imgs_in, NamedSharding(mesh, P("dp", None, None, None))
                 )
-            images = fn(params, ids, imgs_in, jnp.float32(cfg_scale), key)
+            if mask_images is not None:
+                if len(mask_images) != len(init_images):
+                    raise ValueError(
+                        "mask_images must match init_images in length"
+                    )
+                masks = jnp.concatenate(
+                    [self._prep_mask(m, size) for m in mask_images]
+                )
+                images = fn(params, ids, imgs_in, masks,
+                            jnp.float32(cfg_scale), key)
+            else:
+                images = fn(params, ids, imgs_in, jnp.float32(cfg_scale), key)
         else:
             images = fn(params, ids, jnp.float32(cfg_scale), key)
         if output == "device":
@@ -483,12 +517,36 @@ class StableDiffusionPipeline:
             img = resize_image(img, size, size)  # pipeline.mojo:69
         return img
 
+    def _prep_mask(self, mask_image, size) -> jnp.ndarray:
+        """Inpainting mask -> (1, lat, lat, 1) float32 in [0, 1]
+        (1 = repaint, 0 = preserve the init image).  Accepts (H, W),
+        (H, W, 1) or (H, W, 3) uint8 (255 = repaint) or float arrays;
+        resized to the image grid, then area-averaged to the latent grid."""
+        from sdtpu.ops.resize import resize_image
+
+        arr = np.asarray(mask_image)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        arr = arr.astype(np.float32)
+        if arr.ndim == 3:
+            arr = arr.mean(axis=-1)
+        if arr.ndim != 2:
+            raise ValueError(f"mask must be (H, W[, C]); got {arr.shape}")
+        m = jnp.asarray(arr)[None, :, :, None]
+        if m.shape[1] != size or m.shape[2] != size:
+            m = resize_image(m, size, size)
+        f = self.config.vae.downscale_factor
+        lat = size // f
+        m = m.reshape(1, lat, f, lat, f, 1).mean(axis=(2, 4))
+        return jnp.clip(m, 0.0, 1.0)
+
     def _get_compiled(
         self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
         has_latents=False, want_latents=False, want_uint8=False,
+        has_mask=False,
     ):
         cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler,
-                     has_latents, want_latents, want_uint8)
+                     has_latents, want_latents, want_uint8, has_mask)
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
@@ -498,14 +556,15 @@ class StableDiffusionPipeline:
             fn = self._build(sdef, schedule, cfg, is_img2img, size,
                              has_latents=has_latents,
                              want_latents=want_latents,
-                             want_uint8=want_uint8)
+                             want_uint8=want_uint8,
+                             has_mask=has_mask)
             self._compiled[cache_key] = fn
         return fn
 
     def _build(
         self, sdef: SamplerDef, schedule, cfg: bool, is_img2img: bool,
         size: int, has_latents: bool = False, want_latents: bool = False,
-        want_uint8: bool = False,
+        want_uint8: bool = False, has_mask: bool = False,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -544,7 +603,8 @@ class StableDiffusionPipeline:
             }
             return context, added
 
-        def denoise(params, context, added_cond, latents, cfg_scale, key):
+        def denoise(params, context, added_cond, latents, cfg_scale, key,
+                    inpaint=None):
             # context: cfg ? (2B, L, D) ordered [cond..., uncond...] : (B, L, D)
             batch = latents.shape[0]
 
@@ -633,6 +693,21 @@ class StableDiffusionPipeline:
                     lat, state = sdef.step(schedule, i, lat, eps, noise, state)
                 else:
                     lat = sdef.step(schedule, i, lat, eps, noise)
+                if inpaint is not None:
+                    # Inpainting (diffusers "legacy" blend): after each step
+                    # the preserved region is overwritten with the init
+                    # latents forward-noised to the step the carry is now at
+                    # (the SAME noise draw every step), so only the masked
+                    # region is actually generated; the final step blends
+                    # with the clean init latents.
+                    mask_l, ref0, ref_noise = inpaint
+                    j = jnp.minimum(i + 1, schedule.num_steps - 1)
+                    ref = jnp.where(
+                        i == schedule.num_steps - 1,
+                        ref0,
+                        sdef.add_noise(schedule, ref0, ref_noise, j),
+                    )
+                    lat = mask_l * lat + (1.0 - mask_l) * ref
                 return (lat, key, state), None
 
             steps = (
@@ -674,7 +749,7 @@ class StableDiffusionPipeline:
 
         if is_img2img:
 
-            def run(params, ids, image, cfg_scale, key):
+            def run(params, ids, image, cfg_scale, key, mask=None):
                 key = make_key(key)
                 context, added = encode_context(params, ids)
                 batch = image.shape[0]
@@ -701,8 +776,19 @@ class StableDiffusionPipeline:
                     attention_impl=attn_impl, conv_impl=conv_impl,
                 ).astype(jnp.float32)  # pipeline.mojo:66-75
                 latents = sdef.add_noise(schedule, lat0, fwd_noise, 0)  # pipeline.mojo:79
-                latents = denoise(params, context, added, latents, cfg_scale, key)
+                inpaint = (
+                    None if mask is None
+                    else (mask.astype(jnp.float32), lat0, fwd_noise)
+                )
+                latents = denoise(params, context, added, latents, cfg_scale,
+                                  key, inpaint=inpaint)
                 return decode(params, latents)
+
+            if has_mask:
+                inner = run
+
+                def run(params, ids, image, mask, cfg_scale, key):  # noqa: F811
+                    return inner(params, ids, image, cfg_scale, key, mask=mask)
 
         elif has_latents:
 
