@@ -45,20 +45,23 @@ class _Request:
     sampler: str
     cfg: bool
     cfg_scale: float
-    # img2img: init image (any HxWx3; resized host-side) + strength
+    # img2img: init image (any HxWx3; resized host-side) + strength;
+    # inpainting adds a mask (white/1.0 = repaint)
     init_image: Optional[np.ndarray] = None
+    mask_image: Optional[np.ndarray] = None
     strength: float = 0.9
 
     @property
     def bucket(self):
         # negative_prompt is deliberately NOT here: rows with different
         # negative prompts coalesce safely because generate_batch takes a
-        # per-row uncond list (one CLIP row per request).  Init-image
-        # CONTENT isn't either (host-resized, per-row input); strength is —
-        # it's baked into the compiled schedule.
+        # per-row uncond list (one CLIP row per request).  Init-image and
+        # mask CONTENT aren't either (host-resized, per-row inputs); the
+        # has-mask FLAG and strength are — they pick the compiled program.
         img2img = self.init_image is not None
         return (self.image_size, self.steps, self.sampler, self.cfg,
                 round(self.cfg_scale, 6), img2img,
+                self.mask_image is not None,
                 round(self.strength, 6) if img2img else None)
 
 
@@ -120,14 +123,17 @@ class ServingEngine:
         cfg: Optional[bool] = None,
         cfg_scale: Optional[float] = None,
         init_image: Optional[np.ndarray] = None,
+        mask_image: Optional[np.ndarray] = None,
         strength: float = 0.9,
     ) -> Future:
-        """Enqueue one txt2img (or img2img when ``init_image`` is given)
-        request; resolves to an (H, W, 3) uint8 image.  Unset knobs resolve
-        to the pipeline preset's defaults HERE so the compilation bucket is
-        well-defined."""
+        """Enqueue one txt2img (or img2img when ``init_image`` is given, or
+        inpainting when ``mask_image`` too) request; resolves to an
+        (H, W, 3) uint8 image.  Unset knobs resolve to the pipeline preset's
+        defaults HERE so the compilation bucket is well-defined."""
         if self._shutdown.is_set():
             raise RuntimeError("engine is shut down")
+        if mask_image is not None and init_image is None:
+            raise ValueError("mask_image requires init_image (inpainting)")
         config = self.pipeline.config
         req = _Request(
             prompt=prompt,
@@ -147,6 +153,7 @@ class ServingEngine:
                 config.default_cfg_scale if cfg_scale is None else cfg_scale
             ),
             init_image=init_image,
+            mask_image=mask_image,
             strength=strength,
         )
         self._queue.put(req)
@@ -223,6 +230,8 @@ class ServingEngine:
         if first.init_image is not None:
             kw["init_images"] = [r.init_image for r in batch]
             kw["strength"] = first.strength
+            if first.mask_image is not None:
+                kw["mask_images"] = [r.mask_image for r in batch]
         return [r.prompt for r in batch], kw
 
     def _dispatch(self, batch: List[_Request]):

@@ -244,6 +244,40 @@ class TestEngineImg2Img:
         assert (a != b).any()  # distinct inits -> distinct images
         assert stats["batches"] <= 2  # same bucket -> coalesced
 
+    def test_inpaint_through_engine_matches_direct(self, pipe):
+        rng = np.random.default_rng(7)
+        init = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        mask = np.zeros((32, 32), dtype=np.uint8)
+        mask[:, 16:] = 255
+        direct = pipe.generate_batch(
+            ["p"], token_ids=IDS[None], num_inference_steps=3, seeds=[5],
+            init_images=[init], mask_images=[mask], strength=1.0)
+        engine = ServingEngine(pipe, max_batch_size=2, max_wait_ms=50)
+        try:
+            fa = engine.submit("p", token_ids=IDS, seed=5,
+                               num_inference_steps=3, image_size=32,
+                               init_image=init, mask_image=mask,
+                               strength=1.0)
+            # masked and unmasked img2img must NOT share a program bucket
+            fb = engine.submit("p", token_ids=IDS, seed=5,
+                               num_inference_steps=3, image_size=32,
+                               init_image=init, strength=1.0)
+            a, b = fa.result(300), fb.result(300)
+            stats = engine.stats()
+        finally:
+            engine.shutdown()
+        np.testing.assert_array_equal(a, direct[0])
+        assert stats["batches"] == 2  # different buckets
+
+    def test_mask_without_init_rejected_at_submit(self, pipe):
+        engine = ServingEngine(pipe, max_batch_size=1, max_wait_ms=10)
+        try:
+            with pytest.raises(ValueError, match="init_image"):
+                engine.submit("p", token_ids=IDS,
+                              mask_image=np.zeros((32, 32), dtype=np.uint8))
+        finally:
+            engine.shutdown()
+
     def test_img2img_and_txt2img_do_not_coalesce(self, pipe):
         """Different program shapes must land in different buckets."""
         rng = np.random.default_rng(4)
