@@ -50,6 +50,7 @@ class _Request:
     init_image: Optional[np.ndarray] = None
     mask_image: Optional[np.ndarray] = None
     strength: float = 0.9
+    t_submit: float = 0.0  # monotonic enqueue time (latency percentiles)
 
     @property
     def bucket(self):
@@ -94,6 +95,10 @@ class ServingEngine:
             "retries": 0,
             "batch_seconds": 0.0,
         }
+        # rolling per-request submit->resolve latencies (p50/p95 in stats())
+        self._latencies: "collections.deque[float]" = collections.deque(
+            maxlen=1024
+        )
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -106,6 +111,12 @@ class ServingEngine:
         s["mean_batch_latency_s"] = (
             s["batch_seconds"] / s["batches"] if s["batches"] else 0.0
         )
+        with self._lock:
+            lat = sorted(self._latencies)
+        if lat:
+            s["request_latency_p50_s"] = lat[len(lat) // 2]
+            s["request_latency_p95_s"] = lat[min(len(lat) - 1,
+                                                 int(len(lat) * 0.95))]
         return s
 
     # -- client API ----------------------------------------------------------
@@ -155,6 +166,7 @@ class ServingEngine:
             init_image=init_image,
             mask_image=mask_image,
             strength=strength,
+            t_submit=time.monotonic(),
         )
         self._queue.put(req)
         return req.future
@@ -259,9 +271,11 @@ class ServingEngine:
         if dev is not None:
             try:
                 images = np.asarray(dev)
+                now = time.monotonic()
                 for i, req in enumerate(batch):
                     req.future.set_result(images[i])
                 with self._lock:
+                    self._latencies.extend(now - r.t_submit for r in batch)
                     self._stats["requests"] += len(batch)
                     self._stats["batches"] += 1
                     self._stats["batch_seconds"] += time.perf_counter() - t0
@@ -279,9 +293,11 @@ class ServingEngine:
         for attempt in range(self.max_retries + 1):
             try:
                 images = self.pipeline.generate_batch(prompts, **kw)
+                now = time.monotonic()
                 for i, req in enumerate(batch):
                     req.future.set_result(images[i])
                 with self._lock:
+                    self._latencies.extend(now - r.t_submit for r in batch)
                     self._stats["requests"] += len(batch)
                     self._stats["batches"] += 1
                     self._stats["batch_seconds"] += time.perf_counter() - t0

@@ -63,6 +63,12 @@ def generate_cases(pipe=None) -> dict:
         "x", token_ids=ids, num_inference_steps=4, seed=3, init_image=init,
         strength=0.5, output="float",
     )
+    mask = np.zeros((32, 32), dtype=np.uint8)
+    mask[:, 16:] = 255
+    cases["inpaint_ddpm"] = pipe.generate(
+        "x", token_ids=ids, num_inference_steps=3, seed=3, init_image=init,
+        mask_image=mask, strength=1.0, output="float",
+    )
     cases["batch_per_request_keys"] = pipe.generate_batch(
         ["a", "b"], token_ids=np.stack([ids[0], ids[0]]),
         num_inference_steps=2, seeds=[7, 8], output="float",
@@ -96,6 +102,7 @@ class TestFrozenOutputs:
             "txt2img_euler",
             "txt2img_dpm",
             "img2img_ddpm",
+            "inpaint_ddpm",
             "batch_per_request_keys",
             "latents_output",
         ],

@@ -44,11 +44,14 @@ class TestServingEngine:
                 for i in range(5)
             ]
             images = [f.result(timeout=300) for f in futures]
+            stats = engine.stats()
         finally:
             engine.shutdown()
         assert all(img.shape == (32, 32, 3) for img in images)
         # distinct seeds -> distinct images
         assert (images[0] != images[1]).any()
+        # per-request latency percentiles (SURVEY.md §5 metrics row)
+        assert 0 < stats["request_latency_p50_s"] <= stats["request_latency_p95_s"]
 
     def test_same_seed_same_image_regardless_of_batching(self, pipe):
         engine = ServingEngine(pipe, max_batch_size=3, max_wait_ms=10)
