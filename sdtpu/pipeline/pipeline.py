@@ -129,8 +129,12 @@ class StableDiffusionPipeline:
         ``mask_image`` (with ``init_image``) switches to INPAINTING: only
         the masked region (mask > 0 — white pixels / 1.0 floats) is
         regenerated from the prompt; the rest of the init image is
-        preserved (diffusers legacy-inpaint blending, one extra fused
-        elementwise op per denoise step).
+        preserved.  Blend semantics: after each step the preserved region
+        is overwritten with the init latents forward-noised to the step
+        the carry is at (one fused elementwise op per step), and the final
+        step blends with the CLEAN init latents — i.e. the modern
+        non-inpaint-checkpoint diffusers blend with exact preservation,
+        not the legacy pipeline's same-t blend.
 
         ``token_ids`` bypasses the tokenizer (pre-tokenized prompts; also the
         benchmarking path when no vocab asset is installed).  ``sampler``:
@@ -409,9 +413,13 @@ class StableDiffusionPipeline:
                     raise ValueError(
                         "mask_images must match init_images in length"
                     )
-                masks = jnp.concatenate(
+                masks = np.concatenate(
                     [self._prep_mask(m, size) for m in mask_images]
                 )
+                if mesh is not None:
+                    masks = jax.device_put(
+                        masks, NamedSharding(mesh, P("dp", None, None, None))
+                    )
                 images = fn(params, ids, imgs_in, masks,
                             jnp.float32(cfg_scale), key)
             else:
@@ -435,6 +443,7 @@ class StableDiffusionPipeline:
         cfg: bool = True,
         sampler: str = "ddpm",
         img2img: bool = False,
+        inpaint: bool = False,
     ) -> int:
         """Precompile the program buckets a serving deployment will hit, so
         no request pays compile latency.  Returns the number of programs run.
@@ -447,14 +456,20 @@ class StableDiffusionPipeline:
             for steps in step_counts:
                 for batch in batch_sizes:
                     ids = np.ones((batch, max_len), dtype=np.int64)
-                    if img2img:
+                    if img2img or inpaint:
                         inits = [
                             np.zeros((size, size, 3), dtype=np.uint8)
                         ] * batch
+                        masks = (
+                            [np.full((size, size), 255, dtype=np.uint8)]
+                            * batch
+                            if inpaint else None
+                        )
                         self.generate_batch(
                             ["warmup"] * batch, token_ids=ids, cfg=cfg,
                             num_inference_steps=steps, image_size=size,
                             sampler=sampler, init_images=inits,
+                            mask_images=masks,
                             seeds=list(range(batch)),
                         )
                     else:
@@ -517,13 +532,13 @@ class StableDiffusionPipeline:
             img = resize_image(img, size, size)  # pipeline.mojo:69
         return img
 
-    def _prep_mask(self, mask_image, size) -> jnp.ndarray:
+    def _prep_mask(self, mask_image, size) -> np.ndarray:
         """Inpainting mask -> (1, lat, lat, 1) float32 in [0, 1]
         (1 = repaint, 0 = preserve the init image).  Accepts (H, W),
         (H, W, 1) or (H, W, 3) uint8 (255 = repaint) or float arrays;
-        resized to the image grid, then area-averaged to the latent grid."""
-        from sdtpu.ops.resize import resize_image
-
+        nearest-resized to the image grid, then area-averaged to the latent
+        grid.  Pure numpy: eager device ops before the jit call each cost a
+        relay round trip (~28 ms) on the TPU backend."""
         arr = np.asarray(mask_image)
         if arr.dtype == np.uint8:
             arr = arr.astype(np.float32) / 255.0
@@ -532,13 +547,18 @@ class StableDiffusionPipeline:
             arr = arr.mean(axis=-1)
         if arr.ndim != 2:
             raise ValueError(f"mask must be (H, W[, C]); got {arr.shape}")
-        m = jnp.asarray(arr)[None, :, :, None]
-        if m.shape[1] != size or m.shape[2] != size:
-            m = resize_image(m, size, size)
+        if arr.shape != (size, size):
+            ri = (np.arange(size) * arr.shape[0] // size).clip(
+                0, arr.shape[0] - 1
+            )
+            ci = (np.arange(size) * arr.shape[1] // size).clip(
+                0, arr.shape[1] - 1
+            )
+            arr = arr[ri[:, None], ci[None, :]]
         f = self.config.vae.downscale_factor
         lat = size // f
-        m = m.reshape(1, lat, f, lat, f, 1).mean(axis=(2, 4))
-        return jnp.clip(m, 0.0, 1.0)
+        m = arr.reshape(lat, f, lat, f).mean(axis=(1, 3))
+        return np.clip(m, 0.0, 1.0)[None, :, :, None].astype(np.float32)
 
     def _get_compiled(
         self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
@@ -694,12 +714,13 @@ class StableDiffusionPipeline:
                 else:
                     lat = sdef.step(schedule, i, lat, eps, noise)
                 if inpaint is not None:
-                    # Inpainting (diffusers "legacy" blend): after each step
-                    # the preserved region is overwritten with the init
-                    # latents forward-noised to the step the carry is now at
-                    # (the SAME noise draw every step), so only the masked
-                    # region is actually generated; the final step blends
-                    # with the clean init latents.
+                    # Inpainting blend: after each step the preserved region
+                    # is overwritten with the init latents forward-noised to
+                    # the step the carry is now at (the SAME noise draw every
+                    # step), so only the masked region is actually generated;
+                    # the final step blends with the CLEAN init latents
+                    # (exact preservation — the modern diffusers blend, not
+                    # the legacy pipeline's same-t variant).
                     mask_l, ref0, ref_noise = inpaint
                     j = jnp.minimum(i + 1, schedule.num_steps - 1)
                     ref = jnp.where(

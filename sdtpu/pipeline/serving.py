@@ -105,14 +105,13 @@ class ServingEngine:
     def stats(self) -> dict:
         """Serving counters (SURVEY.md §5 metrics row): requests served,
         batches executed, mean batch occupancy/latency, failures."""
-        with self._lock:
+        with self._lock:  # one acquisition: a consistent snapshot
             s = dict(self._stats)
+            lat = sorted(self._latencies)
         s["mean_batch_size"] = s["requests"] / s["batches"] if s["batches"] else 0.0
         s["mean_batch_latency_s"] = (
             s["batch_seconds"] / s["batches"] if s["batches"] else 0.0
         )
-        with self._lock:
-            lat = sorted(self._latencies)
         if lat:
             s["request_latency_p50_s"] = lat[len(lat) // 2]
             s["request_latency_p95_s"] = lat[min(len(lat) - 1,
@@ -273,7 +272,8 @@ class ServingEngine:
                 images = np.asarray(dev)
                 now = time.monotonic()
                 for i, req in enumerate(batch):
-                    req.future.set_result(images[i])
+                    if not req.future.done():  # client may have cancelled
+                        req.future.set_result(images[i])
                 with self._lock:
                     self._latencies.extend(now - r.t_submit for r in batch)
                     self._stats["requests"] += len(batch)
@@ -295,7 +295,8 @@ class ServingEngine:
                 images = self.pipeline.generate_batch(prompts, **kw)
                 now = time.monotonic()
                 for i, req in enumerate(batch):
-                    req.future.set_result(images[i])
+                    if not req.future.done():  # client may have cancelled
+                        req.future.set_result(images[i])
                 with self._lock:
                     self._latencies.extend(now - r.t_submit for r in batch)
                     self._stats["requests"] += len(batch)

@@ -272,6 +272,24 @@ class TestEngineImg2Img:
         np.testing.assert_array_equal(a, direct[0])
         assert stats["batches"] == 2  # different buckets
 
+    def test_cancelled_future_does_not_poison_batch(self, pipe):
+        """A client-cancelled request must not fail or re-run its batch:
+        other rows still get their images, no retries/failures counted."""
+        engine = ServingEngine(pipe, max_batch_size=2, max_wait_ms=2000)
+        try:
+            fa = engine.submit("p", token_ids=IDS, seed=1,
+                               num_inference_steps=2, image_size=32)
+            assert fa.cancel()  # worker is still waiting for a batch mate
+            fb = engine.submit("p", token_ids=IDS, seed=2,
+                               num_inference_steps=2, image_size=32)
+            img = fb.result(timeout=300)
+            stats = engine.stats()
+        finally:
+            engine.shutdown()
+        assert img.shape == (32, 32, 3)
+        assert stats["failures"] == 0
+        assert stats["retries"] == 0
+
     def test_mask_without_init_rejected_at_submit(self, pipe):
         engine = ServingEngine(pipe, max_batch_size=1, max_wait_ms=10)
         try:
