@@ -138,7 +138,8 @@ class StableDiffusionPipeline:
 
         ``token_ids`` bypasses the tokenizer (pre-tokenized prompts; also the
         benchmarking path when no vocab asset is installed).  ``sampler``:
-        "ddpm" (reference semantics), "ddim", "euler", "lcm", or "dpm++".  ``output``:
+        "ddpm" (reference semantics), "ddim", "euler", "lcm", "dpm++", or
+        the Karras-sigma variants "euler-karras" / "dpm++-karras".  ``output``:
         "uint8" (default), "float" ([-1,1] array), or "latents".
         ``verbose`` logs structured stage timings (compile vs execute) —
         the build's replacement for the reference's bare progress prints

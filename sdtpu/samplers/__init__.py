@@ -8,6 +8,7 @@ forward-noises for img2img; optional ``scale_model_input`` and
 """
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 from sdtpu.samplers import ddim as _ddim
@@ -52,6 +53,21 @@ SAMPLERS = {
     ),
     "dpm++": SamplerDef(
         _dpm.make_schedule,
+        _dpm.dpm_step,
+        _dpm.add_noise,
+        multistep=True,
+        state_init=_dpm.state_init,
+    ),
+    # Karras rho-7 sigma spacing (fractional timesteps via log-sigma
+    # interpolation) — the standard quality-per-step option at <= 25 steps.
+    "euler-karras": SamplerDef(
+        functools.partial(_euler.make_schedule, karras=True),
+        _euler.euler_step,
+        _euler.add_noise,
+        scale_model_input=_euler.scale_model_input,
+    ),
+    "dpm++-karras": SamplerDef(
+        functools.partial(_dpm.make_schedule, karras=True),
         _dpm.dpm_step,
         _dpm.add_noise,
         multistep=True,

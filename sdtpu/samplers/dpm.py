@@ -50,11 +50,23 @@ def make_schedule(
     config: SchedulerConfig,
     num_inference_steps: int,
     strength: float = 1.0,
+    *,
+    karras: bool = False,
 ) -> DPMSchedule:
-    ac = make_alphas_cumprod(config)
-    ts = inference_timesteps(config, num_inference_steps, strength)
-    alpha = np.sqrt(ac[ts])
-    sigma = np.sqrt(1.0 - ac[ts])
+    if karras:
+        from sdtpu.samplers.ddpm import karras_sigma_grid
+
+        sig_ve, tsf = karras_sigma_grid(config, num_inference_steps, strength)
+        # VE sigma -> VP (alpha, sigma): alpha = 1/sqrt(s^2+1), sigma = s*alpha
+        alpha = 1.0 / np.sqrt(sig_ve**2 + 1.0)
+        sigma = sig_ve * alpha
+        ts = jnp.asarray(tsf, dtype=jnp.float32)  # fractional timesteps
+    else:
+        ac = make_alphas_cumprod(config)
+        ts_i = inference_timesteps(config, num_inference_steps, strength)
+        alpha = np.sqrt(ac[ts_i])
+        sigma = np.sqrt(1.0 - ac[ts_i])
+        ts = jnp.asarray(ts_i, dtype=jnp.int32)
     lam = np.log(alpha / sigma)
     # target lambda of each step: next entry; final step targets t=0
     # (sigma -> 0, lambda -> +inf); handle by explicit limits.
@@ -74,7 +86,7 @@ def make_schedule(
 
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)  # noqa: E731
     return DPMSchedule(
-        timesteps=jnp.asarray(ts, dtype=jnp.int32),
+        timesteps=ts,
         sqrt_alpha_prod=f32(alpha),
         sqrt_one_minus_alpha_prod=f32(sigma),
         c1=f32(c1),

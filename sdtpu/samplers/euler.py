@@ -51,13 +51,22 @@ def make_schedule(
     config: SchedulerConfig,
     num_inference_steps: int,
     strength: float = 1.0,
+    *,
+    karras: bool = False,
 ) -> EulerSchedule:
-    ac = make_alphas_cumprod(config)
-    ts = inference_timesteps(config, num_inference_steps, strength)
-    sig = np.sqrt((1.0 - ac[ts]) / ac[ts])
+    if karras:
+        from sdtpu.samplers.ddpm import karras_sigma_grid
+
+        sig, tsf = karras_sigma_grid(config, num_inference_steps, strength)
+        ts = jnp.asarray(tsf, dtype=jnp.float32)  # fractional timesteps
+    else:
+        ac = make_alphas_cumprod(config)
+        ts_i = inference_timesteps(config, num_inference_steps, strength)
+        sig = np.sqrt((1.0 - ac[ts_i]) / ac[ts_i])
+        ts = jnp.asarray(ts_i, dtype=jnp.int32)
     sigmas = np.concatenate([sig, [0.0]])
     return EulerSchedule(
-        timesteps=jnp.asarray(ts, dtype=jnp.int32),
+        timesteps=ts,
         sigmas=jnp.asarray(sigmas, dtype=jnp.float32),
         input_scale=jnp.asarray(1.0 / np.sqrt(sig**2 + 1.0), dtype=jnp.float32),
         init_sigma=float(sig[0]),

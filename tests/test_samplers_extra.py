@@ -91,6 +91,67 @@ class TestPipelineSamplers:
             get_sampler("plms")
 
 
+class TestKarras:
+    def test_sigma_grid_properties(self):
+        """rho-7 interpolation: descending, endpoints equal the window's
+        sigma_max/min, interior points match the closed form; fractional
+        timesteps invert the training log-sigma curve."""
+        from sdtpu.samplers.ddpm import (
+            inference_timesteps,
+            karras_sigma_grid,
+            make_alphas_cumprod,
+        )
+
+        cfg = SchedulerConfig()
+        n = 8
+        sig, ts = karras_sigma_grid(cfg, n)
+        assert sig.shape == ts.shape == (n,)
+        assert (np.diff(sig) < 0).all() and (np.diff(ts) < 0).all()
+        ac = make_alphas_cumprod(cfg)
+        full = np.sqrt((1.0 - ac) / ac)
+        base_ts = inference_timesteps(cfg, n)
+        np.testing.assert_allclose(sig[0], full[base_ts[0]], rtol=1e-9)
+        np.testing.assert_allclose(sig[-1], full[base_ts[-1]], rtol=1e-9)
+        # closed form at the midpoint of the ramp (i = n//2 ... exact index)
+        rho, i = 7.0, 3
+        r = i / (n - 1)
+        want = (
+            sig[0] ** (1 / rho) + r * (sig[-1] ** (1 / rho) - sig[0] ** (1 / rho))
+        ) ** rho
+        np.testing.assert_allclose(sig[i], want, rtol=1e-9)
+        # timesteps invert the training curve (approximately: the forward
+        # map interpolates in LOG sigma, this check in linear sigma)
+        np.testing.assert_allclose(
+            np.interp(ts, np.arange(len(full)), full), sig, rtol=1e-3
+        )
+
+    def test_euler_karras_schedule_concentrates_low_noise(self):
+        """Karras spacing puts MORE of the grid at low sigma than the
+        uniform spacing (the whole point)."""
+        cfg = SchedulerConfig()
+        plain = euler.make_schedule(cfg, 10)
+        karr = euler.make_schedule(cfg, 10, karras=True)
+        assert float(karr.sigmas[5]) < float(plain.sigmas[5])
+        assert karr.timesteps.dtype == jnp.float32  # fractional
+
+    @pytest.mark.parametrize("sampler", ["euler-karras", "dpm++-karras"])
+    def test_generate_with_karras_sampler(self, sampler):
+        from test_pipeline import TINY, TOKENS
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+
+        pipe = StableDiffusionPipeline.from_random(TINY, seed=0)
+        img = pipe.generate(
+            "x", token_ids=TOKENS, num_inference_steps=3, seed=1,
+            sampler=sampler,
+        )
+        assert img.shape == (1, 32, 32, 3)
+        base = pipe.generate(
+            "x", token_ids=TOKENS, num_inference_steps=3, seed=1,
+            sampler=sampler.replace("-karras", ""),
+        )
+        assert (img != base).any()  # different sigma grid, different image
+
+
 class TestVPrediction:
     def test_ddpm_v_prediction_recovers_x0(self):
         """Oracle v each step: v = sqrt(a) eps - sqrt(1-a) x0 (so that
