@@ -41,20 +41,13 @@ def layer_norm(x: jax.Array, params: dict, *, eps: float = 1e-5) -> jax.Array:
 
     The reference fakes this as GroupNorm(1, n) through a transpose sandwich
     with no per-feature affine (``utils.mojo:2052-2061``, ``clip.mojo:39-41``);
-    here the statistics are computed as skinny matmuls against a ones
-    vector: the feature axis is the LANE dim, and XLA's lane-axis
-    ``reduce`` lowering ran the SDXL transformer's ~100 LayerNorm stat
-    reductions at ~18 ms/step (round-2 XProf) — the MXU sums across lanes
-    natively.  E[x^2]-E[x]^2 in f32 is plenty for unit-scale activations.
+    here it is a native last-axis reduction (features stay on the lane dim).
     """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
-    c = x.shape[-1]
-    ones = jnp.ones((c, 1), jnp.float32)
-    m1 = (xf @ ones) / c                 # (..., 1)
-    m2 = ((xf * xf) @ ones) / c
-    var = m2 - m1 * m1
-    xf = (xf - m1) * jax.lax.rsqrt(var + eps)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = xf * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
     return out.astype(orig_dtype)
 
