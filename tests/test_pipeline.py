@@ -211,6 +211,23 @@ class TestImg2Img:
         assert np.allclose(half[:, :, :4], keep[:, :, :4], atol=1e-5)
         assert (np.abs(half[:, :, 4:] - keep[:, :, 4:]) > 1e-3).any()
 
+    @pytest.mark.parametrize("sampler", ["euler", "dpm++"])
+    def test_inpaint_zero_mask_other_samplers(self, pipe, sampler):
+        """The blend is sampler-generic (sigma-space Euler, multistep
+        DPM++): an all-zeros mask must still return the clean encode."""
+        init = np.random.default_rng(6).integers(
+            0, 255, (32, 32, 3), dtype=np.uint8
+        )
+        mask = np.zeros((32, 32), dtype=np.uint8)
+        a = pipe.generate("x", token_ids=TOKENS, num_inference_steps=3,
+                          seed=1, init_image=init, mask_image=mask,
+                          strength=1.0, sampler=sampler, output="latents")
+        b = pipe.generate("x", token_ids=TOKENS, num_inference_steps=3,
+                          seed=1, init_image=init, strength=1.0,
+                          sampler="ddpm", mask_image=mask, output="latents")
+        # both equal the clean encode -> equal each other (same seed)
+        assert np.allclose(a, b, atol=1e-4)
+
     def test_inpaint_batch(self, pipe):
         init = np.zeros((32, 32, 3), dtype=np.uint8)
         mask = np.full((32, 32), 255, dtype=np.uint8)
