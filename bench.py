@@ -231,6 +231,9 @@ def _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg) -> None:
         "wall_s": round(wall, 3),
         "device": str(dev),
     }
+    for k in ("request_latency_p50_s", "request_latency_p95_s"):
+        if k in stats:
+            result[k] = round(stats[k], 4)
     print(json.dumps(result))
 
 
