@@ -1,0 +1,267 @@
+#!/usr/bin/env python3
+"""First-network-access acceptance runbook (VERDICT.md round-2 item 5).
+
+Everything in this repo that CAN be validated offline has been (independent
+torch mirror goldens, frozen fixtures, HF-parity tokenizer tests that
+auto-skip without assets).  The remaining fidelity evidence — the north-star
+**PSNR >= 40 dB vs fp32 diffusers** (`BASELINE.md`) and the real 49408-token
+vocab path — needs artifacts this build environment cannot produce (zero
+egress).  The moment network (or a copied-in checkpoint) exists, THIS is the
+one command to run:
+
+    python tools/acceptance.py [--model-dir /path/to/tiny-sd] \
+                               [--hf-model segmind/tiny-sd] [--steps 25]
+
+Steps (each emits PASS/FAIL/SKIP; one final JSON line):
+  1. tokenizer-assets  — fetch vocab.json/merges.txt via
+     tools/prepare_tokenizer.py if missing (network), else reuse
+     assets/tokenizer/.
+  2. real-vocab-tests  — the auto-activating HF-parity suite
+     (tests/test_tokenizer_real_vocab.py — the only tests that skip
+     offline) must go green.
+  3. checkpoint        — locate a diffusers-layout Tiny-SD dir
+     (--model-dir, $SDTPU_MODEL_DIR, or huggingface_hub download of
+     --hf-model).
+  4. component-parity  — full-network UNet + VAE forwards of the REAL
+     weights vs the independent torch mirror
+     (tools/validate_checkpoint.py protocol): rel err < 1e-3, VAE PSNR > 40.
+  5. clip-parity       — our CLIP vs transformers' CLIPTextModel loaded
+     from the same checkpoint dir: max abs err < 1e-3.
+  6. e2e-psnr          — seed-matched full generate vs fp32 diffusers
+     (rng="torch", DDIM): **PSNR >= 40 dB** = the north star.  If
+     diffusers is not installed this downgrades to SKIP with the exact
+     pip command to finish the job.
+
+Offline (no assets, no network) every step SKIPs cleanly and the tool exits
+0 with {"status": "blocked-offline"} — running it costs nothing and proves
+the harness itself works.
+
+Reference promise being matched: the reference ships + consumes
+tokenizer_clip.bin (`/root/reference/pipeline.mojo:32-37`) and documents
+binary weight loading as the intended pattern
+(`/root/reference/README.md:44,55`).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+RESULTS = []
+
+
+def record(name, status, detail=""):
+    RESULTS.append({"step": name, "status": status, "detail": detail})
+    print(f"[{status:>4}] {name}: {detail}")
+    return status == "PASS"
+
+
+def step_tokenizer_assets(args):
+    asset_dir = os.path.join(REPO, "assets", "tokenizer")
+    have = os.path.isfile(os.path.join(asset_dir, "vocab.json")) and (
+        os.path.isfile(os.path.join(asset_dir, "merges.txt"))
+    )
+    if not have:
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "prepare_tokenizer.py"),
+                 "--out", asset_dir],
+                check=True, capture_output=True, text=True, timeout=600,
+            )
+            have = True
+        except Exception as exc:
+            return record("tokenizer-assets", "SKIP",
+                          f"no assets and fetch failed ({exc}); "
+                          "run tools/prepare_tokenizer.py with network")
+    from sdtpu.tokenizer.bpe import CLIPTokenizer
+
+    tok = CLIPTokenizer.from_default_assets()
+    if tok is None or len(tok.vocab) != 49408:
+        return record("tokenizer-assets", "FAIL",
+                      f"assets present but vocab loads wrong "
+                      f"({None if tok is None else len(tok.vocab)} tokens)")
+    return record("tokenizer-assets", "PASS", "49408-token vocab installed")
+
+
+def step_real_vocab_tests(args):
+    if not any(r["step"] == "tokenizer-assets" and r["status"] == "PASS"
+               for r in RESULTS):
+        return record("real-vocab-tests", "SKIP", "no tokenizer assets")
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         os.path.join(REPO, "tests", "test_tokenizer_real_vocab.py"), "-q"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO,
+    )
+    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    if proc.returncode != 0:
+        return record("real-vocab-tests", "FAIL", tail)
+    if "skipped" in tail and "passed" not in tail:
+        return record("real-vocab-tests", "FAIL", f"still skipping: {tail}")
+    return record("real-vocab-tests", "PASS", tail)
+
+
+def step_checkpoint(args):
+    cand = args.model_dir or os.environ.get("SDTPU_MODEL_DIR")
+    if cand and os.path.isdir(cand):
+        args.resolved_model_dir = cand
+        return record("checkpoint", "PASS", cand)
+    try:
+        from huggingface_hub import snapshot_download
+
+        path = snapshot_download(args.hf_model)
+        args.resolved_model_dir = path
+        return record("checkpoint", "PASS", f"downloaded {args.hf_model} -> {path}")
+    except Exception as exc:
+        args.resolved_model_dir = None
+        return record("checkpoint", "SKIP",
+                      f"no local dir and download failed ({type(exc).__name__}); "
+                      "pass --model-dir or set $SDTPU_MODEL_DIR")
+
+
+def step_component_parity(args):
+    if not args.resolved_model_dir:
+        return record("component-parity", "SKIP", "no checkpoint")
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "validate_checkpoint.py"),
+         args.resolved_model_dir, "--preset", args.preset],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO,
+    )
+    out = proc.stdout.strip()
+    ok = proc.returncode == 0 and "INVESTIGATE" not in out and "OK" in out
+    return record("component-parity", "PASS" if ok else "FAIL",
+                  out.replace("\n", " | ") or proc.stderr[-300:])
+
+
+def step_clip_parity(args):
+    if not args.resolved_model_dir:
+        return record("clip-parity", "SKIP", "no checkpoint")
+    te_dir = os.path.join(args.resolved_model_dir, "text_encoder")
+    if not os.path.isdir(te_dir):
+        return record("clip-parity", "SKIP", "checkpoint has no text_encoder/")
+    try:
+        import numpy as np
+        import torch
+        from transformers import CLIPTextModel
+
+        import jax.numpy as jnp
+        from sdtpu.config import get_preset
+        from sdtpu.models.clip import clip_encode
+        from sdtpu.utils.weights import (
+            _find_weight_file, clip_params_from_state_dict, load_safetensors,
+        )
+
+        config = get_preset(args.preset)
+        sd = load_safetensors(_find_weight_file(te_dir))
+        params = clip_params_from_state_dict(sd, config.clip)
+        ref = CLIPTextModel.from_pretrained(te_dir).eval()
+        ids = np.array([[49406, 320, 2368, 4919, 320, 49407] + [49407] * 71],
+                       np.int32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(ids.astype(np.int64)))[0].numpy()
+        got, _ = clip_encode(jnp.asarray(ids), params, config.clip)
+        err = float(np.abs(np.asarray(got, np.float32) - want).max())
+        ok = err < 1e-3
+        return record("clip-parity", "PASS" if ok else "FAIL",
+                      f"max abs err {err:.2e} vs transformers")
+    except Exception as exc:
+        return record("clip-parity", "FAIL", f"{type(exc).__name__}: {exc}")
+
+
+def step_e2e_psnr(args):
+    if not args.resolved_model_dir:
+        return record("e2e-psnr", "SKIP", "no checkpoint")
+    try:
+        import diffusers  # noqa: F401
+    except ImportError:
+        return record(
+            "e2e-psnr", "SKIP",
+            "diffusers not installed — `pip install diffusers` then re-run; "
+            "component-parity + clip-parity above bound the same error "
+            "network-by-network in the meantime",
+        )
+    try:
+        import numpy as np
+        import torch
+        from diffusers import DDIMScheduler, StableDiffusionPipeline
+
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline as SDTPU
+        from sdtpu.utils.image import psnr
+
+        ref_pipe = StableDiffusionPipeline.from_pretrained(
+            args.resolved_model_dir, torch_dtype=torch.float32,
+            safety_checker=None, requires_safety_checker=False,
+        )
+        ref_pipe.scheduler = DDIMScheduler.from_config(
+            ref_pipe.scheduler.config
+        )
+        prompt = "a cat flying a spaceship"  # the reference demo prompt
+        g = torch.Generator().manual_seed(args.seed)
+        want = ref_pipe(
+            prompt, num_inference_steps=args.steps, guidance_scale=7.5,
+            generator=g, output_type="np",
+        ).images[0]
+
+        ours = SDTPU.from_pretrained(
+            args.resolved_model_dir, preset=args.preset, dtype=np.float32
+        )
+        got = ours.generate(
+            prompt, num_inference_steps=args.steps, cfg=True, cfg_scale=7.5,
+            seed=args.seed, rng="torch", sampler="ddim", output="float",
+        )[0]
+        # both in [-1, 1] float space (psnr's default data_range=2.0)
+        score = psnr(
+            np.asarray(got, np.float32),
+            want.astype(np.float32) * 2.0 - 1.0,
+        )
+        ok = score >= 40.0
+        return record("e2e-psnr", "PASS" if ok else "FAIL",
+                      f"PSNR {score:.1f} dB vs fp32 diffusers "
+                      f"(north star >= 40)")
+    except Exception as exc:
+        return record("e2e-psnr", "FAIL", f"{type(exc).__name__}: {exc}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", default=None,
+                    help="local diffusers-layout checkpoint dir")
+    ap.add_argument("--hf-model", default="segmind/tiny-sd")
+    ap.add_argument("--preset", default="tiny-sd")
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--seed", type=int, default=40)  # demo.mojo:10
+    args = ap.parse_args()
+    args.resolved_model_dir = None
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    for step in (step_tokenizer_assets, step_real_vocab_tests,
+                 step_checkpoint, step_component_parity, step_clip_parity,
+                 step_e2e_psnr):
+        try:
+            step(args)
+        except Exception as exc:  # a crashed step is a FAIL, not an abort
+            record(step.__name__.replace("step_", "").replace("_", "-"),
+                   "FAIL", f"harness error {type(exc).__name__}: {exc}")
+
+    statuses = [r["status"] for r in RESULTS]
+    if "FAIL" in statuses:
+        overall = "FAIL"
+    elif all(s == "SKIP" for s in statuses):
+        overall = "blocked-offline"
+    elif "SKIP" in statuses:
+        overall = "partial"
+    else:
+        overall = "PASS"
+    print(json.dumps({"status": overall, "steps": RESULTS}))
+    sys.exit(1 if overall == "FAIL" else 0)
+
+
+if __name__ == "__main__":
+    main()
