@@ -34,7 +34,6 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--attention-impl", default=None,
                     choices=["auto", "xla", "flash"])
-    ap.add_argument("--norm-impl", default=None, choices=["xla", "fused"])
     ap.add_argument("--sampler", default=None,
                     help="default: the preset's native sampler")
     ap.add_argument("--img2img", action="store_true",
@@ -64,8 +63,6 @@ def main() -> None:
     overrides = {}
     if args.attention_impl:
         overrides["attention_impl"] = args.attention_impl
-    if args.norm_impl:
-        overrides["norm_impl"] = args.norm_impl
     if overrides:
         config = config.replace(**overrides)
     steps = args.steps if args.steps is not None else config.default_steps

@@ -158,9 +158,6 @@ class PipelineConfig:
     # active sdtpu.parallel.ring_context (falls back to dense where the
     # token count doesn't shard — e.g. the 77-token text context).
     attention_impl: str = "auto"
-    # "fused" routes GroupNorm+SiLU through the Pallas kernel
-    # (sdtpu/kernels/groupnorm_silu.py); "xla" keeps the unfused ops.
-    norm_impl: str = "xla"
     # "gemm" routes 3x3 stride-1 convs through the Pallas implicit-GEMM
     # kernel (sdtpu/kernels/conv2d.py) with the GN+SiLU(+time) prologue and
     # the bias+residual epilogue fused in-kernel.  Round 1's version was e2e

@@ -170,12 +170,9 @@ def precompute_cross_kv(context: jax.Array, params: dict, config: UNetConfig):
 # ---------------------------------------------------------------------------
 
 
-def _gn_silu(x, params, *, num_groups, norm_impl):
-    """GroupNorm -> SiLU, optionally through the fused Pallas kernel."""
-    if norm_impl == "fused":
-        from sdtpu.kernels.groupnorm_silu import group_norm_silu
-
-        return group_norm_silu(x, params, num_groups=num_groups)
+def _gn_silu(x, params, *, num_groups):
+    """GroupNorm -> SiLU.  (On the TPU conv path this pair instead folds
+    into the slab conv kernel's affine prologue — see ``resnet_block``.)"""
     return silu(group_norm(x, params, num_groups=num_groups))
 
 
@@ -195,7 +192,6 @@ def resnet_block(
     params: dict,
     *,
     num_groups: int = 32,
-    norm_impl: str = "xla",
     conv_impl: str = "xla",
     t_pre: Optional[jax.Array] = None,
 ) -> jax.Array:
@@ -248,13 +244,11 @@ def resnet_block(
             residual=_shortcut(x, params), h_tile=slab[1][0],
             co_tile=slab[1][1],
         )
-    h = _gn_silu(x, params["norm1"], num_groups=num_groups,
-                 norm_impl=norm_impl)
+    h = _gn_silu(x, params["norm1"], num_groups=num_groups)
     h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"],
                padding=1, impl=conv_impl)
     h = h + t.astype(h.dtype)[:, None, None, :]
-    h = _gn_silu(h, params["norm2"], num_groups=num_groups,
-                 norm_impl=norm_impl)
+    h = _gn_silu(h, params["norm2"], num_groups=num_groups)
     h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"],
                padding=1, impl=conv_impl)
     return _shortcut(x, params) + h
@@ -329,7 +323,6 @@ def unet_forward(
     added_cond: Optional[dict] = None,
     timestep_cond: Optional[jax.Array] = None,
     attention_impl: str = "xla",
-    norm_impl: str = "xla",
     conv_impl: str = "xla",
     cross_kv: Optional[dict] = None,
     time_cache: Optional[dict] = None,
@@ -406,7 +399,7 @@ def unet_forward(
         ch = config.block_out_channels[level]
         heads = _heads_for_level(config, ch)
         for i, res in enumerate(block["resnets"]):
-            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl,
+            x = resnet_block(x, temb, res, num_groups=ng, conv_impl=conv_impl,
                              t_pre=None if tp is None else tp["down"][level][i])
             if config.attention_levels[level]:
                 x = attention_block(
@@ -430,7 +423,7 @@ def unet_forward(
     if config.mid_block:
         mid = params["mid_block"]
         heads = _heads_for_level(config, config.block_out_channels[-1])
-        x = resnet_block(x, temb, mid["resnets"][0], num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl,
+        x = resnet_block(x, temb, mid["resnets"][0], num_groups=ng, conv_impl=conv_impl,
                          t_pre=None if tp is None else tp["mid"][0])
         x = attention_block(
             x,
@@ -441,7 +434,7 @@ def unet_forward(
             implementation=attention_impl,
             cross_kv=None if cross_kv is None else cross_kv["mid"][0],
         )
-        x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl,
+        x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng, conv_impl=conv_impl,
                          t_pre=None if tp is None else tp["mid"][1])
 
     # --- decoder (diffusion.mojo:252-272): concat skip on channel axis ---
@@ -451,7 +444,7 @@ def unet_forward(
         heads = _heads_for_level(config, ch)
         for i, res in enumerate(block["resnets"]):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = resnet_block(x, temb, res, num_groups=ng, norm_impl=norm_impl, conv_impl=conv_impl,
+            x = resnet_block(x, temb, res, num_groups=ng, conv_impl=conv_impl,
                              t_pre=None if tp is None else tp["up"][rev][i])
             if config.attention_levels[level]:
                 x = attention_block(
@@ -471,7 +464,7 @@ def unet_forward(
 
     # --- output head (diffusion.mojo:275-291; 32 groups per SD standard,
     # not the reference's 320-group quirk, SURVEY.md §5.1 item 7) ---
-    x = _gn_silu(x, params["norm_out"], num_groups=ng, norm_impl=norm_impl)
+    x = _gn_silu(x, params["norm_out"], num_groups=ng)
     return conv2d(
         x, params["conv_out"]["kernel"], params["conv_out"]["bias"], padding=1
     )

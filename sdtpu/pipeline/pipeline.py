@@ -685,7 +685,7 @@ class StableDiffusionPipeline:
                     lat_in.astype(compute_dtype), t_in, context, params["unet"],
                     config.unet, added_cond=added_cond,
                     timestep_cond=timestep_cond,
-                    attention_impl=attn_impl, norm_impl=config.norm_impl,
+                    attention_impl=attn_impl,
                     conv_impl=conv_impl, cross_kv=cross_kv,
                     time_cache=jax.tree.map(lambda a: a[i], time_cache),
                 ).astype(jnp.float32)

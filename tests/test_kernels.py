@@ -157,45 +157,6 @@ class TestFlashAttention:
         assert_allclose(got, expected, atol=1e-6, rtol=1e-6)
 
 
-class TestGroupNormSilu:
-    @pytest.mark.parametrize("b,hw,c,groups", [(2, 64, 128, 8), (1, 256, 256, 32)])
-    def test_matches_unfused(self, rng, b, hw, c, groups):
-        from sdtpu.kernels.groupnorm_silu import group_norm_silu
-        from sdtpu.ops import group_norm, silu
-
-        x = jnp.array(rng.standard_normal((b, hw, c), dtype=np.float32))
-        params = {
-            "scale": jnp.array(rng.standard_normal(c, dtype=np.float32)),
-            "bias": jnp.array(rng.standard_normal(c, dtype=np.float32)),
-        }
-        expected = silu(group_norm(x, params, num_groups=groups))
-        got = group_norm_silu(x, params, num_groups=groups, interpret=True)
-        assert_allclose(got, expected, atol=1e-5, rtol=1e-4)
-
-    def test_4d_nhwc(self, rng):
-        from sdtpu.kernels.groupnorm_silu import group_norm_silu
-        from sdtpu.ops import group_norm, silu
-
-        x = jnp.array(rng.standard_normal((2, 8, 8, 128), dtype=np.float32))
-        params = {"scale": jnp.ones(128), "bias": jnp.zeros(128)}
-        expected = silu(group_norm(x, params, num_groups=32))
-        got = group_norm_silu(x, params, num_groups=32, interpret=True)
-        assert got.shape == x.shape
-        assert_allclose(got, expected, atol=1e-5, rtol=1e-4)
-
-    def test_fallback_for_large_maps(self, rng):
-        """Shapes over the VMEM budget route to the unfused ops."""
-        from sdtpu.kernels import groupnorm_silu as gs
-
-        assert not gs.fits_fused((1, 512, 512, 128))
-        assert gs.fits_fused((2, 64, 64, 320))
-        x = jnp.array(rng.standard_normal((1, 4, 4, 24), dtype=np.float32))
-        params = {"scale": jnp.ones(24), "bias": jnp.zeros(24)}
-        # on the CPU test backend the fused path always falls back
-        out = gs.group_norm_silu(x, params, num_groups=8)
-        assert out.shape == x.shape
-
-
 class TestConv3x3Gemm:
     @pytest.mark.parametrize("b,h,w,ci,co", [
         (1, 8, 8, 16, 32),

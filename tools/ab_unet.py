@@ -49,7 +49,7 @@ def main():
     ts = jnp.full((2,), 500.0, jnp.float32)
     ctx = jnp.zeros((2, 77, config.unet.cross_attention_dim), cd)
 
-    def make(attn, conv, norm, hoist=False):
+    def make(attn, conv, hoist=False):
         def run(p, x, t, c):
             kwargs = {}
             if hoist:
@@ -70,7 +70,7 @@ def main():
                     kw["time_cache"] = jax.tree.map(lambda a: a[i], tcache)
                 out = unet_forward(
                     carry, t, c, p, config.unet,
-                    attention_impl=attn, norm_impl=norm, conv_impl=conv,
+                    attention_impl=attn, conv_impl=conv,
                     **kw,
                 )
                 return out.astype(carry.dtype), ()
@@ -83,11 +83,11 @@ def main():
         return jax.jit(run)
 
     variants = [
-        ("attn=xla   conv=xla ", make("xla", "xla", "xla")),
-        ("attn=flash conv=xla ", make("flash", "xla", "xla")),
-        ("attn=flash conv=gemm", make("flash", "gemm", "xla")),
-        ("attn=xla   conv=gemm", make("xla", "gemm", "xla")),
-        ("flash+gemm + hoists ", make("flash", "gemm", "xla", hoist=True)),
+        ("attn=xla   conv=xla ", make("xla", "xla")),
+        ("attn=flash conv=xla ", make("flash", "xla")),
+        ("attn=flash conv=gemm", make("flash", "gemm")),
+        ("attn=xla   conv=gemm", make("xla", "gemm")),
+        ("flash+gemm + hoists ", make("flash", "gemm", hoist=True)),
     ]
 
     results = {}
