@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--strength", type=float, default=0.75)
     ap.add_argument("--no-cfg", action="store_true",
                     help="force guidance off (distilled presets default off)")
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="disable the pipelined dispatch-before-fetch "
+                         "measurement (old strictly-sequential timing)")
     ap.add_argument("--serving", action="store_true",
                     help="BASELINE config 5: drive requests through the "
                          "micro-batching ServingEngine and measure "
@@ -104,10 +107,10 @@ def main() -> None:
             if args.img2img else None
         )
 
-        def run(seed: int):
+        def run(seed: int, output: str = "uint8"):
             return pipe.generate(
                 "bench", token_ids=ids, num_inference_steps=steps,
-                seed=seed, image_size=args.image_size, output="uint8",
+                seed=seed, image_size=args.image_size, output=output,
                 sampler=sampler, cfg=cfg, init_image=init_image,
                 strength=args.strength,
             )
@@ -117,11 +120,11 @@ def main() -> None:
             1, config.clip.vocab_size, (args.batch, config.clip.max_length)
         )
 
-        def run(seed: int):
+        def run(seed: int, output: str = "uint8"):
             return pipe.generate_batch(
                 ["bench"] * args.batch, token_ids=ids,
                 num_inference_steps=steps, seed=seed,
-                image_size=args.image_size, output="uint8",
+                image_size=args.image_size, output=output,
                 sampler=sampler, cfg=cfg,
             )
 
@@ -129,12 +132,36 @@ def main() -> None:
     run(0)
     print(f"compile + first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    times = []
-    for i in range(args.repeats):
+    mode = "sequential" if args.no_overlap else "pipelined"
+    if args.no_overlap:
+        times = []
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            run(i + 1)
+            times.append(time.perf_counter() - t0)
+            print(f"run {i}: {times[-1]*1000:.1f} ms", file=sys.stderr)
+    else:
+        # Pipelined stream (VERDICT.md round-2 item 4): dispatch image N+1
+        # before fetching image N, so the ~2-relay-RTT host slice hides
+        # behind device compute — the ServingEngine's dispatch trick
+        # exposed to single-shot callers via output="device".  Per-image
+        # time = the gap between successive fetch completions in steady
+        # state (the first gap still carries the un-overlapped dispatch
+        # and is dropped when enough repeats exist).
+        marks = []
         t0 = time.perf_counter()
-        run(i + 1)
-        times.append(time.perf_counter() - t0)
-        print(f"run {i}: {times[-1]*1000:.1f} ms", file=sys.stderr)
+        pending = run(1, output="device")
+        for i in range(args.repeats):
+            nxt = run(i + 2, output="device")
+            np.asarray(pending)  # fetch completed image i
+            marks.append(time.perf_counter())
+            pending = nxt
+        np.asarray(pending)
+        times = [b - a for a, b in zip(marks, marks[1:])]
+        if not times:  # --repeats 1
+            times = [marks[0] - t0]
+        for i, t in enumerate(times):
+            print(f"gap {i}: {t*1000:.1f} ms", file=sys.stderr)
 
     p50 = statistics.median(times)
     images_per_sec = args.batch / p50
@@ -151,6 +178,7 @@ def main() -> None:
         "vs_baseline": round(images_per_sec / 1.0, 4),
         "baseline_definition": "north-star target 1.0 img/s (reference publishes none)",
         "p50_latency_s": round(p50, 4),
+        "timing_mode": mode,
         "batch": args.batch,
         "device": str(dev),
     }

@@ -12,7 +12,7 @@ img2img, and a VAE encoder/decoder — designed TPU-first rather than ported:
 * CFG as a batch-2 UNet call instead of two sequential forwards
   (``pipeline.mojo:107-110``),
 * Pallas kernels for the hot fusions (flash attention over latent tokens,
-  fused GroupNorm+SiLU),
+  implicit-GEMM convs with folded GroupNorm+SiLU prologues),
 * real weights loaded from HuggingFace safetensors (the reference never
   loads weights — ``utils.mojo:1719-1726``),
 * scale-out via ``jax.sharding.Mesh`` + NamedSharding over ICI.
@@ -40,10 +40,10 @@ __version__ = "0.1.0"
 def __getattr__(name):
     # Lazy: the pipeline pulls in models/samplers/tokenizer; keep bare
     # `import sdtpu` light for op-level use.
-    if name == "StableDiffusionPipeline":
-        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+    if name in ("StableDiffusionPipeline", "PendingImages"):
+        from sdtpu.pipeline import pipeline as _p
 
-        return StableDiffusionPipeline
+        return getattr(_p, name)
     raise AttributeError(f"module 'sdtpu' has no attribute {name!r}")
 
 __all__ = [
@@ -56,5 +56,6 @@ __all__ = [
     "SD15",
     "SDXL_BASE",
     "StableDiffusionPipeline",
+    "PendingImages",
     "__version__",
 ]

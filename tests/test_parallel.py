@@ -275,6 +275,37 @@ class TestRingIntegration:
             got.astype(np.int32), expected.astype(np.int32), atol=1
         )
 
+    def test_ring_context_in_compile_cache_key(self):
+        """A program traced under a ring_context is NOT reused outside it
+        (and vice versa): the context is trace-time ambient state, so it is
+        part of the compiled-program cache key (VERDICT round-2 item 6).
+        Outside any context the ring impl falls back to dense — the outputs
+        must match the plain run bit-for-bit."""
+        from test_pipeline import TINY
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+        from sdtpu.parallel import ring_context
+
+        ids = np.array([[1, 5, 9, 2] + [0] * 12])
+        pipe = StableDiffusionPipeline.from_random(
+            TINY.replace(attention_impl="ring"), seed=0
+        )
+        kw = dict(token_ids=ids, num_inference_steps=2, seed=4,
+                  image_size=64)
+        with ring_context(self._sp_mesh(), "sp"):
+            ringed = pipe.generate("x", **kw)
+        assert len(pipe._compiled) == 1
+        plain = pipe.generate("x", **kw)  # outside: distinct program
+        assert len(pipe._compiled) == 2, (
+            "ring-context program was reused outside the context"
+        )
+        with ring_context(self._sp_mesh(), "sp"):
+            ringed2 = pipe.generate("x", **kw)  # cache hit for the ring one
+        assert len(pipe._compiled) == 2
+        np.testing.assert_array_equal(ringed, ringed2)
+        np.testing.assert_allclose(
+            plain.astype(np.int32), ringed.astype(np.int32), atol=1
+        )
+
 
 class TestTpFullUNet:
     def test_tp_sharded_unet_matches_replicated(self, rng):
