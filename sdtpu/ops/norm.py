@@ -36,18 +36,52 @@ def group_norm(
     return out.astype(orig_dtype)
 
 
-def layer_norm(x: jax.Array, params: dict, *, eps: float = 1e-5) -> jax.Array:
+def layer_norm(
+    x: jax.Array, params: dict, *, eps: float = 1e-5, stats: str = "auto"
+) -> jax.Array:
     """Last-axis LayerNorm with per-feature affine.
 
     The reference fakes this as GroupNorm(1, n) through a transpose sandwich
-    with no per-feature affine (``utils.mojo:2052-2061``, ``clip.mojo:39-41``);
-    here it is a native last-axis reduction (features stay on the lane dim).
+    with no per-feature affine (``utils.mojo:2052-2061``, ``clip.mojo:39-41``).
+
+    ``stats``: how E[x] / E[x^2] are computed.
+
+    * ``"matmul"`` — skinny matmuls against a ones vector.  The feature axis
+      is the LANE dim, and XLA's lane-axis ``reduce`` lowering ran the SDXL
+      transformer's ~100 LayerNorm stat reductions at ~18 ms/step (round-2
+      XProf); the MXU sums across lanes natively, and the reduce form also
+      exerts layout pressure that flips whole transformer chains into a
+      tokens-on-lanes layout where the 320x320 projections run at ~8% MXU
+      (round-3 trace).  E[x^2]-E[x]^2 in f32 is well within every precision
+      gate for unit-scale activations.
+    * ``"reduce"`` — native last-axis reduction.
+    * ``"auto"`` (default) — matmul on TPU-class backends, reduce on CPU.
+      The split exists because the serving engine guarantees solo-run ==
+      coalesced-run images BITWISE; on CPU the matmul lowering broke that
+      (round-2 revert: accumulation order varied with the row count), while
+      the MXU's per-row contraction order is row-count-independent —
+      verified on-chip by ``tools/check_batch_invariance.py`` (BENCHLOG
+      round 3).
     """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if stats == "auto":
+        import os
+
+        stats = os.environ.get("SDTPU_LN_STATS") or (
+            "reduce" if jax.default_backend() == "cpu" else "matmul"
+        )  # env override: perf A/Bs without a code edit (trace-time read)
+    if stats == "matmul":
+        c = x.shape[-1]
+        ones = jnp.ones((c, 1), jnp.float32)
+        m1 = (xf @ ones) / c                 # (..., 1)
+        m2 = ((xf * xf) @ ones) / c
+        var = m2 - m1 * m1
+        xf = (xf - m1) * jax.lax.rsqrt(var + eps)
+    else:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = xf * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
     return out.astype(orig_dtype)
 

@@ -9,7 +9,13 @@ strength]) are batched up to ``max_batch_size`` or until one GLOBAL
 ``max_wait_ms`` window passes, executed as ONE CFG-batched program, and
 resolved to per-request futures.  Per-request RNG keys and per-row negative
 prompts make each row's output independent of batch composition (a request
-returns the same image whether it shared a batch or not).
+returns the same image whether it shared a batch or not).  Precise scope of
+that guarantee: the MATH is row-independent (pinned bitwise by the CPU
+suite, tests/test_serving.py); on TPU at real dims, XLA picks
+batch-size-dependent matmul/conv tilings whose accumulation order drifts
+the uint8 output by at most +-1 level on a few percent of pixels —
+measured, form-independent, and quantified by
+``tools/check_batch_invariance.py`` (BENCHLOG round 3).
 
 The worker keeps TWO batches in flight: batch N+1 is collected and
 dispatched (un-fetched device output) while batch N computes, hiding host

@@ -86,6 +86,21 @@ class TestNorms:
         theirs = F.layer_norm(t(x), (32,), t(scale), t(bias), eps=1e-5)
         assert_allclose(ours, theirs.numpy(), atol=1e-5, rtol=1e-4)
 
+    def test_layer_norm_matmul_stats_matches_torch(self, rng):
+        """The TPU path computes E[x]/E[x^2] as ones-matmuls (lane-axis
+        reduce off the VPU); numerics must stay within the torch gate.
+        Bitwise solo-vs-coalesced invariance of this form is a TPU-only
+        guarantee checked on-chip (tools/check_batch_invariance.py)."""
+        import torch.nn.functional as F
+
+        x = rng.standard_normal((2, 7, 32), dtype=np.float32) * 3 + 1.5
+        scale = rng.standard_normal(32, dtype=np.float32)
+        bias = rng.standard_normal(32, dtype=np.float32)
+        params = {"scale": jnp.array(scale), "bias": jnp.array(bias)}
+        ours = ops.layer_norm(jnp.array(x), params, stats="matmul")
+        theirs = F.layer_norm(t(x), (32,), t(scale), t(bias), eps=1e-5)
+        assert_allclose(ours, theirs.numpy(), atol=1e-4, rtol=1e-3)
+
 
 class TestLinear:
     def test_matches_torch(self, rng):
