@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--strength", type=float, default=0.75)
     ap.add_argument("--no-cfg", action="store_true",
                     help="force guidance off (distilled presets default off)")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8-quantize the UNet resblock convs "
+                         "(sdtpu/utils/quant.py; 2x int8 MXU path)")
     ap.add_argument("--no-overlap", action="store_true",
                     help="disable the pipelined dispatch-before-fetch "
                          "measurement (old strictly-sequential timing)")
@@ -90,6 +93,8 @@ def main() -> None:
 
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     pipe = StableDiffusionPipeline(config, params)
+    if args.int8:
+        pipe.quantize_int8()
     print(f"params materialized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(40)
@@ -166,6 +171,8 @@ def main() -> None:
     p50 = statistics.median(times)
     images_per_sec = args.batch / p50
     variant = "img2img " if args.img2img else ""
+    if args.int8:
+        variant = "int8 " + variant
     guidance = "CFG" if cfg else "no-CFG"
     flops = _program_flops(pipe, args, steps, sampler, cfg)
     result = {

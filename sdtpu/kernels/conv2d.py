@@ -153,8 +153,8 @@ def plan_slab(x_shape, kernel_shape, *, has_prologue=False, has_residual=False,
 
 
 def _slab_kernel(
-    x_ref, a_ref, b_ref, k_ref, cb_ref, r_ref, o_ref,
-    *, ht, w, h, has_pro, has_res,
+    x_ref, a_ref, b_ref, k_ref, cb_ref, r_ref, s_ref, ws_ref, o_ref,
+    *, ht, w, h, has_pro, has_res, quant,
 ):
     x = x_ref[0, 0]  # (ht+2, w+2, ci) — slab with 1-row halo, pre-padded cols
     ci = x.shape[-1]
@@ -162,7 +162,8 @@ def _slab_kernel(
     if has_pro:
         # y = SiLU(x * a + b) with the GN(+temb) fold; the slab includes the
         # conv's ZERO padding (border rows/cols), which must stay zero after
-        # the prologue — mask on global padded coordinates.
+        # the prologue — mask on global padded coordinates.  The slab index
+        # is grid dim 1 in BOTH grid orders (see conv3x3_gemm_slab).
         si = pl.program_id(1)
         y = x.astype(jnp.float32) * a_ref[0] + b_ref[0]
         y = y * jax.nn.sigmoid(y)
@@ -171,14 +172,24 @@ def _slab_kernel(
         )
         gc = jax.lax.broadcasted_iota(jnp.int32, (ht + 2, w + 2, 1), 1)
         interior = (gr > 0) & (gr < h + 1) & (gc > 0) & (gc < w + 1)
-        x = jnp.where(interior, y, 0.0).astype(x.dtype)
-    acc = jnp.zeros((ht * w, co), jnp.float32)
+        if quant:
+            # W8A8: quantize the prologue output in-register (per-ci inverse
+            # scale; padding quantizes to exact int8 zero) so the 9
+            # contractions run int8 x int8 -> int32 on the 2x MXU path.
+            y = jnp.clip(jnp.round(y * s_ref[0]), -127.0, 127.0)
+            x = jnp.where(interior, y, 0.0).astype(jnp.int8)
+        else:
+            x = jnp.where(interior, y, 0.0).astype(x.dtype)
+    acc_t = jnp.int32 if quant else jnp.float32
+    acc = jnp.zeros((ht * w, co), acc_t)
     for dy in range(3):
         for dx in range(3):
             xs = x[dy : dy + ht, dx : dx + w, :].reshape(ht * w, ci)
             acc = acc + jnp.dot(
-                xs, k_ref[dy, dx], preferred_element_type=jnp.float32
+                xs, k_ref[dy, dx], preferred_element_type=acc_t
             )
+    if quant:
+        acc = acc.astype(jnp.float32) * ws_ref[...]  # (1, co) per-co scale
     acc = acc + cb_ref[...]
     out = acc.reshape(ht, w, co)
     if has_res:
@@ -188,7 +199,7 @@ def _slab_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h_tile", "co_tile", "interpret"),
+    static_argnames=("h_tile", "co_tile", "grid_order", "interpret"),
 )
 def conv3x3_gemm_slab(
     x: jax.Array,
@@ -198,8 +209,11 @@ def conv3x3_gemm_slab(
     prologue_scale=None,
     prologue_bias=None,
     residual=None,
+    act_inv_scale=None,
+    w_scale=None,
     h_tile: int,
     co_tile: int,
+    grid_order: str = "auto",
     interpret: bool = False,
 ) -> jax.Array:
     """Row-slab NHWC stride-1 same-pad 3x3 conv (+bias) (+residual), with an
@@ -208,6 +222,29 @@ def conv3x3_gemm_slab(
     x: (B, H, W, Ci); kernel HWIO; prologue_scale/bias: (B, Ci) f32 — the
     folded GroupNorm(+temb) affine (see ``gn_silu_conv3x3_slab``);
     residual: optional (B, H, W, Co) added to the conv output in-kernel.
+
+    int8 (W8A8) path: when ``kernel`` is int8, ``act_inv_scale`` (Ci,) and
+    ``w_scale`` (Co,) must be given (see :mod:`sdtpu.utils.quant`): the
+    prologue output quantizes in-register per channel, the 9 contractions
+    run int8 x int8 -> int32 on the MXU's 2x int8 path, and the int32
+    accumulator is rescaled per output channel before bias/residual.
+    Requires the prologue (the quantization rides its affine).
+
+    ``grid_order`` picks which operand's blocks stay resident across the
+    sweep (Mosaic skips the DMA when a block's index repeats between
+    consecutive grid steps):
+
+    * ``"input_outer"`` — grid (b, ns, co_tiles): each input slab is fetched
+      once, but the WHOLE weight tensor is re-fetched b*ns times.
+    * ``"weight_outer"`` — grid (co_tiles, ns, b): weights are fetched once,
+      each input slab co_tiles times.
+    * ``"auto"`` — minimize estimated DMA bytes:
+      W*(b*ns) + I  vs  W + I*co_tiles.  SD's low-resolution resblock convs
+      are weight-dominated (e.g. 16x16x2560->1280: 59 MB of weights vs
+      1.6 MB of slabs — the round-3 trace showed them weight-DMA-bound at
+      ~68% MXU), so weight_outer wins there; huge-map small-channel convs
+      (VAE decoder 512x512x128, ns=64) would re-fetch weights 128x under
+      input_outer.
     """
     b, h, w, ci = x.shape
     co = kernel.shape[-1]
@@ -223,12 +260,23 @@ def conv3x3_gemm_slab(
     )
 
     has_pro = prologue_scale is not None
+    quant = kernel.dtype == jnp.int8
+    if quant and not has_pro:
+        raise ValueError("int8 slab conv requires the affine prologue")
     if has_pro:
         a = prologue_scale.astype(jnp.float32).reshape(b, 1, ci)
         bb = prologue_bias.astype(jnp.float32).reshape(b, 1, ci)
     else:
         a = jnp.ones((b, 1, ci), jnp.float32)
         bb = jnp.zeros((b, 1, ci), jnp.float32)
+    if quant:
+        s = act_inv_scale.astype(jnp.float32).reshape(1, 1, ci)
+        ws = w_scale.astype(jnp.float32).reshape(1, co)
+        if co_pad != co:
+            ws = jnp.pad(ws, ((0, 0), (0, co_pad - co)))
+    else:
+        s = jnp.ones((1, 1, ci), jnp.float32)
+        ws = jnp.ones((1, co_pad), jnp.float32)
     cb = (
         conv_bias.astype(jnp.float32).reshape(1, co)
         if conv_bias is not None
@@ -242,42 +290,72 @@ def conv3x3_gemm_slab(
         if co_pad != co:
             res = jnp.pad(res, ((0, 0), (0, 0), (0, 0), (0, co_pad - co)))
         res_ht, res_w = h_tile, w
-        res_map = lambda bi, si, oi: (bi, si, 0, oi)  # noqa: E731
+        res_idx = lambda bi, si, oi: (bi, si, 0, oi)  # noqa: E731
     else:
         res = jnp.zeros((b, 1, 1, co_pad), x.dtype)
         res_ht, res_w = 1, 1
-        res_map = lambda bi, si, oi: (bi, 0, 0, oi)  # noqa: E731
+        res_idx = lambda bi, si, oi: (bi, 0, 0, oi)  # noqa: E731
+
+    n_co = co_pad // co_tile
+    if grid_order == "auto":
+        w_bytes = 9 * ci * co_pad * kernel.dtype.itemsize
+        slab_bytes = b * ns * (h_tile + 2) * (w + 2) * ci * x.dtype.itemsize
+        grid_order = (
+            "weight_outer"
+            if w_bytes * (b * ns - 1) > slab_bytes * (n_co - 1)
+            else "input_outer"
+        )
+    # index maps are written in (bi, si, oi) terms; ``reorder`` adapts them
+    # to the actual grid axis order (the slab/prologue index si stays grid
+    # dim 1 in both orders — _slab_kernel reads pl.program_id(1))
+    if grid_order == "weight_outer":
+        grid = (n_co, ns, b)
+        reorder = lambda f: (lambda oi, si, bi: f(bi, si, oi))  # noqa: E731
+    else:
+        grid = (b, ns, n_co)
+        reorder = lambda f: f  # noqa: E731
 
     out = pl.pallas_call(
         functools.partial(
             _slab_kernel, ht=h_tile, w=w, h=h, has_pro=has_pro,
-            has_res=has_res,
+            has_res=has_res, quant=quant,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, w, co_pad), x.dtype),
-        grid=(b, ns, co_pad // co_tile),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (1, 1, h_tile + 2, w + 2, ci),
-                lambda bi, si, oi: (bi, si, 0, 0, 0),
+                reorder(lambda bi, si, oi: (bi, si, 0, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 1, ci), lambda bi, si, oi: (bi, 0, 0),
+            pl.BlockSpec((1, 1, ci),
+                         reorder(lambda bi, si, oi: (bi, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ci), lambda bi, si, oi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (3, 3, ci, co_tile), lambda bi, si, oi: (0, 0, 0, oi),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, co_tile), lambda bi, si, oi: (0, oi),
+            pl.BlockSpec((1, 1, ci),
+                         reorder(lambda bi, si, oi: (bi, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, res_ht, res_w, co_tile), res_map,
+                (3, 3, ci, co_tile),
+                reorder(lambda bi, si, oi: (0, 0, 0, oi)),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((1, co_tile),
+                         reorder(lambda bi, si, oi: (0, oi)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, res_ht, res_w, co_tile), reorder(res_idx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, ci),
+                         reorder(lambda bi, si, oi: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile),
+                         reorder(lambda bi, si, oi: (0, oi)),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, h_tile, w, co_tile), lambda bi, si, oi: (bi, si, 0, oi),
+            (1, h_tile, w, co_tile),
+            reorder(lambda bi, si, oi: (bi, si, 0, oi)),
             memory_space=pltpu.VMEM,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -285,7 +363,7 @@ def conv3x3_gemm_slab(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(slabs, a, bb, kernel, cb, res)
+    )(slabs, a, bb, kernel, cb, res, s, ws)
 
     return out[..., :co]
 
@@ -300,12 +378,16 @@ def gn_silu_conv3x3_slab(
     eps: float = 1e-5,
     temb=None,
     residual=None,
+    act_inv_scale=None,
+    w_scale=None,
     h_tile: int,
     co_tile: int,
+    grid_order: str = "auto",
     interpret: bool = False,
 ) -> jax.Array:
     """(x [+ temb]) -> GroupNorm -> SiLU -> 3x3 conv (+bias) (+residual) for
-    maps past the whole-map kernel's spatial cap.
+    maps past the whole-map kernel's spatial cap.  When ``kernel`` is int8,
+    ``act_inv_scale``/``w_scale`` engage the W8A8 path (sdtpu/utils/quant.py).
 
     Group statistics run as one fused XLA reduction (fp32); the normalize +
     SiLU collapse to a per-(batch, channel) affine applied inside the slab
@@ -333,7 +415,9 @@ def gn_silu_conv3x3_slab(
     return conv3x3_gemm_slab(
         x, kernel, conv_bias,
         prologue_scale=a, prologue_bias=bb, residual=residual,
-        h_tile=h_tile, co_tile=co_tile, interpret=interpret,
+        act_inv_scale=act_inv_scale, w_scale=w_scale,
+        h_tile=h_tile, co_tile=co_tile, grid_order=grid_order,
+        interpret=interpret,
     )
 
 

@@ -204,17 +204,30 @@ def resnet_block(
     ``precompute_time_projections`` — skips the in-scan ``time_emb_proj``.
     """
     t = linear(temb, params["time_emb_proj"]) if t_pre is None else t_pre
+
+    def conv_kernel(p):
+        """HWIO kernel of a conv dict — int8 (W8A8, sdtpu/utils/quant.py)
+        or plain float."""
+        return p["kernel_q"] if "kernel_q" in p else p["kernel"]
+
+    def qkw(p):
+        if "kernel_q" not in p:
+            return {}
+        return {"act_inv_scale": 1.0 / p["act_scale"],
+                "w_scale": p["w_scale"]}
+
     slab = None
     if conv_impl == "gemm":
         from sdtpu.kernels.conv2d import gn_silu_conv3x3_slab, plan_slab
 
-        mid_shape = x.shape[:-1] + (params["conv1"]["kernel"].shape[-1],)
+        k1, k2 = conv_kernel(params["conv1"]), conv_kernel(params["conv2"])
+        mid_shape = x.shape[:-1] + (k1.shape[-1],)
         st1 = plan_slab(
-            x.shape, params["conv1"]["kernel"].shape, has_prologue=True,
+            x.shape, k1.shape, has_prologue=True,
             itemsize=x.dtype.itemsize,
         )
         st2 = plan_slab(
-            mid_shape, params["conv2"]["kernel"].shape,
+            mid_shape, k2.shape,
             has_prologue=True, has_residual=True,
             itemsize=x.dtype.itemsize,
         )
@@ -234,22 +247,32 @@ def resnet_block(
         # elementwise work around a custom call, so the unfused version
         # paid an extra full-map HBM pass for the residual (BENCHLOG.md).
         h = gn_silu_conv3x3_slab(
-            x, params["norm1"], params["conv1"]["kernel"],
+            x, params["norm1"], k1,
             params["conv1"]["bias"], num_groups=num_groups,
-            h_tile=slab[0][0], co_tile=slab[0][1],
+            h_tile=slab[0][0], co_tile=slab[0][1], **qkw(params["conv1"]),
         )
         return gn_silu_conv3x3_slab(
-            h, params["norm2"], params["conv2"]["kernel"],
+            h, params["norm2"], k2,
             params["conv2"]["bias"], num_groups=num_groups, temb=t,
             residual=_shortcut(x, params), h_tile=slab[1][0],
-            co_tile=slab[1][1],
+            co_tile=slab[1][1], **qkw(params["conv2"]),
         )
+
+    def any_kernel(p):
+        """Float view of a conv dict's kernel for the XLA path (off-TPU
+        fallback dequantizes on the fly — correctness, not perf)."""
+        if "kernel_q" in p:
+            from sdtpu.utils.quant import dequant_conv_kernel
+
+            return dequant_conv_kernel(p)
+        return p["kernel"]
+
     h = _gn_silu(x, params["norm1"], num_groups=num_groups)
-    h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"],
+    h = conv2d(h, any_kernel(params["conv1"]), params["conv1"]["bias"],
                padding=1, impl=conv_impl)
     h = h + t.astype(h.dtype)[:, None, None, :]
     h = _gn_silu(h, params["norm2"], num_groups=num_groups)
-    h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"],
+    h = conv2d(h, any_kernel(params["conv2"]), params["conv2"]["bias"],
                padding=1, impl=conv_impl)
     return _shortcut(x, params) + h
 

@@ -210,6 +210,26 @@ class TestSlabGnSiluConv:
         )
         assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
 
+    @pytest.mark.parametrize("order", ["input_outer", "weight_outer"])
+    def test_slab_grid_orders_match(self, rng, order):
+        """Both grid iteration orders (input-resident vs weight-resident —
+        a DMA-traffic choice, see conv3x3_gemm_slab docstring) must compute
+        the identical conv.  Uses multiple batches, slabs, AND co tiles so
+        every grid axis is exercised."""
+        from sdtpu.kernels.conv2d import conv3x3_gemm_slab
+        from sdtpu.ops import conv2d
+
+        b, h, w, ci, co = 2, 32, 16, 24, 256
+        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
+        k = jnp.array(rng.standard_normal((3, 3, ci, co), dtype=np.float32)) * 0.1
+        bias = jnp.array(rng.standard_normal(co, dtype=np.float32))
+        expected = conv2d(x, k, bias, padding=1)
+        got = conv3x3_gemm_slab(
+            x, k, bias, h_tile=16, co_tile=128, grid_order=order,
+            interpret=True,
+        )
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
     @pytest.mark.parametrize("has_t", [False, True])
     def test_slab_prologue_residual_matches_unfused(self, rng, has_t):
         """GN(+temb)->SiLU folded to the slab kernel's affine prologue +
@@ -240,6 +260,88 @@ class TestSlabGnSiluConv:
             h_tile=16, co_tile=64, interpret=True,
         )
         assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+    def test_w8a8_slab_matches_integer_emulation(self, rng):
+        """The int8 slab kernel must equal an exact host emulation of its
+        quantized math: quantize SiLU(GN(x+t)) per-ci, integer conv, per-co
+        rescale, f32 bias+residual (sdtpu/utils/quant.py design)."""
+        from sdtpu.kernels.conv2d import gn_silu_conv3x3_slab
+        from sdtpu.ops import conv2d
+        from sdtpu.utils.quant import act_scale_from_norm, quantize_conv_w8a8
+
+        b, h, w, ci, co, g = 1, 16, 16, 32, 40, 8
+        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
+        norm = {
+            "scale": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+            "bias": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+        }
+        k = jnp.array(
+            rng.standard_normal((3, 3, ci, co), dtype=np.float32)
+        ) * 0.1
+        cb = jnp.array(rng.standard_normal(co, dtype=np.float32))
+        t = jnp.array(rng.standard_normal((b, ci), dtype=np.float32))
+        res = jnp.array(rng.standard_normal((b, h, w, co), dtype=np.float32))
+
+        s_act = act_scale_from_norm(norm)
+        q, w_scale = quantize_conv_w8a8(np.asarray(k), s_act)
+
+        got = gn_silu_conv3x3_slab(
+            x, norm, jnp.asarray(q), cb, num_groups=g, temb=t, residual=res,
+            act_inv_scale=jnp.asarray(1.0 / s_act),
+            w_scale=jnp.asarray(w_scale),
+            h_tile=8, co_tile=128, interpret=True,
+        )
+
+        # host emulation with the kernel's exact formulas
+        xf = np.asarray(x) + np.asarray(t)[:, None, None, :]
+        xg = xf.reshape(b, h * w, g, ci // g)
+        mean = xg.mean(axis=(1, 3))
+        var = (xg**2).mean(axis=(1, 3)) - mean**2
+        inv = 1.0 / np.sqrt(var + 1e-5)
+        invc = np.repeat(inv, ci // g, axis=1)
+        muc = np.repeat(mean, ci // g, axis=1)
+        gam, bet = np.asarray(norm["scale"]), np.asarray(norm["bias"])
+        y = (xf - muc[:, None, None, :]) * (invc * gam)[:, None, None, :] \
+            + bet[None, None, None, :]
+        y = y / (1.0 + np.exp(-y))
+        qy = np.clip(np.round(y / s_act), -127, 127)
+        conv_int = conv2d(jnp.asarray(qy, jnp.float32), jnp.asarray(q, jnp.float32),
+                          padding=1)
+        expected = np.asarray(conv_int) * w_scale + np.asarray(cb) \
+            + np.asarray(res)
+        assert_allclose(got, expected, atol=1e-3, rtol=1e-4)
+
+    def test_w8a8_slab_close_to_float_path(self, rng):
+        """int8 quantization error vs the float slab path stays ~1% rel on
+        unit-scale data — the per-op error the pipeline PSNR gate budgets."""
+        from sdtpu.kernels.conv2d import gn_silu_conv3x3_slab
+        from sdtpu.utils.quant import act_scale_from_norm, quantize_conv_w8a8
+
+        b, h, w, ci, co, g = 1, 16, 16, 64, 64, 8
+        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
+        norm = {"scale": jnp.ones(ci, jnp.float32) * 0.8,
+                "bias": jnp.zeros(ci, jnp.float32)}
+        k = jnp.array(
+            rng.standard_normal((3, 3, ci, co), dtype=np.float32)
+        ) * 0.1
+        cb = jnp.zeros(co, jnp.float32)
+        want = gn_silu_conv3x3_slab(
+            x, norm, k, cb, num_groups=g, h_tile=8, co_tile=64,
+            interpret=True,
+        )
+        s_act = act_scale_from_norm(norm)
+        q, w_scale = quantize_conv_w8a8(np.asarray(k), s_act)
+        got = gn_silu_conv3x3_slab(
+            x, norm, jnp.asarray(q), cb, num_groups=g,
+            act_inv_scale=jnp.asarray(1.0 / s_act),
+            w_scale=jnp.asarray(w_scale),
+            h_tile=8, co_tile=64, interpret=True,
+        )
+        a, bx = np.asarray(got, np.float32), np.asarray(want, np.float32)
+        rel = np.linalg.norm(a - bx) / np.linalg.norm(bx)
+        # measured ~1.7-1.9% at 3.5-4.5 sigma headroom (the 8-bit budget);
+        # the shipping gate is pipeline-level PSNR vs bf16 (test_quant.py)
+        assert rel < 0.03, f"int8 conv rel err {rel:.4f}"
 
     def test_plan_slab_policy(self):
         from sdtpu.kernels.conv2d import plan_co_tile, plan_slab

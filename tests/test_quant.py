@@ -1,0 +1,112 @@
+"""int8 (W8A8) quantization tests (sdtpu/utils/quant.py; VERDICT round-2
+item 2).  CPU path: quantized convs dequantize on the fly inside
+resnet_block; the in-kernel int8 path is covered by
+test_kernels.py::TestSlabGnSiluConv's interpret-mode tests and the on-chip
+probe (BENCHLOG round 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import assert_allclose
+from test_pipeline import TINY, TOKENS
+
+from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+from sdtpu.utils.image import psnr
+from sdtpu.utils.quant import (
+    act_scale_from_norm,
+    dequant_conv_kernel,
+    quantize_conv_w8a8,
+    quantize_pipeline_int8,
+    quantize_unet_int8,
+)
+
+
+class TestQuantizeUtils:
+    def test_weight_roundtrip_error(self, rng):
+        k = rng.standard_normal((3, 3, 64, 64), dtype=np.float32) * 0.05
+        s_act = np.full((64,), 0.03, np.float32)
+        q, w_scale = quantize_conv_w8a8(k, s_act)
+        assert q.dtype == np.int8
+        back = np.asarray(dequant_conv_kernel({
+            "kernel_q": jnp.asarray(q), "w_scale": jnp.asarray(w_scale),
+            "act_scale": jnp.asarray(s_act),
+        }))
+        rel = np.linalg.norm(back - k) / np.linalg.norm(k)
+        assert rel < 0.01, f"int8 weight roundtrip rel err {rel:.4f}"
+
+    def test_act_scale_covers_silu_range(self):
+        """4.5-sigma analytic bound: quantized range must cover virtually
+        all of silu(gamma*N(0,1)+beta)."""
+        rng = np.random.default_rng(0)
+        gamma = np.array([0.5, 2.0, -1.5], np.float32)
+        beta = np.array([0.0, 1.0, -2.0], np.float32)
+        s = act_scale_from_norm({"scale": gamma, "bias": beta})
+        z = gamma * rng.standard_normal((100000, 3)).astype(np.float32) + beta
+        y = z / (1.0 + np.exp(-z))
+        frac_clipped = (np.abs(y) > s * 127).mean()
+        assert frac_clipped < 1e-4
+
+    def test_quantize_unet_skips_small_and_preserves_structure(self):
+        from sdtpu.models.unet import init_unet
+
+        params = init_unet(jax.random.key(0), TINY.unet)
+        q64 = quantize_unet_int8(params)  # min_ch=64 > TINY channels
+        assert "kernel" in q64["down_blocks"][0]["resnets"][0]["conv1"]
+        q8 = quantize_unet_int8(params, min_ch=8)
+        c1 = q8["down_blocks"][0]["resnets"][0]["conv1"]
+        assert "kernel_q" in c1 and "kernel" not in c1
+        assert c1["kernel_q"].dtype == jnp.int8
+        # bias and shortcut untouched
+        assert "bias" in c1
+        # idempotent
+        q8b = quantize_unet_int8(q8, min_ch=8)
+        assert q8b["down_blocks"][0]["resnets"][0]["conv1"] is not None
+
+
+class TestQuantizedForward:
+    def test_resnet_block_quantized_close_to_float(self, rng):
+        from sdtpu.models.unet import resnet_block
+        from sdtpu.models.unet import _init_resnet
+
+        params = _init_resnet(jax.random.key(0), 32, 32, 16, dtype=jnp.float32)
+        x = jnp.array(rng.standard_normal((1, 8, 8, 32), dtype=np.float32))
+        temb = jnp.array(rng.standard_normal((1, 16), dtype=np.float32))
+        want = resnet_block(x, temb, params, num_groups=8)
+        from sdtpu.utils.quant import _quantize_resnet
+
+        qp = _quantize_resnet(params, min_ch=8)
+        got = resnet_block(x, temb, qp, num_groups=8)
+        rel = float(
+            np.linalg.norm(np.asarray(got) - np.asarray(want))
+            / np.linalg.norm(np.asarray(want))
+        )
+        assert rel < 0.05, f"quantized resblock rel err {rel:.4f}"
+
+    def test_pipeline_psnr_gate(self, tiny_pipe):
+        """The shipping fidelity gate: int8-quantized pipeline vs the float
+        pipeline on a fixed seed.  (At the real-architecture bf16 baseline
+        the gate is >= 40 dB per BASELINE.md; the shrunken test config is
+        noisier per parameter, so the pin here is a regression floor.)"""
+        qpipe = StableDiffusionPipeline(
+            TINY, quantize_pipeline_int8(tiny_pipe.params, min_ch=8)
+        )
+        kw = dict(token_ids=TOKENS, num_inference_steps=3, seed=40,
+                  output="float")
+        want = tiny_pipe.generate("x", **kw)
+        got = qpipe.generate("x", **kw)
+        score = psnr(want, got)
+        assert score > 30.0, f"int8 pipeline PSNR {score:.1f} dB"
+
+    def test_quantize_int8_method_clears_cache(self, rng):
+        pipe = StableDiffusionPipeline.from_random(TINY, seed=0)
+        img = pipe.generate("x", token_ids=TOKENS, num_inference_steps=1,
+                            seed=1)
+        assert len(pipe._compiled) == 1
+        pipe.quantize_int8()
+        assert len(pipe._compiled) == 0
+        img2 = pipe.generate("x", token_ids=TOKENS, num_inference_steps=1,
+                             seed=1)
+        # min_ch=64: nothing quantizes at TINY dims -> identical program
+        np.testing.assert_array_equal(img, img2)
