@@ -153,7 +153,7 @@ def plan_slab(x_shape, kernel_shape, *, has_prologue=False, has_residual=False,
 
 
 def _slab_kernel(
-    x_ref, a_ref, b_ref, k_ref, cb_ref, r_ref, s_ref, ws_ref, o_ref,
+    x_ref, a_ref, b_ref, k_ref, cb_ref, r_ref, s_ref, z_ref, ws_ref, o_ref,
     *, ht, w, h, has_pro, has_res, quant,
 ):
     x = x_ref[0, 0]  # (ht+2, w+2, ci) — slab with 1-row halo, pre-padded cols
@@ -173,11 +173,15 @@ def _slab_kernel(
         gc = jax.lax.broadcasted_iota(jnp.int32, (ht + 2, w + 2, 1), 1)
         interior = (gr > 0) & (gr < h + 1) & (gc > 0) & (gc < w + 1)
         if quant:
-            # W8A8: quantize the prologue output in-register (per-ci inverse
-            # scale; padding quantizes to exact int8 zero) so the 9
-            # contractions run int8 x int8 -> int32 on the 2x MXU path.
-            y = jnp.clip(jnp.round(y * s_ref[0]), -127.0, 127.0)
-            x = jnp.where(interior, y, 0.0).astype(jnp.int8)
+            # W8A8 with per-ci ASYMMETRIC affine quantization: the prologue
+            # output quantizes in-register (q = round(y/s) + z; padding maps
+            # to the zero-POINT z, i.e. real value 0) so the 9 contractions
+            # run int8 x int8 -> int32 on the 2x MXU path.  The zero-point's
+            # contraction term is a per-co constant pre-folded into the conv
+            # bias (sdtpu/utils/quant.py:quantize_conv_w8a8).
+            y = jnp.round(y * s_ref[0]) + z_ref[0]
+            y = jnp.clip(y, -128.0, 127.0)
+            x = jnp.where(interior, y, z_ref[0]).astype(jnp.int8)
         else:
             x = jnp.where(interior, y, 0.0).astype(x.dtype)
     acc_t = jnp.int32 if quant else jnp.float32
@@ -210,6 +214,7 @@ def conv3x3_gemm_slab(
     prologue_bias=None,
     residual=None,
     act_inv_scale=None,
+    act_zp=None,
     w_scale=None,
     h_tile: int,
     co_tile: int,
@@ -271,11 +276,17 @@ def conv3x3_gemm_slab(
         bb = jnp.zeros((b, 1, ci), jnp.float32)
     if quant:
         s = act_inv_scale.astype(jnp.float32).reshape(1, 1, ci)
+        z = (
+            act_zp.astype(jnp.float32).reshape(1, 1, ci)
+            if act_zp is not None
+            else jnp.zeros((1, 1, ci), jnp.float32)
+        )
         ws = w_scale.astype(jnp.float32).reshape(1, co)
         if co_pad != co:
             ws = jnp.pad(ws, ((0, 0), (0, co_pad - co)))
     else:
         s = jnp.ones((1, 1, ci), jnp.float32)
+        z = jnp.zeros((1, 1, ci), jnp.float32)
         ws = jnp.ones((1, co_pad), jnp.float32)
     cb = (
         conv_bias.astype(jnp.float32).reshape(1, co)
@@ -349,6 +360,9 @@ def conv3x3_gemm_slab(
             pl.BlockSpec((1, 1, ci),
                          reorder(lambda bi, si, oi: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ci),
+                         reorder(lambda bi, si, oi: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co_tile),
                          reorder(lambda bi, si, oi: (0, oi)),
                          memory_space=pltpu.VMEM),
@@ -363,7 +377,7 @@ def conv3x3_gemm_slab(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(slabs, a, bb, kernel, cb, res, s, ws)
+    )(slabs, a, bb, kernel, cb, res, s, z, ws)
 
     return out[..., :co]
 
@@ -379,6 +393,7 @@ def gn_silu_conv3x3_slab(
     temb=None,
     residual=None,
     act_inv_scale=None,
+    act_zp=None,
     w_scale=None,
     h_tile: int,
     co_tile: int,
@@ -415,7 +430,7 @@ def gn_silu_conv3x3_slab(
     return conv3x3_gemm_slab(
         x, kernel, conv_bias,
         prologue_scale=a, prologue_bias=bb, residual=residual,
-        act_inv_scale=act_inv_scale, w_scale=w_scale,
+        act_inv_scale=act_inv_scale, act_zp=act_zp, w_scale=w_scale,
         h_tile=h_tile, co_tile=co_tile, grid_order=grid_order,
         interpret=interpret,
     )

@@ -214,7 +214,15 @@ def resnet_block(
         if "kernel_q" not in p:
             return {}
         return {"act_inv_scale": 1.0 / p["act_scale"],
+                "act_zp": p.get("act_zp"),
                 "w_scale": p["w_scale"]}
+
+    def qbias(p):
+        """Conv bias with the asymmetric zero-point contraction pre-folded
+        (sdtpu/utils/quant.py:quantize_conv_w8a8)."""
+        if "zp_corr" in p:
+            return p["bias"] - p["zp_corr"]
+        return p["bias"]
 
     slab = None
     if conv_impl == "gemm":
@@ -248,12 +256,12 @@ def resnet_block(
         # paid an extra full-map HBM pass for the residual (BENCHLOG.md).
         h = gn_silu_conv3x3_slab(
             x, params["norm1"], k1,
-            params["conv1"]["bias"], num_groups=num_groups,
+            qbias(params["conv1"]), num_groups=num_groups,
             h_tile=slab[0][0], co_tile=slab[0][1], **qkw(params["conv1"]),
         )
         return gn_silu_conv3x3_slab(
             h, params["norm2"], k2,
-            params["conv2"]["bias"], num_groups=num_groups, temb=t,
+            qbias(params["conv2"]), num_groups=num_groups, temb=t,
             residual=_shortcut(x, params), h_tile=slab[1][0],
             co_tile=slab[1][1], **qkw(params["conv2"]),
         )

@@ -267,7 +267,7 @@ class TestSlabGnSiluConv:
         rescale, f32 bias+residual (sdtpu/utils/quant.py design)."""
         from sdtpu.kernels.conv2d import gn_silu_conv3x3_slab
         from sdtpu.ops import conv2d
-        from sdtpu.utils.quant import act_scale_from_norm, quantize_conv_w8a8
+        from sdtpu.utils.quant import act_qparams_from_norm, quantize_conv_w8a8
 
         b, h, w, ci, co, g = 1, 16, 16, 32, 40, 8
         x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
@@ -282,12 +282,14 @@ class TestSlabGnSiluConv:
         t = jnp.array(rng.standard_normal((b, ci), dtype=np.float32))
         res = jnp.array(rng.standard_normal((b, h, w, co), dtype=np.float32))
 
-        s_act = act_scale_from_norm(norm)
-        q, w_scale = quantize_conv_w8a8(np.asarray(k), s_act)
+        s_act, z_act = act_qparams_from_norm(norm)
+        q, w_scale, zp_corr = quantize_conv_w8a8(np.asarray(k), s_act, z_act)
 
         got = gn_silu_conv3x3_slab(
-            x, norm, jnp.asarray(q), cb, num_groups=g, temb=t, residual=res,
+            x, norm, jnp.asarray(q), cb - jnp.asarray(zp_corr),
+            num_groups=g, temb=t, residual=res,
             act_inv_scale=jnp.asarray(1.0 / s_act),
+            act_zp=jnp.asarray(z_act),
             w_scale=jnp.asarray(w_scale),
             h_tile=8, co_tile=128, interpret=True,
         )
@@ -304,10 +306,17 @@ class TestSlabGnSiluConv:
         y = (xf - muc[:, None, None, :]) * (invc * gam)[:, None, None, :] \
             + bet[None, None, None, :]
         y = y / (1.0 + np.exp(-y))
-        qy = np.clip(np.round(y / s_act), -127, 127)
-        conv_int = conv2d(jnp.asarray(qy, jnp.float32), jnp.asarray(q, jnp.float32),
-                          padding=1)
-        expected = np.asarray(conv_int) * w_scale + np.asarray(cb) \
+        qy = np.clip(np.round(y / s_act) + z_act, -128, 127)
+        # the conv's zero padding holds the zero-POINT, not integer 0
+        qy_pad = np.pad(
+            qy, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=0.0
+        ) + np.where(
+            np.pad(np.ones_like(qy), ((0, 0), (1, 1), (1, 1), (0, 0)))
+            == 0, z_act, 0.0
+        )
+        conv_int = conv2d(jnp.asarray(qy_pad, jnp.float32),
+                          jnp.asarray(q, jnp.float32), padding=0)
+        expected = np.asarray(conv_int) * w_scale - zp_corr + np.asarray(cb) \
             + np.asarray(res)
         assert_allclose(got, expected, atol=1e-3, rtol=1e-4)
 
@@ -315,7 +324,7 @@ class TestSlabGnSiluConv:
         """int8 quantization error vs the float slab path stays ~1% rel on
         unit-scale data — the per-op error the pipeline PSNR gate budgets."""
         from sdtpu.kernels.conv2d import gn_silu_conv3x3_slab
-        from sdtpu.utils.quant import act_scale_from_norm, quantize_conv_w8a8
+        from sdtpu.utils.quant import quantize_conv_w8a8
 
         b, h, w, ci, co, g = 1, 16, 16, 64, 64, 8
         x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
@@ -329,11 +338,14 @@ class TestSlabGnSiluConv:
             x, norm, k, cb, num_groups=g, h_tile=8, co_tile=64,
             interpret=True,
         )
-        s_act = act_scale_from_norm(norm)
-        q, w_scale = quantize_conv_w8a8(np.asarray(k), s_act)
+        from sdtpu.utils.quant import act_qparams_from_norm
+
+        s_act, z_act = act_qparams_from_norm(norm)
+        q, w_scale, zp_corr = quantize_conv_w8a8(np.asarray(k), s_act, z_act)
         got = gn_silu_conv3x3_slab(
-            x, norm, jnp.asarray(q), cb, num_groups=g,
+            x, norm, jnp.asarray(q), cb - jnp.asarray(zp_corr), num_groups=g,
             act_inv_scale=jnp.asarray(1.0 / s_act),
+            act_zp=jnp.asarray(z_act),
             w_scale=jnp.asarray(w_scale),
             h_tile=8, co_tile=64, interpret=True,
         )

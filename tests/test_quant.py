@@ -15,7 +15,7 @@ from test_pipeline import TINY, TOKENS
 from sdtpu.pipeline.pipeline import StableDiffusionPipeline
 from sdtpu.utils.image import psnr
 from sdtpu.utils.quant import (
-    act_scale_from_norm,
+    act_qparams_from_norm,
     dequant_conv_kernel,
     quantize_conv_w8a8,
     quantize_pipeline_int8,
@@ -27,7 +27,8 @@ class TestQuantizeUtils:
     def test_weight_roundtrip_error(self, rng):
         k = rng.standard_normal((3, 3, 64, 64), dtype=np.float32) * 0.05
         s_act = np.full((64,), 0.03, np.float32)
-        q, w_scale = quantize_conv_w8a8(k, s_act)
+        q, w_scale, zp_corr = quantize_conv_w8a8(k, s_act)
+        assert zp_corr.shape == (64,) and not zp_corr.any()  # zp=0 here
         assert q.dtype == np.int8
         back = np.asarray(dequant_conv_kernel({
             "kernel_q": jnp.asarray(q), "w_scale": jnp.asarray(w_scale),
@@ -36,17 +37,25 @@ class TestQuantizeUtils:
         rel = np.linalg.norm(back - k) / np.linalg.norm(k)
         assert rel < 0.01, f"int8 weight roundtrip rel err {rel:.4f}"
 
-    def test_act_scale_covers_silu_range(self):
-        """4.5-sigma analytic bound: quantized range must cover virtually
-        all of silu(gamma*N(0,1)+beta)."""
+    def test_act_qparams_cover_silu_range(self):
+        """4.5-sigma analytic asymmetric range must cover virtually all of
+        silu(gamma*N(0,1)+beta), and quantize it with fine resolution (the
+        symmetric form wasted ~1 bit on silu's tiny negative lobe —
+        measured 29 dB pipeline PSNR, BENCHLOG round 3)."""
         rng = np.random.default_rng(0)
         gamma = np.array([0.5, 2.0, -1.5], np.float32)
         beta = np.array([0.0, 1.0, -2.0], np.float32)
-        s = act_scale_from_norm({"scale": gamma, "bias": beta})
+        s, zp = act_qparams_from_norm({"scale": gamma, "bias": beta})
         z = gamma * rng.standard_normal((100000, 3)).astype(np.float32) + beta
         y = z / (1.0 + np.exp(-z))
-        frac_clipped = (np.abs(y) > s * 127).mean()
+        q = np.round(y / s) + zp
+        frac_clipped = ((q > 127) | (q < -128)).mean()
         assert frac_clipped < 1e-4
+        # round-trip error bounded by half a step for unclipped samples
+        # (the <1e-4 clipped tail saturates by design)
+        inside = (q <= 127) & (q >= -128)
+        back = s * (q - zp)
+        assert np.abs((back - y)[inside]).max() <= 0.51 * s.max()
 
     def test_quantize_unet_skips_small_and_preserves_structure(self):
         from sdtpu.models.unet import init_unet

@@ -40,7 +40,7 @@ def main() -> None:
     from sdtpu.pipeline.pipeline import StableDiffusionPipeline
     from sdtpu.utils.image import psnr
     from sdtpu.utils.quant import (
-        act_scale_from_norm,
+        act_qparams_from_norm,
         quantize_conv_w8a8,
         quantize_pipeline_int8,
     )
@@ -65,11 +65,12 @@ def main() -> None:
         x, norm, k.astype(jnp.bfloat16), cb, num_groups=g,
         h_tile=ht, co_tile=co_tile,
     ), np.float32)
-    s_act = act_scale_from_norm(norm)
-    q, w_scale = quantize_conv_w8a8(np.asarray(k), s_act)
+    s_act, z_act = act_qparams_from_norm(norm)
+    q, w_scale, zp_corr = quantize_conv_w8a8(np.asarray(k), s_act, z_act)
     got = np.asarray(gn_silu_conv3x3_slab(
-        x, norm, jnp.asarray(q), cb, num_groups=g,
-        act_inv_scale=jnp.asarray(1.0 / s_act), w_scale=jnp.asarray(w_scale),
+        x, norm, jnp.asarray(q), cb - jnp.asarray(zp_corr), num_groups=g,
+        act_inv_scale=jnp.asarray(1.0 / s_act), act_zp=jnp.asarray(z_act),
+        w_scale=jnp.asarray(w_scale),
         h_tile=ht, co_tile=co_tile,
     ), np.float32)
     rel = float(np.linalg.norm(got - want) / np.linalg.norm(want))
@@ -83,12 +84,22 @@ def main() -> None:
         lambda kk: init_pipeline_params(kk, config), jax.random.key(0)
     )
     host = np.random.default_rng(1234)
-    params = jax.tree.map(
-        lambda s: jnp.asarray(
-            (host.standard_normal(s.shape) * 0.04).astype(np.float32)
-        ).astype(s.dtype),
-        shapes,
-    )
+
+    def make(path, s):
+        # norm affines at their REAL init (gamma=1, beta=0): a blanket
+        # randn*0.04 init gives gamma~0.04, which shrinks every conv branch
+        # vs its residual and inflates the PSNR by ~30 dB (first run of
+        # this tool) — real checkpoints have gamma ~ 1.
+        key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if s.ndim == 1 and key == "scale":
+            arr = np.ones(s.shape, np.float32)
+        elif s.ndim == 1 and key == "bias":
+            arr = np.zeros(s.shape, np.float32)
+        else:
+            arr = (host.standard_normal(s.shape) * 0.04).astype(np.float32)
+        return jnp.asarray(arr).astype(s.dtype)
+
+    params = jax.tree_util.tree_map_with_path(make, shapes)
     print(f"params in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     pipe = StableDiffusionPipeline(config, params)
     qpipe = StableDiffusionPipeline(config, quantize_pipeline_int8(params))
