@@ -108,6 +108,30 @@ def _flash_attention_fused_projections(
     d_pad = ((head_dim + 127) // 128) * 128
 
     def head_proj(t, p):
+        if "kernel_q" in p:
+            # W8A8 (sdtpu/utils/quant.py): int8 weights reshape/pad to the
+            # packed head layout (int8 zeros stay exact); the einsum runs
+            # int8 x int8 -> int32 on the MXU's 2x path, then the per-out
+            # scale / zero-point correction land per (head, lane) — padded
+            # lanes get 0 * scale - 0 = exactly 0, as the packed flash
+            # kernel requires.
+            from sdtpu.utils.quant import quantize_act
+
+            w = p["kernel_q"].reshape(t.shape[-1], num_heads, head_dim)
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, d_pad - head_dim)))
+            qt = quantize_act(t, p)
+            acc = jnp.einsum(
+                "blc,chd->bhld", qt, w, preferred_element_type=jnp.int32
+            )
+            def headpad(v, fill=0.0):
+                v = v.astype(jnp.float32).reshape(num_heads, head_dim)
+                return jnp.pad(v, ((0, 0), (0, d_pad - head_dim)),
+                               constant_values=fill)
+            out = acc.astype(jnp.float32) * headpad(p["w_scale"], 1.0)[None, :, None, :]
+            out = out - headpad(p["zp_corr"])[None, :, None, :]
+            if "bias" in p:
+                out = out + headpad(p["bias"])[None, :, None, :]
+            return out.astype(t.dtype)
         w = p["kernel"].reshape(t.shape[-1], num_heads, head_dim)
         w = jnp.pad(w, ((0, 0), (0, 0), (0, d_pad - head_dim)))
         out = jnp.einsum("blc,chd->bhld", t, w)

@@ -14,11 +14,35 @@ import jax.numpy as jnp
 
 
 def linear(x: jax.Array, params: dict) -> jax.Array:
+    if "kernel_q" in params:
+        return linear_q8(x, params)
     out = jnp.dot(x, params["kernel"].astype(x.dtype))
     bias = params.get("bias")
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def linear_q8(x: jax.Array, params: dict) -> jax.Array:
+    """W8A8 linear: quantize ``x`` with the dict's per-feature affine code
+    (the input must be the post-LN activation the scales were derived for —
+    sdtpu/utils/quant.py), contract int8 x int8 -> int32 on the MXU's 2x
+    path, rescale per output feature, and apply bias minus the exact
+    zero-point correction."""
+    from sdtpu.utils.quant import quantize_act
+
+    q = quantize_act(x, params)
+    acc = jax.lax.dot_general(
+        q, params["kernel_q"],
+        (((q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * params["w_scale"].astype(jnp.float32)
+    out = out - params["zp_corr"].astype(jnp.float32)
+    bias = params.get("bias")
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def init_linear(

@@ -93,6 +93,59 @@ class TestQuantizedForward:
         )
         assert rel < 0.05, f"quantized resblock rel err {rel:.4f}"
 
+    def test_transformer_block_quantized_close_to_float(self, rng):
+        """Post-LN matmuls (attn1 qkv, attn2 q, GeGLU up) quantized W8A8:
+        the block must track the float block within the 8-bit budget, and
+        the float-only parts (attn2 k/v, out projections) must remain
+        unquantized."""
+        from sdtpu.ops.attention import init_transformer_block, transformer_block
+        from sdtpu.utils.quant import _quantize_transformer_block
+
+        blk = init_transformer_block(jax.random.key(0), 32, context_dim=24)
+        x = jnp.array(rng.standard_normal((2, 64, 32), dtype=np.float32))
+        ctx = jnp.array(rng.standard_normal((2, 7, 24), dtype=np.float32))
+        want = transformer_block(x, blk, num_heads=2, context=ctx)
+        qblk = _quantize_transformer_block(blk, min_ch=8)
+        assert "kernel_q" in qblk["attn1"]["q"]
+        assert "kernel_q" in qblk["ff"]["proj"]
+        assert "kernel" in qblk["attn2"]["k"]  # raw-context input: float
+        assert "kernel" in qblk["attn1"]["out"]  # un-normed input: float
+        got = transformer_block(x, qblk, num_heads=2, context=ctx)
+        rel = float(
+            np.linalg.norm(np.asarray(got) - np.asarray(want))
+            / np.linalg.norm(np.asarray(want))
+        )
+        assert rel < 0.05, f"quantized transformer rel err {rel:.4f}"
+
+    def test_flash_packed_projection_quantized(self, rng):
+        """The flash path's fused head projections consume int8 weights:
+        padded lanes must stay exactly zero and numbers must track the
+        float projection within the 8-bit budget."""
+        import functools
+        import sdtpu.kernels.flash_attention as fa
+        from sdtpu.ops.attention import attention, init_attention
+        from sdtpu.utils.quant import _quantize_linear, act_qparams_from_ln
+
+        params = init_attention(jax.random.key(0), 32, qkv_bias=False)
+        ln = {"scale": jnp.ones(32), "bias": jnp.zeros(32)}
+        s, z = act_qparams_from_ln(ln)
+        qparams = dict(params)
+        for k in ("q", "k", "v"):
+            qparams[k] = _quantize_linear(params[k], s, z)
+        x = jnp.array(rng.standard_normal((1, 128, 32), dtype=np.float32))
+        want = attention(x, params, num_heads=2, implementation="xla")
+        orig = fa.flash_attention_packed
+        try:
+            fa.flash_attention_packed = functools.partial(orig, interpret=True)
+            got = attention(x, qparams, num_heads=2, implementation="flash")
+        finally:
+            fa.flash_attention_packed = orig
+        rel = float(
+            np.linalg.norm(np.asarray(got) - np.asarray(want))
+            / np.linalg.norm(np.asarray(want))
+        )
+        assert rel < 0.05, f"quantized flash projections rel err {rel:.4f}"
+
     def test_pipeline_psnr_gate(self, tiny_pipe):
         """The shipping fidelity gate: int8-quantized pipeline vs the float
         pipeline on a fixed seed.  (At the real-architecture bf16 baseline

@@ -228,6 +228,41 @@ def step_e2e_psnr(args):
         return record("e2e-psnr", "FAIL", f"{type(exc).__name__}: {exc}")
 
 
+def step_int8_fidelity(args):
+    """int8 (W8A8) conv quantization vs the bf16 pipeline ON REAL WEIGHTS —
+    the absolute >= 40 dB gate that the offline environment cannot run
+    honestly (random weights are chaotic: the bf16-vs-f32 control itself
+    scores ~30 dB there; see tools/check_int8.py and BENCHLOG round 3)."""
+    if not args.resolved_model_dir:
+        return record("int8-fidelity", "SKIP", "no checkpoint")
+    try:
+        import numpy as np
+
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+        from sdtpu.utils.image import psnr
+        from sdtpu.utils.quant import quantize_pipeline_int8
+
+        pipe = StableDiffusionPipeline.from_pretrained(
+            args.resolved_model_dir, preset=args.preset
+        )
+        kw = dict(num_inference_steps=args.steps, seed=args.seed,
+                  sampler="ddim", output="float")
+        want = pipe.generate("a cat flying a spaceship", **kw)
+        qpipe = StableDiffusionPipeline(
+            pipe.config, quantize_pipeline_int8(pipe.params),
+            tokenizer=pipe.tokenizer,
+        )
+        got = qpipe.generate("a cat flying a spaceship", **kw)
+        score = psnr(np.asarray(want, np.float32), np.asarray(got, np.float32))
+        ok = score >= 40.0
+        return record("int8-fidelity", "PASS" if ok else "FAIL",
+                      f"int8 vs bf16 PSNR {score:.1f} dB on real weights "
+                      f"(gate >= 40)")
+    except Exception as exc:
+        return record("int8-fidelity", "FAIL",
+                      f"{type(exc).__name__}: {exc}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", default=None,
@@ -243,7 +278,7 @@ def main() -> None:
 
     for step in (step_tokenizer_assets, step_real_vocab_tests,
                  step_checkpoint, step_component_parity, step_clip_parity,
-                 step_e2e_psnr):
+                 step_e2e_psnr, step_int8_fidelity):
         try:
             step(args)
         except Exception as exc:  # a crashed step is a FAIL, not an abort

@@ -63,13 +63,20 @@ def main():
         flops = 2 * m * k * n
         print(f"== ({m},{k})@({k},{n}) ==", flush=True)
         for name, in_dtype, acc_t, out_dtype in [
-            ("overhead ", jnp.bfloat16, None, jnp.bfloat16),
-            ("bf16->f32", jnp.bfloat16, jnp.float32, jnp.bfloat16),
-            ("int8->i32", jnp.int8, jnp.int32, jnp.int32),
+            ("overhead    ", jnp.bfloat16, None, jnp.bfloat16),
+            ("bf16->f32   ", jnp.bfloat16, jnp.float32, jnp.bfloat16),
+            ("int8->i32   ", jnp.int8, jnp.int32, jnp.int32),
+            ("xla-int8    ", jnp.int8, jnp.int32, "xla"),
+            ("xla-bf16    ", jnp.bfloat16, jnp.float32, "xla"),
         ]:
             try:
                 if acc_t is None:  # chain-overhead baseline: no matmul
                     f = lambda x, w: x[:1, :1]
+                elif out_dtype == "xla":  # plain XLA dot (no Pallas)
+                    f = jax.jit(lambda x, w: jax.lax.dot_general(
+                        x, w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=acc_t,
+                    ))
                 else:
                     f = make(m, k, n, in_dtype, acc_t, out_dtype)
                 x = jnp.ones((m, k), in_dtype)
