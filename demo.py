@@ -34,6 +34,9 @@ def main() -> None:
                     help="inpainting mask path (white = repaint); "
                          "requires --init-image")
     ap.add_argument("--strength", type=float, default=0.9)
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8-quantize the UNet (2x int8 MXU path; "
+                         "fidelity notes in sdtpu/utils/quant.py)")
     ap.add_argument("--out", default="out.png")
     args = ap.parse_args()
 
@@ -50,6 +53,8 @@ def main() -> None:
     else:
         print("no --model-dir: running random weights (reference behavior)")
         pipe = StableDiffusionPipeline.from_random(args.preset)
+    if args.int8:
+        pipe.quantize_int8()
 
     token_ids = None
     if pipe.tokenizer is None:
