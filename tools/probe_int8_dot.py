@@ -62,21 +62,20 @@ def main():
     for m, k, n in SHAPES:
         flops = 2 * m * k * n
         print(f"== ({m},{k})@({k},{n}) ==", flush=True)
+        # NOTE: plain-XLA dot variants were tried and are INVALID in this
+        # harness: dot is linear, so XLA algebraically splits
+        # dot(x + carry, w) and hoists dot(x, w) out of the scan (one run
+        # read 390% of peak).  Pallas calls are opaque to the simplifier;
+        # XLA int8-dot viability was instead established e2e (the
+        # transformer W8A8 path wins through plain jnp dots — BENCHLOG).
         for name, in_dtype, acc_t, out_dtype in [
-            ("overhead    ", jnp.bfloat16, None, jnp.bfloat16),
-            ("bf16->f32   ", jnp.bfloat16, jnp.float32, jnp.bfloat16),
-            ("int8->i32   ", jnp.int8, jnp.int32, jnp.int32),
-            ("xla-int8    ", jnp.int8, jnp.int32, "xla"),
-            ("xla-bf16    ", jnp.bfloat16, jnp.float32, "xla"),
+            ("overhead ", jnp.bfloat16, None, jnp.bfloat16),
+            ("bf16->f32", jnp.bfloat16, jnp.float32, jnp.bfloat16),
+            ("int8->i32", jnp.int8, jnp.int32, jnp.int32),
         ]:
             try:
                 if acc_t is None:  # chain-overhead baseline: no matmul
                     f = lambda x, w: x[:1, :1]
-                elif out_dtype == "xla":  # plain XLA dot (no Pallas)
-                    f = jax.jit(lambda x, w: jax.lax.dot_general(
-                        x, w, (((1,), (0,)), ((), ())),
-                        preferred_element_type=acc_t,
-                    ))
                 else:
                     f = make(m, k, n, in_dtype, acc_t, out_dtype)
                 x = jnp.ones((m, k), in_dtype)
