@@ -91,10 +91,16 @@ def main() -> None:
     )
     import jax.numpy as jnp
 
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    pipe = StableDiffusionPipeline(config, params)
     if args.int8:
+        # quantize on HOST zeros: quantization pulls every weight to the
+        # host, and fetching device arrays back through the relay cost
+        # ~10 min of setup when the zeros lived on device first
+        params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+        pipe = StableDiffusionPipeline(config, params)
         pipe.quantize_int8()
+    else:
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        pipe = StableDiffusionPipeline(config, params)
     print(f"params materialized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(40)
