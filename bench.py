@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true",
                     help="W8A8-quantize the UNet resblock convs "
                          "(sdtpu/utils/quant.py; 2x int8 MXU path)")
+    ap.add_argument("--int8-transformer", action="store_true",
+                    help="with --int8: also quantize the post-LN "
+                         "transformer matmuls (shape-dependent XLA "
+                         "lowering — measure per preset, see quant.py)")
     ap.add_argument("--no-overlap", action="store_true",
                     help="disable the pipelined dispatch-before-fetch "
                          "measurement (old strictly-sequential timing)")
@@ -97,7 +101,7 @@ def main() -> None:
         # ~10 min of setup when the zeros lived on device first
         params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
         pipe = StableDiffusionPipeline(config, params)
-        pipe.quantize_int8()
+        pipe.quantize_int8(transformer=args.int8_transformer)
     else:
         params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
         pipe = StableDiffusionPipeline(config, params)

@@ -120,18 +120,21 @@ class StableDiffusionPipeline:
         params = init_pipeline_params(jax.random.key(seed), config)
         return cls(config, params, tokenizer)
 
-    def quantize_int8(self) -> "StableDiffusionPipeline":
+    def quantize_int8(self, **kw) -> "StableDiffusionPipeline":
         """Quantize the UNet resblock convs to int8 (W8A8) in place.
 
         On TPU the slab conv kernel then runs its contractions on the MXU's
         2x int8 path (v5e: 394 int8 TOPS vs 197 bf16); off-TPU the convs
         dequantize on the fly (correctness fallback).  VAE and CLIP stay
-        float.  Fidelity gate: pipeline PSNR vs the bf16 pipeline >= 40 dB
-        (tests/test_quant.py; sdtpu/utils/quant.py for the scheme).
+        float.  ``transformer=True`` extends to the post-LN transformer
+        matmuls (shape-dependent XLA lowering; pathological on SD2.1 —
+        measure per preset).  Fidelity: per-op + chaos-relative gates on
+        random weights (tools/check_int8.py), absolute >= 40 dB PSNR on
+        real weights (tools/acceptance.py).  See sdtpu/utils/quant.py.
         Clears the compiled-program cache.  Returns self."""
         from sdtpu.utils.quant import quantize_pipeline_int8
 
-        self.params = quantize_pipeline_int8(self.params)
+        self.params = quantize_pipeline_int8(self.params, **kw)
         self._compiled = {}
         return self
 

@@ -261,13 +261,19 @@ def quantize_unet_int8(
     *,
     min_ch: int = 64,
     sigmas: float = 4.5,
-    transformer: bool = True,
+    transformer: bool = False,
     skip_down: tuple = (),
     skip_up: tuple = (),
 ) -> dict:
     """Quantize eligible UNet resblock convs (W8A8).  Attention/GeGLU
     projections, shortcuts, up/downsamples, and the in/out convs stay
     bf16 — the resblock 3x3s are where the conv FLOPs are.
+
+    ``transformer=True`` additionally quantizes the post-LN transformer
+    matmuls (attn1 qkv, attn2 q, GeGLU up).  OFF by default: on tiny-sd it
+    buys only ~4 ms/image (0.252 -> 0.248 s), and at SD2.1's shapes the
+    XLA int8 dot lowering is PATHOLOGICAL (38 s/step, a 6.5x e2e
+    regression — BENCHLOG round 3); enable per deployment after measuring.
 
     ``skip_down`` / ``skip_up``: block indices (python indexing, negatives
     ok) left in float — the selective-precision knob for real-weight

@@ -152,7 +152,9 @@ class TestQuantizedForward:
         the gate is >= 40 dB per BASELINE.md; the shrunken test config is
         noisier per parameter, so the pin here is a regression floor.)"""
         qpipe = StableDiffusionPipeline(
-            TINY, quantize_pipeline_int8(tiny_pipe.params, min_ch=8)
+            TINY,
+            quantize_pipeline_int8(tiny_pipe.params, min_ch=8,
+                                   transformer=True),
         )
         kw = dict(token_ids=TOKENS, num_inference_steps=3, seed=40,
                   output="float")
