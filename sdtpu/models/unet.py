@@ -205,13 +205,29 @@ def resnet_block(
     """
     t = linear(temb, params["time_emb_proj"]) if t_pre is None else t_pre
 
+    # int8 engages only at map sizes where the Mosaic int8 slab kernel is
+    # VALIDATED fast: <= 96x96 tokens.  At SDXL-1024's 128x128 level-0 maps
+    # the int8 kernel collapsed to ~83 s/image (vs 2.96 bf16) — int8 window
+    # shifts at that slab geometry are pathological (BENCHLOG round 3);
+    # 96x96 (SD2.1-768) measured healthy (1.124 s e2e).  Oversized maps
+    # dequantize to the float path (XLA hoists the loop-invariant dequant).
+    int8_token_cap = 96 * 96
+    use_q = x.shape[1] * x.shape[2] <= int8_token_cap
+
     def conv_kernel(p):
         """HWIO kernel of a conv dict — int8 (W8A8, sdtpu/utils/quant.py)
         or plain float."""
-        return p["kernel_q"] if "kernel_q" in p else p["kernel"]
+        return p["kernel_q"] if use_q and "kernel_q" in p else _float_kernel(p)
+
+    def _float_kernel(p):
+        if "kernel_q" in p:
+            from sdtpu.utils.quant import dequant_conv_kernel
+
+            return dequant_conv_kernel(p).astype(x.dtype)
+        return p["kernel"]
 
     def qkw(p):
-        if "kernel_q" not in p:
+        if not (use_q and "kernel_q" in p):
             return {}
         return {"act_inv_scale": 1.0 / p["act_scale"],
                 "act_zp": p.get("act_zp"),
@@ -220,7 +236,7 @@ def resnet_block(
     def qbias(p):
         """Conv bias with the asymmetric zero-point contraction pre-folded
         (sdtpu/utils/quant.py:quantize_conv_w8a8)."""
-        if "zp_corr" in p:
+        if use_q and "zp_corr" in p:
             return p["bias"] - p["zp_corr"]
         return p["bias"]
 
@@ -266,21 +282,12 @@ def resnet_block(
             co_tile=slab[1][1], **qkw(params["conv2"]),
         )
 
-    def any_kernel(p):
-        """Float view of a conv dict's kernel for the XLA path (off-TPU
-        fallback dequantizes on the fly — correctness, not perf)."""
-        if "kernel_q" in p:
-            from sdtpu.utils.quant import dequant_conv_kernel
-
-            return dequant_conv_kernel(p)
-        return p["kernel"]
-
     h = _gn_silu(x, params["norm1"], num_groups=num_groups)
-    h = conv2d(h, any_kernel(params["conv1"]), params["conv1"]["bias"],
+    h = conv2d(h, _float_kernel(params["conv1"]), params["conv1"]["bias"],
                padding=1, impl=conv_impl)
     h = h + t.astype(h.dtype)[:, None, None, :]
     h = _gn_silu(h, params["norm2"], num_groups=num_groups)
-    h = conv2d(h, any_kernel(params["conv2"]), params["conv2"]["bias"],
+    h = conv2d(h, _float_kernel(params["conv2"]), params["conv2"]["bias"],
                padding=1, impl=conv_impl)
     return _shortcut(x, params) + h
 
