@@ -46,8 +46,8 @@ def main() -> None:
                          "(sdtpu/utils/quant.py; 2x int8 MXU path)")
     ap.add_argument("--int8-transformer", action="store_true",
                     help="with --int8: also quantize the post-LN "
-                         "transformer matmuls (shape-dependent XLA "
-                         "lowering — measure per preset, see quant.py)")
+                         "transformer matmuls (perf-neutral, costs "
+                         "fidelity budget — see quant.py)")
     ap.add_argument("--no-overlap", action="store_true",
                     help="disable the pipelined dispatch-before-fetch "
                          "measurement (old strictly-sequential timing)")

@@ -205,19 +205,14 @@ def resnet_block(
     """
     t = linear(temb, params["time_emb_proj"]) if t_pre is None else t_pre
 
-    # int8 engages only at map sizes where the Mosaic int8 slab kernel is
-    # VALIDATED fast: <= 96x96 tokens.  At SDXL-1024's 128x128 level-0 maps
-    # the int8 kernel collapsed to ~83 s/image (vs 2.96 bf16) — int8 window
-    # shifts at that slab geometry are pathological (BENCHLOG round 3);
-    # 96x96 (SD2.1-768) measured healthy (1.124 s e2e).  Oversized maps
-    # dequantize to the float path (XLA hoists the loop-invariant dequant).
-    int8_token_cap = 96 * 96
-    use_q = x.shape[1] * x.shape[2] <= int8_token_cap
-
+    # The quantized path engages at every map size: the int8 slab kernel
+    # measures at-or-faster than bf16 at all SD shapes up to 128x128
+    # (tools/probe_int8_slab.py; a brief runtime map-size cap here was
+    # chasing a measurement artifact — BENCHLOG round-3 post-mortem).
     def conv_kernel(p):
         """HWIO kernel of a conv dict — int8 (W8A8, sdtpu/utils/quant.py)
-        or plain float."""
-        return p["kernel_q"] if use_q and "kernel_q" in p else _float_kernel(p)
+        when the slab kernel will consume it, else plain float."""
+        return p["kernel_q"] if "kernel_q" in p else p["kernel"]
 
     def _float_kernel(p):
         if "kernel_q" in p:
@@ -227,7 +222,7 @@ def resnet_block(
         return p["kernel"]
 
     def qkw(p):
-        if not (use_q and "kernel_q" in p):
+        if "kernel_q" not in p:
             return {}
         return {"act_inv_scale": 1.0 / p["act_scale"],
                 "act_zp": p.get("act_zp"),
@@ -236,7 +231,7 @@ def resnet_block(
     def qbias(p):
         """Conv bias with the asymmetric zero-point contraction pre-folded
         (sdtpu/utils/quant.py:quantize_conv_w8a8)."""
-        if use_q and "zp_corr" in p:
+        if "zp_corr" in p:
             return p["bias"] - p["zp_corr"]
         return p["bias"]
 

@@ -127,8 +127,8 @@ class StableDiffusionPipeline:
         2x int8 path (v5e: 394 int8 TOPS vs 197 bf16); off-TPU the convs
         dequantize on the fly (correctness fallback).  VAE and CLIP stay
         float.  ``transformer=True`` extends to the post-LN transformer
-        matmuls (shape-dependent XLA lowering; pathological on SD2.1 —
-        measure per preset).  Fidelity: per-op + chaos-relative gates on
+        matmuls (measured perf-neutral on tiny-sd/SD2.1, costs ~1 dB of
+        per-op fidelity — measure per preset).  Fidelity: per-op + chaos-relative gates on
         random weights (tools/check_int8.py), absolute >= 40 dB PSNR on
         real weights (tools/acceptance.py).  See sdtpu/utils/quant.py.
         Clears the compiled-program cache.  Returns self."""

@@ -270,10 +270,13 @@ def quantize_unet_int8(
     bf16 — the resblock 3x3s are where the conv FLOPs are.
 
     ``transformer=True`` additionally quantizes the post-LN transformer
-    matmuls (attn1 qkv, attn2 q, GeGLU up).  OFF by default: on tiny-sd it
-    buys only ~4 ms/image (0.252 -> 0.248 s), and at SD2.1's shapes the
-    XLA int8 dot lowering is PATHOLOGICAL (38 s/step, a 6.5x e2e
-    regression — BENCHLOG round 3); enable per deployment after measuring.
+    matmuls (attn1 qkv, attn2 q, GeGLU up).  OFF by default on perf-vs-
+    fidelity grounds, not perf: measured roughly neutral everywhere
+    (tiny-sd 0.252 -> 0.248 s, SD2.1 1.080 -> 1.090 s) while costing extra
+    per-op quantization error, so the default keeps the fidelity budget.
+    (An earlier "6.5x XLA int8-dot pathology" at SD2.1 shapes was a
+    measurement artifact — host-numpy leaves re-transferred per call, see
+    quantize_pipeline_int8 — BENCHLOG round 3.)
 
     ``skip_down`` / ``skip_up``: block indices (python indexing, negatives
     ok) left in float — the selective-precision knob for real-weight
@@ -318,4 +321,9 @@ def quantize_pipeline_int8(params: dict, *, min_ch: int = 64, **kw) -> dict:
     ``skip_down``/``skip_up`` to :func:`quantize_unet_int8`."""
     out = dict(params)
     out["unet"] = quantize_unet_int8(params["unet"], min_ch=min_ch, **kw)
-    return out
+    # commit EVERY leaf to device: quantization runs on host numpy, and a
+    # tree left with host-numpy leaves re-transfers them through the relay
+    # on EVERY jit call — measured as 7.7 s/image on SD2.1 and 83 s/image
+    # on SDXL before this line existed (initially misdiagnosed as int8
+    # kernel/lowering pathologies; BENCHLOG round 3)
+    return jax.tree.map(jnp.asarray, out)
