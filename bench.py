@@ -48,6 +48,14 @@ def main() -> None:
                     help="with --int8: also quantize the post-LN "
                          "transformer matmuls (perf-neutral, costs "
                          "fidelity budget — see quant.py)")
+    ap.add_argument("--int8-transformer-full", action="store_true",
+                    help="with --int8: transformer='full' — also quantize "
+                         "the out-projections + GeGLU down with runtime "
+                         "per-row activation scales")
+    ap.add_argument("--int8-vae", action="store_true",
+                    help="with --int8: also quantize the VAE decoder's "
+                         "resnet convs (decode is ~32%% of a few-step "
+                         "serving batch)")
     ap.add_argument("--no-overlap", action="store_true",
                     help="disable the pipelined dispatch-before-fetch "
                          "measurement (old strictly-sequential timing)")
@@ -101,7 +109,9 @@ def main() -> None:
         # ~10 min of setup when the zeros lived on device first
         params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
         pipe = StableDiffusionPipeline(config, params)
-        pipe.quantize_int8(transformer=args.int8_transformer)
+        transformer = ("full" if args.int8_transformer_full
+                       else args.int8_transformer)
+        pipe.quantize_int8(transformer=transformer, vae=args.int8_vae)
     else:
         params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
         pipe = StableDiffusionPipeline(config, params)

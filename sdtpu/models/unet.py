@@ -209,31 +209,15 @@ def resnet_block(
     # measures at-or-faster than bf16 at all SD shapes up to 128x128
     # (tools/probe_int8_slab.py; a brief runtime map-size cap here was
     # chasing a measurement artifact — BENCHLOG round-3 post-mortem).
-    def conv_kernel(p):
-        """HWIO kernel of a conv dict — int8 (W8A8, sdtpu/utils/quant.py)
-        when the slab kernel will consume it, else plain float."""
-        return p["kernel_q"] if "kernel_q" in p else p["kernel"]
+    from sdtpu.utils.quant import (
+        conv_bias_deq as qbias,
+        float_conv_kernel,
+        slab_conv_kernel as conv_kernel,
+        slab_quant_kwargs as qkw,
+    )
 
     def _float_kernel(p):
-        if "kernel_q" in p:
-            from sdtpu.utils.quant import dequant_conv_kernel
-
-            return dequant_conv_kernel(p).astype(x.dtype)
-        return p["kernel"]
-
-    def qkw(p):
-        if "kernel_q" not in p:
-            return {}
-        return {"act_inv_scale": 1.0 / p["act_scale"],
-                "act_zp": p.get("act_zp"),
-                "w_scale": p["w_scale"]}
-
-    def qbias(p):
-        """Conv bias with the asymmetric zero-point contraction pre-folded
-        (sdtpu/utils/quant.py:quantize_conv_w8a8)."""
-        if "zp_corr" in p:
-            return p["bias"] - p["zp_corr"]
-        return p["bias"]
+        return float_conv_kernel(p, x.dtype)
 
     slab = None
     if conv_impl == "gemm":

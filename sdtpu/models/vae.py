@@ -54,17 +54,29 @@ def vae_resnet(
 
     On TPU (``conv_impl="gemm"``) both convs route through the row-slab
     GN+SiLU+conv kernel: the decoder's full-resolution maps (up to
-    512x512x128) never round-trip HBM between normalize and conv."""
+    512x512x128) never round-trip HBM between normalize and conv.  Conv
+    dicts quantized by :func:`sdtpu.utils.quant.quantize_vae_decoder_int8`
+    (presence of ``kernel_q``) run the slab contraction int8 x int8 ->
+    int32 on the MXU's 2x path; off-TPU they dequantize on the fly."""
+    from sdtpu.utils.quant import (
+        conv_bias_deq,
+        float_conv_kernel,
+        slab_conv_kernel,
+        slab_quant_kwargs,
+    )
+
     if conv_impl == "gemm":
         from sdtpu.kernels.conv2d import gn_silu_conv3x3_slab, plan_slab
 
-        mid_shape = x.shape[:-1] + (params["conv1"]["kernel"].shape[-1],)
+        k1 = slab_conv_kernel(params["conv1"])
+        k2 = slab_conv_kernel(params["conv2"])
+        mid_shape = x.shape[:-1] + (k1.shape[-1],)
         st1 = plan_slab(
-            x.shape, params["conv1"]["kernel"].shape, has_prologue=True,
+            x.shape, k1.shape, has_prologue=True,
             itemsize=x.dtype.itemsize,
         )
         st2 = plan_slab(
-            mid_shape, params["conv2"]["kernel"].shape,
+            mid_shape, k2.shape,
             has_prologue=True, has_residual=True,
             itemsize=x.dtype.itemsize,
         )
@@ -75,23 +87,25 @@ def vae_resnet(
             and mid_shape[-1] % num_groups == 0
         ):
             h = gn_silu_conv3x3_slab(
-                x, params["norm1"], params["conv1"]["kernel"],
-                params["conv1"]["bias"], num_groups=num_groups, eps=1e-6,
-                h_tile=st1[0], co_tile=st1[1],
+                x, params["norm1"], k1,
+                conv_bias_deq(params["conv1"]), num_groups=num_groups,
+                eps=1e-6, h_tile=st1[0], co_tile=st1[1],
+                **slab_quant_kwargs(params["conv1"]),
             )
             return gn_silu_conv3x3_slab(
-                h, params["norm2"], params["conv2"]["kernel"],
-                params["conv2"]["bias"], num_groups=num_groups, eps=1e-6,
-                residual=_shortcut(x, params), h_tile=st2[0], co_tile=st2[1],
+                h, params["norm2"], k2,
+                conv_bias_deq(params["conv2"]), num_groups=num_groups,
+                eps=1e-6, residual=_shortcut(x, params), h_tile=st2[0],
+                co_tile=st2[1], **slab_quant_kwargs(params["conv2"]),
             )
     h = group_norm(x, params["norm1"], num_groups=num_groups, eps=1e-6)
     h = silu(h)
-    h = conv2d(h, params["conv1"]["kernel"], params["conv1"]["bias"], padding=1,
-               impl=conv_impl)
+    h = conv2d(h, float_conv_kernel(params["conv1"], x.dtype),
+               params["conv1"]["bias"], padding=1, impl=conv_impl)
     h = group_norm(h, params["norm2"], num_groups=num_groups, eps=1e-6)
     h = silu(h)
-    h = conv2d(h, params["conv2"]["kernel"], params["conv2"]["bias"], padding=1,
-               impl=conv_impl)
+    h = conv2d(h, float_conv_kernel(params["conv2"], x.dtype),
+               params["conv2"]["bias"], padding=1, impl=conv_impl)
     return _shortcut(x, params) + h
 
 

@@ -146,7 +146,28 @@ def _flash_attention_fused_projections(
     v = head_proj(ctx, params["v"])
     o = flash_attention_packed(q, k, v, d_real=head_dim)  # (B, H, L, Dp)
 
-    wo = params["out"]["kernel"].reshape(num_heads, head_dim, d_model)
+    po = params["out"]
+    if "kernel_q" in po:
+        # dynamically-quantized out-projection (quant.py:_quantize_linear_dyn):
+        # per-(b, l)-row runtime abs-max scale over all heads/lanes — the
+        # packed zero pad lanes quantize to exactly 0, and the int8 weight
+        # zero-pads exactly, so the padded contraction stays exact.
+        wo = po["kernel_q"].reshape(num_heads, head_dim, d_model)
+        wo = jnp.pad(wo, ((0, 0), (0, d_pad - head_dim), (0, 0)))
+        of = o.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(of), axis=(1, 3), keepdims=True)  # (B,1,L,1)
+        scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        qo = jnp.round(of / scale).astype(jnp.int8)
+        acc = jnp.einsum(
+            "bhld,hdc->blc", qo, wo, preferred_element_type=jnp.int32
+        )
+        out = acc.astype(jnp.float32) * scale[:, 0, :, :]
+        out = out * po["w_scale"].astype(jnp.float32)
+        if "bias" in po:
+            out = out + po["bias"].astype(jnp.float32)
+        return out.astype(x.dtype)
+
+    wo = po["kernel"].reshape(num_heads, head_dim, d_model)
     wo = jnp.pad(wo, ((0, 0), (0, d_pad - head_dim), (0, 0)))
     # (a per-head "bhld,hdc->bhlc" matmul + head-sum split was tried against
     # this direct contraction — e2e neutral; XLA overlaps the conv-lowered

@@ -15,7 +15,9 @@ import jax.numpy as jnp
 
 def linear(x: jax.Array, params: dict) -> jax.Array:
     if "kernel_q" in params:
-        return linear_q8(x, params)
+        if "act_scale" in params:
+            return linear_q8(x, params)
+        return linear_q8_dyn(x, params)
     out = jnp.dot(x, params["kernel"].astype(x.dtype))
     bias = params.get("bias")
     if bias is not None:
@@ -39,6 +41,30 @@ def linear_q8(x: jax.Array, params: dict) -> jax.Array:
     )
     out = acc.astype(jnp.float32) * params["w_scale"].astype(jnp.float32)
     out = out - params["zp_corr"].astype(jnp.float32)
+    bias = params.get("bias")
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def linear_q8_dyn(x: jax.Array, params: dict) -> jax.Array:
+    """W8A8 linear with a RUNTIME per-row activation scale (LLM.int8-style
+    symmetric abs-max) for inputs whose range is not norm-pinned (attention
+    out-projections, the GeGLU down-projection —
+    sdtpu/utils/quant.py:_quantize_linear_dyn).  The row abs-max maps to
+    exactly +-127, so no clip is needed; the rescale is one fused
+    outer-product multiply after the int8 x int8 -> int32 MXU dot."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.round(xf / scale).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q, params["kernel_q"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * scale
+    out = out * params["w_scale"].astype(jnp.float32)
     bias = params.get("bias")
     if bias is not None:
         out = out + bias.astype(jnp.float32)

@@ -125,12 +125,21 @@ class StableDiffusionPipeline:
 
         On TPU the slab conv kernel then runs its contractions on the MXU's
         2x int8 path (v5e: 394 int8 TOPS vs 197 bf16); off-TPU the convs
-        dequantize on the fly (correctness fallback).  VAE and CLIP stay
-        float.  ``transformer=True`` extends to the post-LN transformer
+        dequantize on the fly (correctness fallback).  CLIP stays float.
+        ``transformer=True`` extends to the post-LN transformer
         matmuls (measured perf-neutral on tiny-sd/SD2.1, costs ~1 dB of
-        per-op fidelity — measure per preset).  Fidelity: per-op + chaos-relative gates on
-        random weights (tools/check_int8.py), absolute >= 40 dB PSNR on
-        real weights (tools/acceptance.py).  See sdtpu/utils/quant.py.
+        per-op fidelity — measure per preset).  ``vae=True`` extends to the
+        VAE decoder's resnet convs (decode runs once per image and gates on
+        a direct, non-chaotic PSNR — tests/test_quant.py).  Fidelity:
+        per-op + chaos-relative gates on random weights
+        (tools/check_int8.py), absolute >= 40 dB PSNR on real weights
+        (tools/acceptance.py).  See sdtpu/utils/quant.py.  Attention stays
+        bf16 by design: per-tile dynamically-quantized int8 QK/PV flash
+        modes measured SLOWER than bf16 at every SD shape on v5e (the
+        kernel co-bottlenecks on VPU softmax work at d_pad=128, so the 2x
+        int8 MXU path buys nothing while quantize/dequantize adds VPU cost
+        — tools/probe_flash_int8.py, BENCHLOG round 3).
+
         Clears the compiled-program cache.  Returns self."""
         from sdtpu.utils.quant import quantize_pipeline_int8
 
@@ -671,6 +680,11 @@ class StableDiffusionPipeline:
         if attn_impl == "auto":
             # flash (Pallas) on TPU-class backends; dense XLA on CPU tests
             attn_impl = "xla" if jax.default_backend() == "cpu" else "flash"
+        elif attn_impl == "flash" and jax.default_backend() == "cpu":
+            # the Mosaic kernel doesn't compile on CPU; explicit flash
+            # configs degrade to dense XLA there so CPU tests/dryruns of
+            # TPU-tuned configs still run
+            attn_impl = "xla"
         conv_impl = config.conv_impl
         if conv_impl == "auto":
             conv_impl = "xla" if jax.default_backend() == "cpu" else "gemm"

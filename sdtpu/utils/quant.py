@@ -172,6 +172,42 @@ def dequant_conv_kernel(params: dict) -> jnp.ndarray:
     return w / jnp.asarray(params["act_scale"], jnp.float32)[None, None, :, None]
 
 
+# -- runtime helpers shared by the UNet resblock and the VAE resnet ---------
+
+
+def slab_conv_kernel(p: dict):
+    """The kernel the slab conv consumes: int8 ``kernel_q`` when quantized
+    (the Mosaic kernel runs the contraction int8 x int8 -> int32), else the
+    plain float kernel."""
+    return p["kernel_q"] if "kernel_q" in p else p["kernel"]
+
+
+def slab_quant_kwargs(p: dict) -> dict:
+    """Extra ``gn_silu_conv3x3_slab`` kwargs for a quantized conv dict
+    (empty for float convs)."""
+    if "kernel_q" not in p:
+        return {}
+    return {"act_inv_scale": 1.0 / p["act_scale"],
+            "act_zp": p.get("act_zp"),
+            "w_scale": p["w_scale"]}
+
+
+def conv_bias_deq(p: dict):
+    """Conv bias with the asymmetric zero-point contraction pre-folded
+    (see :func:`quantize_conv_w8a8`)."""
+    if "zp_corr" in p:
+        return p["bias"] - p["zp_corr"]
+    return p["bias"]
+
+
+def float_conv_kernel(p: dict, dtype) -> jnp.ndarray:
+    """Float HWIO kernel for the non-slab (XLA/CPU) path: dequantizes a
+    quantized dict on the fly (loop-invariant — XLA hoists it)."""
+    if "kernel_q" in p:
+        return dequant_conv_kernel(p).astype(dtype)
+    return p["kernel"]
+
+
 def _quantize_resnet(res: dict, *, min_ch: int = 64, sigmas: float = 4.5):
     """Quantize a resblock's conv1/conv2 in place (returns a new dict)."""
     out = dict(res)
@@ -211,14 +247,36 @@ def _quantize_linear(lin: dict, s_act, z_act) -> dict:
     return out
 
 
+def _quantize_linear_dyn(lin: dict) -> dict:
+    """Weight-only static int8 (per-out-channel) for a matmul whose INPUT
+    range is not norm-pinned: the activation scale is computed at runtime
+    per row (``linear_q8_dyn`` — symmetric per-row abs-max, LLM.int8-style).
+    The dict carries ``kernel_q`` + ``w_scale`` but NO ``act_scale`` —
+    ``linear`` dispatches on that absence."""
+    if "kernel" not in lin:
+        return lin
+    k = np.asarray(lin["kernel"], np.float32)
+    w_scale = np.maximum(np.max(np.abs(k), axis=0) / 127.0, 1e-12)
+    w_scale = w_scale.astype(np.float32)
+    q = np.clip(np.round(k / w_scale), -127, 127).astype(np.int8)
+    out = {kk: v for kk, v in lin.items() if kk != "kernel"}
+    out["kernel_q"] = jnp.asarray(q)
+    out["w_scale"] = jnp.asarray(w_scale)
+    return out
+
+
 def _quantize_transformer_block(
-    blk: dict, *, min_ch: int = 64, sigmas: float = 4.5
+    blk: dict, *, min_ch: int = 64, sigmas: float = 4.5,
+    dynamic_out: bool = False,
 ) -> dict:
     """Quantize the post-LN matmuls of one BasicTransformerBlock: attn1's
     q/k/v (all consume norm1's output), attn2's q (norm2's output), and the
     GeGLU up-projection (norm3's output).  attn2's k/v consume the RAW text
-    context (not LN'd here) and the out-projections consume un-normalized
-    activations — those stay float."""
+    context (and are scan-hoisted: 77 tokens once per generate — not worth
+    quantizing).  ``dynamic_out=True`` additionally quantizes the three
+    big un-normalized-input matmuls — attn1/attn2 out-projections and the
+    GeGLU DOWN-projection (the 4x-wide one) — with runtime per-row
+    activation scales (:func:`_quantize_linear_dyn`)."""
     kq = blk["attn1"]["q"]
     dim = kq["kernel"].shape[0] if "kernel" in kq else 0
     if dim < min_ch:
@@ -241,16 +299,22 @@ def _quantize_transformer_block(
         **blk["ff"],
         "proj": _quantize_linear(blk["ff"]["proj"], s3, z3),
     }
+    if dynamic_out:
+        out["attn1"]["out"] = _quantize_linear_dyn(blk["attn1"]["out"])
+        out["attn2"]["out"] = _quantize_linear_dyn(blk["attn2"]["out"])
+        out["ff"]["out"] = _quantize_linear_dyn(blk["ff"]["out"])
     return out
 
 
 def _quantize_attn_params(
-    attn: dict, *, min_ch: int = 64, sigmas: float = 4.5
+    attn: dict, *, min_ch: int = 64, sigmas: float = 4.5,
+    dynamic_out: bool = False,
 ) -> dict:
     return {
         **attn,
         "blocks": [
-            _quantize_transformer_block(b, min_ch=min_ch, sigmas=sigmas)
+            _quantize_transformer_block(b, min_ch=min_ch, sigmas=sigmas,
+                                        dynamic_out=dynamic_out)
             for b in attn["blocks"]
         ],
     }
@@ -261,7 +325,7 @@ def quantize_unet_int8(
     *,
     min_ch: int = 64,
     sigmas: float = 4.5,
-    transformer: bool = False,
+    transformer=False,  # False | True | "full"
     skip_down: tuple = (),
     skip_up: tuple = (),
 ) -> dict:
@@ -277,6 +341,10 @@ def quantize_unet_int8(
     (An earlier "6.5x XLA int8-dot pathology" at SD2.1 shapes was a
     measurement artifact — host-numpy leaves re-transferred per call, see
     quantize_pipeline_int8 — BENCHLOG round 3.)
+    ``transformer="full"`` extends to the three big un-normalized-input
+    matmuls per block (attn1/attn2 out-projections, GeGLU down) with
+    RUNTIME per-row activation scales (:func:`_quantize_linear_dyn`) —
+    worth trying on matmul-dominated presets (SDXL).
 
     ``skip_down`` / ``skip_up``: block indices (python indexing, negatives
     ok) left in float — the selective-precision knob for real-weight
@@ -297,7 +365,8 @@ def quantize_unet_int8(
         nb = {**b, "resnets": [maybe(r, skip) for r in b["resnets"]]}
         if transformer and not skip and "attentions" in b:
             nb["attentions"] = [
-                _quantize_attn_params(a, min_ch=min_ch, sigmas=sigmas)
+                _quantize_attn_params(a, min_ch=min_ch, sigmas=sigmas,
+                                      dynamic_out=transformer == "full")
                 for a in b["attentions"]
             ]
         return nb
@@ -314,13 +383,55 @@ def quantize_unet_int8(
     return out
 
 
-def quantize_pipeline_int8(params: dict, *, min_ch: int = 64, **kw) -> dict:
-    """Quantize the UNet resblock convs of a full pipeline tree (the VAE and
-    CLIP stay float: the VAE decoder runs once per image and its fidelity
-    dominates PSNR; CLIP is 77 tokens of work).  ``kw`` forwards
-    ``skip_down``/``skip_up`` to :func:`quantize_unet_int8`."""
+def quantize_vae_decoder_int8(
+    params: dict, *, min_ch: int = 64, sigmas: float = 4.5
+) -> dict:
+    """Quantize the VAE decoder's resnet convs (W8A8) — mid + up-block
+    resnets; the up-blocks' full-resolution maps (512x512x128 at 512px) are
+    the decode-time conv cost.  Same analytic GN+SiLU activation ranges as
+    the UNet resblocks (the VAE resnet is the UNet resblock minus the time
+    branch, ``vae.mojo:30-67``).  Upsample/in/out convs stay float (their
+    inputs are un-normalized, so no analytic range exists).
+
+    Unlike the 25-step denoise loop, decode runs ONCE and is not chaotic:
+    int8-vs-float decode PSNR gates directly (tests/test_quant.py)."""
+    out = dict(params)
+    out["mid_block"] = {
+        **params["mid_block"],
+        "resnets": [
+            _quantize_resnet(r, min_ch=min_ch, sigmas=sigmas)
+            for r in params["mid_block"]["resnets"]
+        ],
+    }
+    out["up_blocks"] = [
+        {
+            **b,
+            "resnets": [
+                _quantize_resnet(r, min_ch=min_ch, sigmas=sigmas)
+                for r in b["resnets"]
+            ],
+        }
+        for b in params["up_blocks"]
+    ]
+    return out
+
+
+def quantize_pipeline_int8(
+    params: dict, *, min_ch: int = 64, vae: bool = False, **kw
+) -> dict:
+    """Quantize the UNet resblock convs of a full pipeline tree (CLIP stays
+    float: 77 tokens of work).  ``vae=True`` also quantizes the VAE
+    decoder's resnet convs (:func:`quantize_vae_decoder_int8` — decode is
+    ~32% of the few-step serving batch, BENCHLOG round 3).  ``kw`` forwards
+    ``skip_down``/``skip_up``/``transformer`` to
+    :func:`quantize_unet_int8`."""
     out = dict(params)
     out["unet"] = quantize_unet_int8(params["unet"], min_ch=min_ch, **kw)
+    if vae:
+        out["vae_decoder"] = quantize_vae_decoder_int8(
+            params["vae_decoder"], min_ch=min_ch,
+            sigmas=kw.get("sigmas", 4.5),
+        )
     # commit EVERY leaf to device: quantization runs on host numpy, and a
     # tree left with host-numpy leaves re-transfers them through the relay
     # on EVERY jit call — measured as 7.7 s/image on SD2.1 and 83 s/image

@@ -117,6 +117,42 @@ class TestQuantizedForward:
         )
         assert rel < 0.05, f"quantized transformer rel err {rel:.4f}"
 
+    def test_transformer_block_full_quantized_close_to_float(self, rng):
+        """transformer='full': the un-normalized-input matmuls (attn out
+        projections, GeGLU down) quantize with RUNTIME per-row activation
+        scales and must stay within the 8-bit budget."""
+        from sdtpu.ops.attention import init_transformer_block, transformer_block
+        from sdtpu.utils.quant import _quantize_transformer_block
+
+        blk = init_transformer_block(jax.random.key(2), 32, context_dim=24)
+        x = jnp.array(rng.standard_normal((2, 64, 32), dtype=np.float32))
+        ctx = jnp.array(rng.standard_normal((2, 7, 24), dtype=np.float32))
+        want = transformer_block(x, blk, num_heads=2, context=ctx)
+        qblk = _quantize_transformer_block(blk, min_ch=8, dynamic_out=True)
+        for p in (qblk["attn1"]["out"], qblk["attn2"]["out"],
+                  qblk["ff"]["out"]):
+            assert "kernel_q" in p and "act_scale" not in p
+        got = transformer_block(x, qblk, num_heads=2, context=ctx)
+        rel = float(
+            np.linalg.norm(np.asarray(got) - np.asarray(want))
+            / np.linalg.norm(np.asarray(want))
+        )
+        assert rel < 0.06, f"full-quantized transformer rel err {rel:.4f}"
+
+    def test_linear_q8_dyn_zero_row_safe(self):
+        """An all-zero input row must quantize to zeros (not NaN) — the
+        abs-max clamp guards the divide."""
+        from sdtpu.ops.linear import linear_q8_dyn
+        from sdtpu.utils.quant import _quantize_linear_dyn
+
+        lin = _quantize_linear_dyn(
+            {"kernel": jnp.ones((8, 4)), "bias": jnp.zeros(4)}
+        )
+        x = jnp.zeros((2, 8))
+        out = linear_q8_dyn(x, lin)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
     def test_flash_packed_projection_quantized(self, rng):
         """The flash path's fused head projections consume int8 weights:
         padded lanes must stay exactly zero and numbers must track the
@@ -124,7 +160,11 @@ class TestQuantizedForward:
         import functools
         import sdtpu.kernels.flash_attention as fa
         from sdtpu.ops.attention import attention, init_attention
-        from sdtpu.utils.quant import _quantize_linear, act_qparams_from_ln
+        from sdtpu.utils.quant import (
+            _quantize_linear,
+            _quantize_linear_dyn,
+            act_qparams_from_ln,
+        )
 
         params = init_attention(jax.random.key(0), 32, qkv_bias=False)
         ln = {"scale": jnp.ones(32), "bias": jnp.zeros(32)}
@@ -132,6 +172,8 @@ class TestQuantizedForward:
         qparams = dict(params)
         for k in ("q", "k", "v"):
             qparams[k] = _quantize_linear(params[k], s, z)
+        # the out-projection takes the dynamic per-row path in-flash
+        qparams["out"] = _quantize_linear_dyn(params["out"])
         x = jnp.array(rng.standard_normal((1, 128, 32), dtype=np.float32))
         want = attention(x, params, num_heads=2, implementation="xla")
         orig = fa.flash_attention_packed
@@ -154,7 +196,7 @@ class TestQuantizedForward:
         qpipe = StableDiffusionPipeline(
             TINY,
             quantize_pipeline_int8(tiny_pipe.params, min_ch=8,
-                                   transformer=True),
+                                   transformer="full", vae=True),
         )
         kw = dict(token_ids=TOKENS, num_inference_steps=3, seed=40,
                   output="float")
@@ -162,6 +204,44 @@ class TestQuantizedForward:
         got = qpipe.generate("x", **kw)
         score = psnr(want, got)
         assert score > 30.0, f"int8 pipeline PSNR {score:.1f} dB"
+
+    def test_quantize_vae_decoder_structure(self):
+        """mid/up resnet convs quantize; upsample/in/out/post-quant convs
+        (un-normalized inputs — no analytic range) stay float."""
+        from sdtpu.models.vae import init_vae_decoder
+        from sdtpu.utils.quant import quantize_vae_decoder_int8
+
+        params = init_vae_decoder(jax.random.key(0), TINY.vae)
+        q = quantize_vae_decoder_int8(params, min_ch=8)
+        c1 = q["up_blocks"][0]["resnets"][0]["conv1"]
+        assert "kernel_q" in c1 and c1["kernel_q"].dtype == jnp.int8
+        assert "kernel_q" in q["mid_block"]["resnets"][0]["conv1"]
+        for name in ("post_quant_conv", "conv_in", "conv_out"):
+            assert "kernel" in q[name] and "kernel_q" not in q[name]
+        for blk in q["up_blocks"]:
+            if "upsample" in blk:
+                assert "kernel" in blk["upsample"]
+
+    def test_vae_decode_quantized_psnr(self, rng):
+        """Decode runs ONCE per image — unlike the 25-step denoise loop it
+        is NOT chaotic, so int8-vs-float decode PSNR gates directly (the
+        per-op budget compounds linearly over ~13 resnets, not
+        exponentially over timesteps)."""
+        from sdtpu.models.vae import init_vae_decoder, vae_decode
+        from sdtpu.utils.quant import quantize_vae_decoder_int8
+
+        params = init_vae_decoder(jax.random.key(1), TINY.vae)
+        lat = jnp.array(
+            rng.standard_normal((1, 8, 8, TINY.vae.latent_channels),
+                                dtype=np.float32)
+        )
+        want = vae_decode(lat, params, TINY.vae)
+        got = vae_decode(
+            lat, quantize_vae_decoder_int8(params, min_ch=8), TINY.vae
+        )
+        # decode output is in [-1, 1]: psnr's peak=1 convention applies
+        score = psnr(want, got)
+        assert score > 35.0, f"int8 VAE decode PSNR {score:.1f} dB"
 
     def test_quantize_int8_method_clears_cache(self, rng):
         pipe = StableDiffusionPipeline.from_random(TINY, seed=0)

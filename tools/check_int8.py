@@ -152,6 +152,32 @@ def main() -> None:
           file=sys.stderr)
     del lat, ctx, fwd  # free the fwd program's workspace before the big runs
 
+    # gate 2b: VAE decode int8 vs bf16 — decode is a SINGLE pass (no chaotic
+    # step-to-step amplification), so an absolute PSNR gate is meaningful
+    # even with random weights (unlike gate 3's relative form)
+    from sdtpu.models.vae import vae_decode
+    from sdtpu.utils.quant import quantize_vae_decoder_int8
+
+    lat1 = jnp.asarray(
+        host.standard_normal(
+            (1, args.image_size // 8, args.image_size // 8,
+             config.vae.latent_channels)
+        ),
+        jnp.bfloat16,
+    )
+    conv_impl = "xla" if jax.default_backend() == "cpu" else "gemm"
+    dec = jax.jit(lambda p, z: vae_decode(z, p, config.vae,
+                                          conv_impl=conv_impl))
+    d16 = np.asarray(dec(params["vae_decoder"], lat1), np.float32)
+    qdec = jax.tree.map(
+        jnp.asarray, quantize_vae_decoder_int8(params["vae_decoder"])
+    )
+    dq = np.asarray(dec(qdec, lat1), np.float32)
+    vae_psnr = psnr(d16, dq)
+    checks.append(("vae_decode_psnr_db_int8_vs_bf16", vae_psnr, 30.0, "gt"))
+    print(f"VAE decode int8 vs bf16: {vae_psnr:.1f} dB", file=sys.stderr)
+    del dec, qdec, lat1
+
     ids = host.integers(1, config.clip.vocab_size, (2, config.clip.max_length))
     kw = dict(token_ids=ids, num_inference_steps=args.steps, seed=40,
               image_size=args.image_size, output="float")

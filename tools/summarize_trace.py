@@ -62,7 +62,7 @@ def raw_mode(xs, top):
             print(f"{ms:9.3f} ms  x{counts[name]:5d}  {name[:110]}")
 
 
-def self_time_mode(xs, top, steps):
+def self_time_mode(xs, top, steps, outside=False):
     for plane in xs.planes:
         if "TPU" not in plane.name:
             continue
@@ -84,6 +84,12 @@ def self_time_mode(xs, top, steps):
                 s0, s1 = scan[0], scan[1]
                 print(f"scan: {scan[2][:70]}  {(s1 - s0) / 1e9:.1f} ms")
 
+            def keep(st, en, nm):
+                if nm.startswith("%while"):
+                    return False
+                inside = st >= s0 and en <= s1
+                return not inside if outside else inside
+
             self_ps = defaultdict(float)
             counts = defaultdict(int)
             stack = []  # [start, end, name, child_ps]
@@ -91,7 +97,7 @@ def self_time_mode(xs, top, steps):
             def pop_until(t):
                 while stack and stack[-1][1] <= t:
                     st, en, nm, ch = stack.pop()
-                    if st >= s0 and en <= s1 and not nm.startswith("%while"):
+                    if keep(st, en, nm):
                         self_ps[nm] += (en - st) - ch
                         counts[nm] += 1
                     if stack:
@@ -103,7 +109,8 @@ def self_time_mode(xs, top, steps):
             pop_until(float("inf"))
 
             total = sum(self_ps.values()) / 1e9
-            print(f"in-scan self time: {total:.1f} ms "
+            where = "out-of-scan" if outside else "in-scan"
+            print(f"{where} self time: {total:.1f} ms "
                   f"({total / steps:.3f} ms/step at --steps {steps})")
 
             def bucket(nm):
@@ -132,13 +139,16 @@ def main() -> None:
                          "DMA; not for attribution)")
     ap.add_argument("--steps", type=int, default=25,
                     help="scan length for the ms/step column")
+    ap.add_argument("--outside", action="store_true",
+                    help="attribute self time OUTSIDE the denoise scan "
+                         "(CLIP, VAE, packing) instead of inside it")
     args = ap.parse_args()
 
     xs = load_xspace(args.trace_dir)
     if args.raw:
         raw_mode(xs, args.top)
     else:
-        self_time_mode(xs, args.top, args.steps)
+        self_time_mode(xs, args.top, args.steps, outside=args.outside)
 
 
 if __name__ == "__main__":
