@@ -37,6 +37,13 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true",
                     help="W8A8-quantize the UNet (2x int8 MXU path; "
                          "fidelity notes in sdtpu/utils/quant.py)")
+    ap.add_argument("--int8-transformer", nargs="?", const=True,
+                    default=False, choices=["full"],
+                    help="with --int8: quantize the post-LN transformer "
+                         "matmuls too; 'full' adds the out-projections + "
+                         "GeGLU down (runtime per-row scales)")
+    ap.add_argument("--int8-vae", action="store_true",
+                    help="with --int8: quantize the VAE decoder resnets")
     ap.add_argument("--out", default="out.png")
     args = ap.parse_args()
 
@@ -54,7 +61,8 @@ def main() -> None:
         print("no --model-dir: running random weights (reference behavior)")
         pipe = StableDiffusionPipeline.from_random(args.preset)
     if args.int8:
-        pipe.quantize_int8()
+        pipe.quantize_int8(transformer=args.int8_transformer,
+                           vae=args.int8_vae)
 
     token_ids = None
     if pipe.tokenizer is None:
