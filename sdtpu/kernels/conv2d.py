@@ -102,10 +102,23 @@ def fits_fused(x_shape, kernel_shape) -> bool:
 # spills tens of MB of stack (66.9M spill slots at 96x96x960 — BENCHLOG.md),
 # so the whole-map kernel above refuses those shapes and SD2.1-768 (96x96)
 # and SDXL-1024 (128x128) level-0 maps fell back to XLA convs.  Here the H
-# axis is blocked into row slabs with a 1-row halo on each side; the
-# overlapping slabs are materialized by XLA before the call (one cheap HBM
-# copy, ~5% of the conv's compute time) because Pallas block index maps are
-# block-granular and cannot express overlapping windows.
+# axis is blocked into row slabs with a 1-row halo on each side.
+#
+# Halo mechanics (round-3 rework): Pallas block index maps are
+# block-granular and cannot express overlapping windows, so the round-2
+# kernel materialized every overlapping slab XLA-side first — a full extra
+# padded copy of the input per conv whose dynamic-update-slice fusions
+# cost ~10% of VAE-decode time (round-3 trace).  Instead the kernel takes
+# the column-padded input THREE times — the core rows plus one-row
+# top/bottom halos whose index maps clamp at the image edge
+# (`max(s*ht-1, 0)` / `min(s*ht+ht, h-1)`) — and assembles the haloed slab
+# in VMEM, cutting HBM traffic from ~3.1x the map (read + slab write +
+# slab read) to ~2.06x (pad write + read); the clamped duplicate rows are
+# masked back to the pad value in-kernel.  Measured (probe_slab_halo /
+# chain-500 follow-up): exactly neutral on the UNet's <=64x64 maps, -2 to
+# -6% standalone on the decoder's 128/256/512-px maps, plus the removed
+# XLA-side DUS traffic e2e.  The fused-upsample variant uses views of the
+# raw SMALL map (~0.53x traffic) and expands nearest-2x in VMEM.
 #
 # The optional prologue applies a per-(batch, channel) affine + SiLU before
 # the conv — the resblock's GroupNorm (+ time-embedding add) folds into that
@@ -153,37 +166,71 @@ def plan_slab(x_shape, kernel_shape, *, has_prologue=False, has_residual=False,
 
 
 def _slab_kernel(
-    x_ref, a_ref, b_ref, k_ref, cb_ref, r_ref, s_ref, z_ref, ws_ref, o_ref,
-    *, ht, w, h, has_pro, has_res, quant,
+    t_ref, x_ref, btm_ref, a_ref, b_ref, k_ref, cb_ref, r_ref, s_ref, z_ref,
+    ws_ref, o_ref, *, ht, w, h, has_pro, has_res, quant, upsample,
 ):
-    x = x_ref[0, 0]  # (ht+2, w+2, ci) — slab with 1-row halo, pre-padded cols
+    # The slab index is grid dim 1 in BOTH grid orders (conv3x3_gemm_slab).
+    si = pl.program_id(1)
+    # Assemble the haloed slab IN VMEM from three raw-input views: the
+    # single-row top/bottom halo blocks (index-map-clamped at the image
+    # edges) around the core rows.  upsample=False: views of the
+    # COLUMN-pre-padded input — (1, w+2, ci) halos around a (ht, w+2, ci)
+    # core.  upsample=True: views of the raw small map — (1, ws, ci) halos
+    # around a (hts, ws, ci) core.
+    x = jnp.concatenate([t_ref[0], x_ref[0], btm_ref[0]], axis=0)
     ci = x.shape[-1]
     co = k_ref.shape[-1]
     if has_pro:
-        # y = SiLU(x * a + b) with the GN(+temb) fold; the slab includes the
-        # conv's ZERO padding (border rows/cols), which must stay zero after
-        # the prologue — mask on global padded coordinates.  The slab index
-        # is grid dim 1 in BOTH grid orders (see conv3x3_gemm_slab).
-        si = pl.program_id(1)
+        # y = SiLU(x * a + b) with the GN(+temb) fold (applied on the small
+        # map in the upsample case — a per-channel affine commutes with
+        # nearest resampling).
         y = x.astype(jnp.float32) * a_ref[0] + b_ref[0]
         y = y * jax.nn.sigmoid(y)
-        gr = si * ht + jax.lax.broadcasted_iota(
-            jnp.int32, (ht + 2, w + 2, 1), 0
+    else:
+        y = x
+    if quant:
+        # W8A8 with per-ci ASYMMETRIC affine quantization: the prologue
+        # output quantizes in-register (q = round(y/s) + z; padding maps
+        # to the zero-POINT z, i.e. real value 0) so the 9 contractions
+        # run int8 x int8 -> int32 on the 2x MXU path.  The zero-point's
+        # contraction term is a per-co constant pre-folded into the conv
+        # bias (sdtpu/utils/quant.py:quantize_conv_w8a8).
+        y = jnp.round(y * s_ref[0]) + z_ref[0]
+        y = jnp.clip(y, -128.0, 127.0)
+    pad_val = z_ref[0] if quant else jnp.zeros((), y.dtype)
+    # Global output-space row of slab row r is si*ht - 1 + r; rows outside
+    # [0, h) are the conv's zero padding (under ``views`` the clamped halo
+    # index maps duplicate an edge row there — masked to the pad value).
+    gr = si * ht - 1 + jax.lax.broadcasted_iota(jnp.int32, (ht + 2, 1, 1), 0)
+    row_ok = (gr >= 0) & (gr < h)
+    if upsample:
+        # Nearest-2x expansion in VMEM: slab row r is output-space row
+        # u = si*ht - 1 + r, which samples small row u//2.  With ht even
+        # the halo rows land exactly on the odd/even boundary samples, so
+        # the expansion is [small[0]] + repeat2(core) + [small[hts+1]];
+        # columns expand by plain repeat, then gain the conv pad.  The
+        # small map is the only HBM read — the 4x upsampled map is never
+        # materialized.
+        hts = ht // 2
+        y = jnp.concatenate(
+            [y[0:1], jnp.repeat(y[1 : hts + 1], 2, axis=0),
+             y[hts + 1 : hts + 2]],
+            axis=0,
         )
-        gc = jax.lax.broadcasted_iota(jnp.int32, (ht + 2, w + 2, 1), 1)
-        interior = (gr > 0) & (gr < h + 1) & (gc > 0) & (gc < w + 1)
-        if quant:
-            # W8A8 with per-ci ASYMMETRIC affine quantization: the prologue
-            # output quantizes in-register (q = round(y/s) + z; padding maps
-            # to the zero-POINT z, i.e. real value 0) so the 9 contractions
-            # run int8 x int8 -> int32 on the 2x MXU path.  The zero-point's
-            # contraction term is a per-co constant pre-folded into the conv
-            # bias (sdtpu/utils/quant.py:quantize_conv_w8a8).
-            y = jnp.round(y * s_ref[0]) + z_ref[0]
-            y = jnp.clip(y, -128.0, 127.0)
-            x = jnp.where(interior, y, z_ref[0]).astype(jnp.int8)
-        else:
-            x = jnp.where(interior, y, 0.0).astype(x.dtype)
+        y = jnp.repeat(y, 2, axis=1)
+        zcol = jnp.broadcast_to(pad_val, (ht + 2, 1, ci)).astype(y.dtype)
+        y = jnp.concatenate([zcol, y, zcol], axis=1)
+        y = jnp.where(row_ok, y, pad_val)
+    elif has_pro:
+        # the zero pad rows/columns pass through the prologue as
+        # SiLU(b) != 0 (or quantize off the zero-point) — mask them
+        gc = jax.lax.broadcasted_iota(jnp.int32, (1, w + 2, 1), 1)
+        y = jnp.where(row_ok & (gc > 0) & (gc < w + 1), y, pad_val)
+    else:
+        # no prologue: pads are already exact, only the clamped halo rows
+        # need masking
+        y = jnp.where(row_ok, y, pad_val)
+    x = y.astype(jnp.int8 if quant else x.dtype)
     acc_t = jnp.int32 if quant else jnp.float32
     acc = jnp.zeros((ht * w, co), acc_t)
     for dy in range(3):
@@ -203,7 +250,8 @@ def _slab_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h_tile", "co_tile", "grid_order", "interpret"),
+    static_argnames=("h_tile", "co_tile", "grid_order", "upsample",
+                     "interpret"),
 )
 def conv3x3_gemm_slab(
     x: jax.Array,
@@ -219,6 +267,7 @@ def conv3x3_gemm_slab(
     h_tile: int,
     co_tile: int,
     grid_order: str = "auto",
+    upsample: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Row-slab NHWC stride-1 same-pad 3x3 conv (+bias) (+residual), with an
@@ -250,19 +299,31 @@ def conv3x3_gemm_slab(
       ~68% MXU), so weight_outer wins there; huge-map small-channel convs
       (VAE decoder 512x512x128, ns=64) would re-fetch weights 128x under
       input_outer.
+
+    ``upsample=True`` fuses a nearest-2x upsample in front of the conv:
+    x is the SMALL (B, H/2, W/2, Ci) map, the output is (B, H, W, Co), and
+    the expansion happens in VMEM (the upsampled map is never in HBM —
+    XLA's broadcast+reshape lowering of ``nearest_upsample`` cost ~7% of
+    VAE-decode time, BENCHLOG round 3).  Requires even ``h_tile``;
+    h_tile/co_tile are planned against the UPSAMPLED shape.
     """
-    b, h, w, ci = x.shape
+    b, hx, wx, ci = x.shape
+    h, w = (2 * hx, 2 * wx) if upsample else (hx, wx)
+    if upsample and h_tile % 2 != 0:
+        raise ValueError("upsample=True requires an even h_tile")
+    hts = h_tile // 2 if upsample else h_tile  # core block rows (input space)
     co = kernel.shape[-1]
     ns = h // h_tile
     co_pad = ((co + co_tile - 1) // co_tile) * co_tile
     if co_pad != co:
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, co_pad - co)))
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # overlapping slabs (B, ns, ht+2, W+2, Ci): one XLA copy
-    slabs = jnp.stack(
-        [xp[:, s * h_tile : s * h_tile + h_tile + 2] for s in range(ns)],
-        axis=1,
-    )
+    if upsample:
+        arr, wxb = x, wx  # raw small map; cols expand + pad in VMEM
+    else:
+        # column pad XLA-side (fuses into the producer's output write);
+        # the ROW halos come from clamped single-row block index maps
+        arr = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        wxb = wx + 2
 
     has_pro = prologue_scale is not None
     quant = kernel.dtype == jnp.int8
@@ -310,7 +371,7 @@ def conv3x3_gemm_slab(
     n_co = co_pad // co_tile
     if grid_order == "auto":
         w_bytes = 9 * ci * co_pad * kernel.dtype.itemsize
-        slab_bytes = b * ns * (h_tile + 2) * (w + 2) * ci * x.dtype.itemsize
+        slab_bytes = b * ns * (hts + 2) * (wx + 2) * ci * x.dtype.itemsize
         grid_order = (
             "weight_outer"
             if w_bytes * (b * ns - 1) > slab_bytes * (n_co - 1)
@@ -326,19 +387,38 @@ def conv3x3_gemm_slab(
         grid = (b, ns, n_co)
         reorder = lambda f: f  # noqa: E731
 
+    # top halo row, core rows, bottom halo row — three views of the same
+    # input; the single-row halo index maps clamp at the edges (the
+    # duplicated row is masked to the pad value in-kernel)
+    top_spec = pl.BlockSpec(
+        (1, 1, wxb, ci),
+        reorder(lambda bi, si, oi: (
+            bi, jnp.maximum(si * hts - 1, 0), 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    core_spec = pl.BlockSpec(
+        (1, hts, wxb, ci),
+        reorder(lambda bi, si, oi: (bi, si, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    bot_spec = pl.BlockSpec(
+        (1, 1, wxb, ci),
+        reorder(lambda bi, si, oi: (
+            bi, jnp.minimum(si * hts + hts, hx - 1), 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+
     out = pl.pallas_call(
         functools.partial(
             _slab_kernel, ht=h_tile, w=w, h=h, has_pro=has_pro,
-            has_res=has_res, quant=quant,
+            has_res=has_res, quant=quant, upsample=upsample,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, w, co_pad), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, h_tile + 2, w + 2, ci),
-                reorder(lambda bi, si, oi: (bi, si, 0, 0, 0)),
-                memory_space=pltpu.VMEM,
-            ),
+            top_spec,
+            core_spec,
+            bot_spec,
             pl.BlockSpec((1, 1, ci),
                          reorder(lambda bi, si, oi: (bi, 0, 0)),
                          memory_space=pltpu.VMEM),
@@ -377,7 +457,7 @@ def conv3x3_gemm_slab(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(slabs, a, bb, kernel, cb, res, s, z, ws)
+    )(arr, arr, arr, a, bb, kernel, cb, res, s, z, ws)
 
     return out[..., :co]
 

@@ -46,7 +46,6 @@ from sdtpu.ops import (
     init_linear,
     init_transformer_block,
     linear,
-    nearest_upsample,
     silu,
     timestep_embedding,
     transformer_block,
@@ -312,9 +311,14 @@ def downsample(x: jax.Array, params: dict) -> jax.Array:
 
 def upsample(x: jax.Array, params: dict, *, conv_impl: str = "xla") -> jax.Array:
     """Nearest 2x + 3x3 conv — the intended semantics of the reference's dead
-    ``Upsample`` (``utils.mojo:1979-2010``, SURVEY.md §5.1 item 2)."""
-    x = nearest_upsample(x, 2)
-    return conv2d(x, params["kernel"], params["bias"], padding=1, impl=conv_impl)
+    ``Upsample`` (``utils.mojo:1979-2010``, SURVEY.md §5.1 item 2).  On the
+    gemm path the upsample fuses into the conv's slab kernel
+    (:func:`sdtpu.ops.conv.nearest_up_conv2d`)."""
+    from sdtpu.ops.conv import nearest_up_conv2d
+
+    return nearest_up_conv2d(
+        x, params["kernel"], params["bias"], impl=conv_impl
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,6 @@ from sdtpu.ops import (
     init_attention,
     init_conv2d,
     init_group_norm,
-    nearest_upsample,
     silu,
 )
 
@@ -204,12 +203,12 @@ def vae_decode(
         for res in block["resnets"]:
             h = vae_resnet(h, res, num_groups=ng, conv_impl=conv_impl)
         if "upsample" in block:
-            h = nearest_upsample(h, 2)
-            h = conv2d(
+            from sdtpu.ops.conv import nearest_up_conv2d
+
+            h = nearest_up_conv2d(
                 h,
                 block["upsample"]["kernel"],
                 block["upsample"]["bias"],
-                padding=1,
                 impl=conv_impl,
             )
     h = group_norm(h, params["norm_out"], num_groups=ng, eps=1e-6)

@@ -73,6 +73,37 @@ def conv2d(
     return out
 
 
+def nearest_up_conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    impl: str = "xla",
+) -> jax.Array:
+    """Nearest-2x upsample + 3x3 same-pad conv (the UNet/VAE ``Upsample``
+    block, ``diffusion.mojo:181-189`` / ``vae.mojo:183-213`` semantics).
+
+    With ``impl="gemm"`` and a slab plan, the upsample fuses INTO the conv
+    kernel: the small map is the only HBM read and the 4x upsampled map is
+    never materialized (XLA's broadcast+reshape lowering of
+    ``nearest_upsample`` cost ~7% of VAE-decode time — BENCHLOG round 3).
+    Falls back to ``nearest_upsample`` + ``conv2d`` otherwise."""
+    if impl == "gemm" and kernel.shape[:2] == (3, 3):
+        from sdtpu.kernels.conv2d import conv3x3_gemm_slab, plan_slab
+
+        b, h, w, ci = x.shape
+        st = plan_slab(
+            (b, 2 * h, 2 * w, ci), kernel.shape, itemsize=x.dtype.itemsize
+        )
+        if st is not None and st[0] % 2 == 0:
+            return conv3x3_gemm_slab(
+                x, kernel, bias, h_tile=st[0], co_tile=st[1], upsample=True
+            )
+    from sdtpu.ops.resize import nearest_upsample
+
+    return conv2d(nearest_upsample(x, 2), kernel, bias, padding=1, impl=impl)
+
+
 def conv1x1_tokens(x: jax.Array, params: dict) -> jax.Array:
     """A 1x1 conv expressed as a token matmul: (B, H, W, Ci) -> (B, H, W, Co).
 

@@ -230,6 +230,87 @@ class TestSlabGnSiluConv:
         )
         assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
 
+    @pytest.mark.parametrize("has_pro", [False, True])
+    def test_slab_halo_views_edge_rows(self, rng, has_pro):
+        """The view-based halo assembly (clamped single-row blocks around
+        the core rows) must compute the identical conv — including the edge
+        slabs, whose clamped halo reads duplicate an image-edge row that
+        the kernel must mask back to the conv's zero padding."""
+        from sdtpu.kernels.conv2d import (
+            conv3x3_gemm_slab,
+            gn_silu_conv3x3_slab,
+        )
+        from sdtpu.ops import conv2d, group_norm, silu
+
+        b, h, w, ci, co, g = 2, 32, 16, 24, 64, 8
+        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
+        k = jnp.array(rng.standard_normal((3, 3, ci, co), dtype=np.float32)) * 0.1
+        bias = jnp.array(rng.standard_normal(co, dtype=np.float32))
+        if has_pro:
+            norm = {
+                "scale": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+                "bias": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+            }
+            expected = conv2d(
+                silu(group_norm(x, norm, num_groups=g)), k, bias, padding=1
+            )
+            got = gn_silu_conv3x3_slab(
+                x, norm, k, bias, num_groups=g, h_tile=8, co_tile=64,
+                interpret=True,
+            )
+        else:
+            expected = conv2d(x, k, bias, padding=1)
+            got = conv3x3_gemm_slab(
+                x, k, bias, h_tile=8, co_tile=64, interpret=True
+            )
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("has_pro", [False, True])
+    def test_upsample_fused_matches_unfused(self, rng, has_pro):
+        """The fused nearest-2x-upsample slab conv (in-VMEM row/col expand
+        of the small map) vs nearest_upsample + conv, across multiple slabs
+        so the odd/even halo-row alignment is exercised."""
+        from sdtpu.kernels.conv2d import conv3x3_gemm_slab
+        from sdtpu.ops import conv2d, group_norm, silu
+        from sdtpu.ops.resize import nearest_upsample
+
+        b, hs, ws, ci, co, g = 2, 16, 8, 24, 64, 8
+        x = jnp.array(rng.standard_normal((b, hs, ws, ci), dtype=np.float32))
+        k = jnp.array(rng.standard_normal((3, 3, ci, co), dtype=np.float32)) * 0.1
+        bias = jnp.array(rng.standard_normal(co, dtype=np.float32))
+        up = nearest_upsample(x, 2)
+        if has_pro:
+            norm = {
+                "scale": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+                "bias": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+            }
+            # per-channel affine commutes with nearest resampling, so the
+            # fused form normalizes the SMALL map with the same stats
+            expected = conv2d(
+                silu(group_norm(up, norm, num_groups=g)), k, bias, padding=1
+            )
+            # fold the GN affine by hand (nearest duplication leaves
+            # mean/var unchanged, so upsampled-map stats == small-map stats)
+            xg = up.astype(jnp.float32).reshape(b, 2 * hs * 2 * ws, g, ci // g)
+            mean = jnp.mean(xg, axis=(1, 3))
+            var = jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean)
+            inv = jax.lax.rsqrt(var + 1e-5)
+            invc = jnp.repeat(inv, ci // g, axis=1)
+            muc = jnp.repeat(mean, ci // g, axis=1)
+            a = invc * norm["scale"][None]
+            pb = -muc * a + norm["bias"][None]
+            got = conv3x3_gemm_slab(
+                x, k, bias, prologue_scale=a, prologue_bias=pb,
+                h_tile=16, co_tile=64, upsample=True, interpret=True,
+            )
+        else:
+            expected = conv2d(up, k, bias, padding=1)
+            got = conv3x3_gemm_slab(
+                x, k, bias, h_tile=16, co_tile=64, upsample=True,
+                interpret=True,
+            )
+        assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
     @pytest.mark.parametrize("has_t", [False, True])
     def test_slab_prologue_residual_matches_unfused(self, rng, has_t):
         """GN(+temb)->SiLU folded to the slab kernel's affine prologue +
