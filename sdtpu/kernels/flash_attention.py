@@ -42,59 +42,80 @@ _BLOCK_K = int(os.environ.get("SDTPU_FLASH_BLOCK_K", "1024"))
 
 
 def _kernel(
-    q_ref, k_ref, v_ref, o_ref,
-    m_scr, l_scr, acc_scr,
-    *, kv_len, block_k, sm_scale, num_k_blocks,
+    q_ref, k_ref, v_ref, o_ref, *scrs,
+    kv_len, block_k, sm_scale, num_k_blocks, bq, nq,
 ):
+    """``nq`` INDEPENDENT online-softmax chains per body (q rows
+    ``[i*bq, (i+1)*bq)`` each with private m/l/acc scratch).
+
+    A single chain is sequential — QK^T (MXU) -> max/exp/sum (VPU) ->
+    PV (MXU) — so each unit idles while the other works; the round-3 probes
+    measured the shipped single-chain kernel at ~66% padded-peak with BOTH
+    units co-bottlenecked (tools/probe_flash_int8.py, probe_flash_vpu.py).
+    Two data-independent chains give Mosaic's scheduler freedom to overlap
+    chain 1's matmuls with chain 0's exp passes: measured 66.5 -> 73.8%
+    padded-peak on the tiny-sd shape, -10% at every main self-attention
+    shape, bit-exact output (tools/probe_flash_2stream.py, BENCHLOG).
+    """
     ki = pl.program_id(3)
+    chains_scr = [scrs[3 * i:3 * i + 3] for i in range(nq)]
 
     @pl.when(ki == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+        for m_scr, l_scr, acc_scr in chains_scr:
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0, :, :]  # (block_q, d_pad)
     k = k_ref[0, 0, :, :]  # (block_k, d_pad)
     v = v_ref[0, 0, :, :]
+    d_pad = chains_scr[0][2].shape[-1]
+    masked = _ceil_to(kv_len, block_k) != kv_len
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, block_k)
-    s = s * sm_scale
+    def chain(q, m_scr, l_scr, acc_scr):
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, block_k)
+        s = s * sm_scale
 
-    # mask zero-padded keys past the true kv length
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, _NEG_BIG)
+        # mask zero-padded keys past the true kv length (skipped entirely
+        # when _pick_block made the kv padding zero — every main shape)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+                + ki * block_k
+            s = jnp.where(col < kv_len, s, _NEG_BIG)
 
-    # All softmax statistics are kept (block_q, 128) with the value
-    # replicated across lanes; broadcasts to (block_q, block_k) and
-    # (block_q, d_pad) are lane-tiles (`jnp.tile` by k/128), which the VPU
-    # executes natively — single-lane (bq, 1) slices force per-iteration
-    # relayouts and were ~10x slower.
-    d_pad = acc_scr.shape[-1]
-    m_prev = m_scr[...]
-    l_prev = l_scr[...]
-    m_curr = jnp.max(s, axis=1, keepdims=True)           # (block_q, 1)
-    m_next = jnp.maximum(m_prev, m_curr)                  # (block_q, 128)
-    alpha = jnp.exp(m_prev - m_next)                      # (block_q, 128)
-    p = jnp.exp(s - jnp.tile(m_next, (1, s.shape[1] // 128)))
-    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    m_scr[...] = m_next
-    l_scr[...] = l_next
+        # All softmax statistics are kept (bq, 128) with the value
+        # replicated across lanes; broadcasts to (bq, block_k) and
+        # (bq, d_pad) are lane-tiles (`jnp.tile` by k/128), which the VPU
+        # executes natively — single-lane (bq, 1) slices force per-iteration
+        # relayouts and were ~10x slower.
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)           # (bq, 1)
+        m_next = jnp.maximum(m_prev, m_curr)                  # (bq, 128)
+        alpha = jnp.exp(m_prev - m_next)                      # (bq, 128)
+        p = jnp.exp(s - jnp.tile(m_next, (1, s.shape[1] // 128)))
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
 
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (block_q, d_pad)
-    acc_scr[...] = acc_scr[...] * jnp.tile(alpha, (1, d_pad // 128)) + pv
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, d_pad)
+        acc_scr[...] = acc_scr[...] * jnp.tile(alpha, (1, d_pad // 128)) + pv
+
+    for i, (m_scr, l_scr, acc_scr) in enumerate(chains_scr):
+        chain(q_ref[0, 0, i * bq:(i + 1) * bq, :], m_scr, l_scr, acc_scr)
 
     @pl.when(ki == num_k_blocks - 1)
     def _store():
-        l = l_scr[...]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        out = acc_scr[...] * jnp.tile(l_inv, (1, d_pad // 128))
-        o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+        for i, (m_scr, l_scr, acc_scr) in enumerate(chains_scr):
+            l = l_scr[...]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            out = acc_scr[...] * jnp.tile(l_inv, (1, d_pad // 128))
+            o_ref[0, 0, i * bq:(i + 1) * bq, :] = out.astype(o_ref.dtype)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -183,9 +204,15 @@ def flash_attention_packed(
     assert d_pad % 128 == 0, d_pad
     sm_scale = 1.0 / math.sqrt(d_real)
 
-    block_q = _pick_block(block_q, lq, 8)
+    # q tile = TWO independent bq-row online-softmax chains (see _kernel);
+    # picked as one 2*block_q tile so `_pick_block`'s zero-padding logic
+    # still lands on divisor tiles for non-power-of-two grids (SD2.1-768:
+    # 2304 -> 768-tile = two 384-chains, 576 -> 576 = two 288-chains).
+    nq = 2
+    tile_q = _pick_block(nq * block_q, lq, 8 * nq)
+    bq = tile_q // nq
     block_k = _pick_block(block_k, lk, 128)
-    lq_pad = _ceil_to(lq, block_q)
+    lq_pad = _ceil_to(lq, tile_q)
     lk_pad = _ceil_to(lk, block_k)
     if lq_pad != lq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
@@ -194,7 +221,7 @@ def flash_attention_packed(
         v = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
     qp, kp, vp = q, k, v
     num_k_blocks = lk_pad // block_k
-    grid = (b, h, lq_pad // block_q, num_k_blocks)
+    grid = (b, h, lq_pad // tile_q, num_k_blocks)
 
     out = pl.pallas_call(
         functools.partial(
@@ -203,12 +230,14 @@ def flash_attention_packed(
             block_k=block_k,
             sm_scale=sm_scale,
             num_k_blocks=num_k_blocks,
+            bq=bq,
+            nq=nq,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, lq_pad, d_pad), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, block_q, d_pad),
+                (1, 1, tile_q, d_pad),
                 lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -224,14 +253,14 @@ def flash_attention_packed(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d_pad),
+            (1, 1, tile_q, d_pad),
             lambda bi, hi, qi, ki: (bi, hi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running sum
-            pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
+            # per-chain running max / running sum / output accumulator
+            pltpu.VMEM((bq, [128, 128, d_pad][j]), jnp.float32)
+            for _ in range(nq) for j in range(3)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
