@@ -31,6 +31,8 @@ class TestFlashAttention:
             (1, 128, 128, 1, 64),
             (1, 300, 300, 2, 80),    # non-multiple seq len
             (1, 256, 256, 1, 160),   # tiny-sd level-2 head dim
+            (1, 64, 64, 2, 40),      # mid-block 8x8 map: tile < block_q
+            (1, 8, 8, 1, 40),        # minimum tile (two 8-row chains pad)
         ],
     )
     def test_matches_xla_attention(self, rng, b, lq, lk, h, d):
