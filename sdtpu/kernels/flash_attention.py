@@ -272,3 +272,91 @@ def flash_attention_packed(
     )(qp, kp, vp)
 
     return out[:, :, :lq, :]
+
+
+def _out_proj_kernel(o_ref, w_ref, b_ref, r_ref, out_ref, acc_scr,
+                     *, num_heads):
+    hi = pl.program_id(2)
+
+    @pl.when(hi == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    acc_scr[...] += jax.lax.dot_general(
+        o_ref[0, 0], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(hi == num_heads - 1)
+    def _store():
+        out = acc_scr[...] + b_ref[...]
+        out = out + r_ref[0].astype(jnp.float32)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_l", "interpret"))
+def out_proj_packed(
+    o: jax.Array,
+    w: jax.Array,
+    bias,
+    residual: jax.Array,
+    *,
+    block_l: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """``residual + einsum('bhld,hdc', o, w) + bias`` as one Pallas GEMM.
+
+    o: (B, H, L, Dp) — the packed flash-attention output; w: (H, Dp, C)
+    zero-row-padded past d_real (so the padded-lane contraction is exact);
+    residual: (B, L, C).  Returns (B, L, C) in residual's dtype.
+
+    Exists for LAYOUT, not fusion: XLA lowers the einsum form with a
+    tokens-on-lanes ``{1,2,0}`` output layout that propagates down the
+    whole transformer residual chain — the round-3 trace shows every
+    out-proj/GeGLU-down fusion at the 64x64 level running ~40% MXU in that
+    layout plus a relayout ``%copy`` back to row-major per block.  A
+    custom call pins row-major operand/result layouts, and the residual
+    add rides the accumulator for free."""
+    b, h, l, d_pad = o.shape
+    c = w.shape[-1]
+    block_l = _pick_block(block_l, l, 8)
+    l_pad = _ceil_to(l, block_l)
+    if l_pad != l:
+        o = jnp.pad(o, ((0, 0), (0, 0), (0, l_pad - l), (0, 0)))
+        residual = jnp.pad(residual, ((0, 0), (0, l_pad - l), (0, 0)))
+    bias_f = (
+        bias.astype(jnp.float32).reshape(1, c)
+        if bias is not None
+        else jnp.zeros((1, c), jnp.float32)
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_out_proj_kernel, num_heads=h),
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, c), residual.dtype),
+        grid=(b, l_pad // block_l, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_l, d_pad),
+                         lambda bi, li, hi: (bi, hi, li, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, c),
+                         lambda bi, li, hi: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c),
+                         lambda bi, li, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_l, c),
+                         lambda bi, li, hi: (bi, li, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_l, c),
+                               lambda bi, li, hi: (bi, li, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_l, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(o, w, bias_f, residual)
+
+    return out[:, :l, :]

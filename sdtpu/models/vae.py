@@ -117,8 +117,10 @@ def vae_attention(
     b, h, w, c = x.shape
     out = group_norm(x, params["norm"], num_groups=num_groups, eps=1e-6)
     out = out.reshape(b, h * w, c)
-    out = attention(out, params["attn"], num_heads=1, implementation=implementation)
-    return out.reshape(b, h, w, c) + x
+    out = attention(out, params["attn"], num_heads=1,
+                    implementation=implementation,
+                    residual=x.reshape(b, h * w, c))
+    return out.reshape(b, h, w, c)
 
 
 def _mid(

@@ -19,6 +19,7 @@ switches the inner product to the Pallas blockwise online-softmax kernel
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -27,6 +28,12 @@ import jax.numpy as jnp
 from sdtpu.ops.activations import geglu
 from sdtpu.ops.linear import init_linear, linear
 from sdtpu.ops.norm import init_layer_norm, layer_norm
+
+# Route the flash path's out-projection (+ skip add) through the Pallas
+# layout-pinning GEMM (kernels/flash_attention.py:out_proj_packed).  Off by
+# default until the on-chip A/B lands — flip via SDTPU_PACKED_OUT_PROJ=1.
+_PACKED_OUT_PROJ = os.environ.get("SDTPU_PACKED_OUT_PROJ", "0") not in (
+    "0", "false", "")
 
 
 def attention(
@@ -38,6 +45,7 @@ def attention(
     causal: bool = False,
     implementation: str = "xla",
     kv_cache: Optional[dict] = None,
+    residual: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Multi-head (self or cross) attention.
 
@@ -47,6 +55,12 @@ def attention(
     the pipeline hoists these out of the loop (see
     :func:`precompute_cross_kv`); XLA does not loop-invariant-motion them
     itself, and they cost a projection + relayout copy per step otherwise.
+
+    ``residual``: optional (B, Lq, D) added to the output IN the op —
+    callers with a skip connection should pass it here rather than adding
+    outside: the flash path folds it into the Pallas out-projection
+    (``out_proj_packed``), whose custom-call boundary also pins the
+    residual chain to row-major layouts (see that kernel's docstring).
     """
     b, lq, d = x.shape
     assert d % num_heads == 0
@@ -60,7 +74,8 @@ def attention(
     # attention fuses those away entirely.
     if implementation == "flash" and not causal and context is None:
         return _flash_attention_fused_projections(
-            x, ctx, params, num_heads=num_heads, head_dim=head_dim
+            x, ctx, params, num_heads=num_heads, head_dim=head_dim,
+            residual=residual,
         )
 
     q = linear(x, params["q"]).reshape(b, lq, num_heads, head_dim)
@@ -84,12 +99,13 @@ def attention(
         out = _xla_attention(q, k, v, causal=causal)
 
     out = out.reshape(b, lq, d)
-    return linear(out, params["out"])
+    out = linear(out, params["out"])
+    return out if residual is None else residual + out
 
 
 def _flash_attention_fused_projections(
     x: jax.Array, ctx: jax.Array, params: dict, *, num_heads: int,
-    head_dim: int,
+    head_dim: int, residual: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash path with the head split AND the 128-lane head-dim padding
     folded into the projection WEIGHTS.
@@ -165,17 +181,27 @@ def _flash_attention_fused_projections(
         out = out * po["w_scale"].astype(jnp.float32)
         if "bias" in po:
             out = out + po["bias"].astype(jnp.float32)
-        return out.astype(x.dtype)
+        out = out.astype(x.dtype)
+        return out if residual is None else residual + out
 
     wo = po["kernel"].reshape(num_heads, head_dim, d_model)
     wo = jnp.pad(wo, ((0, 0), (0, d_pad - head_dim), (0, 0)))
+    if (residual is not None and jax.default_backend() != "cpu"
+            and _PACKED_OUT_PROJ):
+        # Pallas out-projection with the skip fold; pins the (B, L, C)
+        # residual chain to row-major — the einsum form's tokens-on-lanes
+        # output layout propagated through every downstream matmul of the
+        # transformer block at ~40% MXU (round-3 trace; kernel docstring).
+        from sdtpu.kernels.flash_attention import out_proj_packed
+
+        return out_proj_packed(o, wo, po.get("bias"), residual)
     # (a per-head "bhld,hdc->bhlc" matmul + head-sum split was tried against
     # this direct contraction — e2e neutral; XLA overlaps the conv-lowered
     # form fine, and the split costs an extra (B,H,L,C) HBM intermediate)
     out = jnp.einsum("bhld,hdc->blc", o, wo)
     if "bias" in params["out"]:
         out = out + params["out"]["bias"].astype(out.dtype)
-    return out
+    return out if residual is None else residual + out
 
 
 def _xla_attention(q, k, v, *, causal: bool) -> jax.Array:
@@ -235,17 +261,19 @@ def transformer_block(
     cross_kv: Optional[dict] = None,
 ) -> jax.Array:
     h = layer_norm(x, params["norm1"])
-    x = x + attention(
-        h, params["attn1"], num_heads=num_heads, implementation=implementation
+    x = attention(
+        h, params["attn1"], num_heads=num_heads,
+        implementation=implementation, residual=x,
     )
     h = layer_norm(x, params["norm2"])
-    x = x + attention(
+    x = attention(
         h,
         params["attn2"],
         num_heads=num_heads,
         context=context,
         implementation=implementation,
         kv_cache=cross_kv,
+        residual=x,
     )
     h = layer_norm(x, params["norm3"])
     h = geglu(linear(h, params["ff"]["proj"]))

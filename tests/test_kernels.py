@@ -159,6 +159,35 @@ class TestFlashAttention:
         assert_allclose(got, expected, atol=1e-6, rtol=1e-6)
 
 
+class TestOutProjPacked:
+    @pytest.mark.parametrize(
+        "b,h,l,dp,c,bias",
+        [
+            (2, 8, 256, 128, 320, True),   # tiny-sd L0 head layout
+            (1, 2, 300, 128, 64, False),   # non-multiple seq len (pads)
+            (1, 1, 64, 512, 96, True),     # VAE-style single wide head
+        ],
+    )
+    def test_matches_einsum(self, rng, b, h, l, dp, c, bias):
+        """residual + einsum('bhld,hdc') + bias as one Pallas GEMM (the
+        row-major-layout-pinning out-projection, flash_attention.py)."""
+        from sdtpu.kernels.flash_attention import out_proj_packed
+
+        o = jnp.array(rng.standard_normal((b, h, l, dp), dtype=np.float32))
+        w = jnp.array(rng.standard_normal((h, dp, c), dtype=np.float32))
+        bv = (jnp.array(rng.standard_normal((c,), dtype=np.float32))
+              if bias else None)
+        res = jnp.array(rng.standard_normal((b, l, c), dtype=np.float32))
+        expected = res + jnp.einsum("bhld,hdc->blc", o, w)
+        if bias:
+            expected = expected + bv
+        got = out_proj_packed(o, w, bv, res, interpret=True)
+        assert got.shape == (b, l, c)
+        # per-head f32 partial sums vs one fused contraction: tiny
+        # accumulation-order drift at ~1e-6 relative
+        assert_allclose(got, expected, atol=3e-4, rtol=1e-5)
+
+
 class TestConv3x3Gemm:
     @pytest.mark.parametrize("b,h,w,ci,co", [
         (1, 8, 8, 16, 32),
