@@ -44,6 +44,11 @@ def main() -> None:
                          "GeGLU down (runtime per-row scales)")
     ap.add_argument("--int8-vae", action="store_true",
                     help="with --int8: quantize the VAE decoder resnets")
+    ap.add_argument("--lora", action="append", default=[],
+                    metavar="PATH[:SCALE]",
+                    help="fuse a LoRA adapter safetensors (kohya or "
+                         "diffusers-peft layout) into the weights before "
+                         "generation; repeatable to stack adapters")
     ap.add_argument("--out", default="out.png")
     args = ap.parse_args()
 
@@ -60,6 +65,16 @@ def main() -> None:
     else:
         print("no --model-dir: running random weights (reference behavior)")
         pipe = StableDiffusionPipeline.from_random(args.preset)
+    for spec in args.lora:
+        path, _, s = spec.rpartition(":")
+        try:
+            path, scale = (path, float(s)) if path else (spec, 1.0)
+        except ValueError:
+            path, scale = spec, 1.0
+        report = pipe.load_lora(path, scale=scale)
+        print(f"lora {path} (scale {scale}): {report['applied']} modules"
+              + (f", skipped {len(report['skipped'])}"
+                 if report["skipped"] else ""))
     if args.int8:
         pipe.quantize_int8(transformer=args.int8_transformer,
                            vae=args.int8_vae)

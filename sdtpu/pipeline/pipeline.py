@@ -147,6 +147,28 @@ class StableDiffusionPipeline:
         self._compiled = {}
         return self
 
+    def load_lora(self, lora, *, scale: float = 1.0) -> dict:
+        """Fuse a LoRA adapter into the pipeline weights (kohya/sd-scripts
+        or diffusers-peft safetensors layout; ``sdtpu/utils/lora.py``).
+
+        Fusion keeps the compiled program byte-identical — same shapes,
+        zero per-call adapter cost — so cached executables are reused and
+        stacking multiple adapters is just repeated calls.  Apply BEFORE
+        :meth:`quantize_int8` (fusing into int8 weights raises).  ``lora``
+        is a safetensors path or an already-loaded ``{key: array}``
+        mapping; ``scale`` is the usual LoRA strength multiplier.  Returns
+        a report dict (``applied`` count, ``skipped``/``unrecognized``
+        keys) for caller logging."""
+        from sdtpu.utils.lora import apply_lora
+        from sdtpu.utils.weights import load_safetensors
+
+        sd = load_safetensors(lora) if isinstance(lora, str) else lora
+        self.params, report = apply_lora(self.params, sd, scale=scale)
+        # commit to device: host-numpy leaves re-transfer through the relay
+        # on every call (the round-3 int8 "pathology" — BENCHLOG)
+        self.params = jax.tree.map(jnp.asarray, self.params)
+        return report
+
     # -- public API (pipeline.mojo:13-22 surface) ----------------------------
 
     def generate(
