@@ -49,6 +49,11 @@ def main() -> None:
                     help="fuse a LoRA adapter safetensors (kohya or "
                          "diffusers-peft layout) into the weights before "
                          "generation; repeatable to stack adapters")
+    ap.add_argument("--textual-inversion", action="append", default=[],
+                    metavar="PATH[:TOKEN]",
+                    help="load a textual-inversion embedding safetensors; "
+                         "TOKEN names the placeholder for emb_params/"
+                         "dual-encoder layouts; repeatable")
     ap.add_argument("--out", default="out.png")
     args = ap.parse_args()
 
@@ -75,6 +80,12 @@ def main() -> None:
         print(f"lora {path} (scale {scale}): {report['applied']} modules"
               + (f", skipped {len(report['skipped'])}"
                  if report["skipped"] else ""))
+    for spec in args.textual_inversion:
+        path, _, tok = spec.rpartition(":")
+        path, tok = (path, tok) if path else (spec, None)
+        reg = pipe.load_textual_inversion(path, token=tok)
+        print(f"textual inversion {path}: "
+              + ", ".join(f"{t} -> {ids}" for t, ids in reg.items()))
     if args.int8:
         pipe.quantize_int8(transformer=args.int8_transformer,
                            vae=args.int8_vae)

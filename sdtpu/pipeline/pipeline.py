@@ -169,6 +169,28 @@ class StableDiffusionPipeline:
         self.params = jax.tree.map(jnp.asarray, self.params)
         return report
 
+    def load_textual_inversion(self, embeds, *, token=None) -> dict:
+        """Load textual-inversion concept embeddings
+        (``sdtpu/utils/textual_inversion.py``): appends the learned
+        vectors to the CLIP token-embedding table(s) and registers the
+        placeholder with the tokenizer, so prompts can use it directly
+        (multi-vector concepts expand to one id per vector).  ``embeds``
+        is a safetensors path or a loaded mapping; ``token`` names the
+        placeholder for layouts that don't carry it (``emb_params`` /
+        dual-encoder SDXL files).  Returns ``{placeholder: [token ids]}``
+        — ``token_ids``-level callers splice those in themselves."""
+        from sdtpu.utils.textual_inversion import apply_textual_inversion
+        from sdtpu.utils.weights import load_safetensors
+
+        sd = load_safetensors(embeds) if isinstance(embeds, str) else embeds
+        self.params, registered = apply_textual_inversion(
+            self.params, sd, token=token)
+        self.params = jax.tree.map(jnp.asarray, self.params)
+        if self.tokenizer is not None:
+            for placeholder, ids in registered.items():
+                self.tokenizer.add_placeholder(placeholder, ids)
+        return registered
+
     # -- public API (pipeline.mojo:13-22 surface) ----------------------------
 
     def generate(

@@ -76,6 +76,15 @@ class CLIPTokenizer:
         self.bos_id = self.vocab[BOS_TOKEN]
         self.eos_id = self.vocab[EOS_TOKEN]
         self._bpe_cache: Dict[str, List[str]] = {}
+        # textual-inversion placeholders: literal string -> id sequence,
+        # matched before BPE (``add_placeholder``)
+        self.placeholders: Dict[str, List[int]] = {}
+
+    def add_placeholder(self, token: str, ids: List[int]) -> None:
+        """Register a placeholder (e.g. a textual-inversion concept like
+        ``<cat-toy>``) that encodes to ``ids`` verbatim, bypassing BPE.
+        Matched case-insensitively, longest-first."""
+        self.placeholders[token.lower()] = [int(i) for i in ids]
 
     # -- construction -----------------------------------------------------
 
@@ -186,6 +195,21 @@ class CLIPTokenizer:
             out.extend(self._bpe(mapped))
         return out
 
+    def _encode_body(self, text: str) -> List[int]:
+        if not self.placeholders:
+            return [self.vocab[t] for t in self.tokenize(text)]
+        pattern = "|".join(
+            re.escape(p)
+            for p in sorted(self.placeholders, key=len, reverse=True)
+        )
+        ids: List[int] = []
+        for part in re.split(f"({pattern})", text.lower()):
+            if part in self.placeholders:
+                ids += self.placeholders[part]
+            elif part.strip():
+                ids += [self.vocab[t] for t in self.tokenize(part)]
+        return ids
+
     def encode(
         self,
         text: str,
@@ -197,7 +221,7 @@ class CLIPTokenizer:
         and EOS-padded — the SD convention the reference's zero-padding
         breaks (``clip.mojo:90-92``)."""
         ids = [self.bos_id]
-        ids += [self.vocab[t] for t in self.tokenize(text)]
+        ids += self._encode_body(text)
         if max_length is not None and len(ids) > max_length - 1:
             ids = ids[: max_length - 1]
         ids.append(self.eos_id)
