@@ -25,8 +25,9 @@ def main() -> None:
                     help="default: the preset's native step count")
     ap.add_argument("--seed", type=int, default=40)
     ap.add_argument("--sampler", default=None,
-                    choices=["ddpm", "ddim", "euler", "lcm", "dpm++"],
-                    help="default: the preset's native sampler")
+                    help="ddpm/ddim/euler/euler-a/lcm/dpm++ or the "
+                         "-karras variants (sdtpu.samplers.SAMPLERS); "
+                         "default: the preset's native sampler")
     ap.add_argument("--cfg-scale", type=float, default=None)
     ap.add_argument("--no-cfg", action="store_true")
     ap.add_argument("--init-image", default=None, help="img2img input path")
@@ -54,6 +55,10 @@ def main() -> None:
                     help="load a textual-inversion embedding safetensors; "
                          "TOKEN names the placeholder for emb_params/"
                          "dual-encoder layouts; repeatable")
+    ap.add_argument("--clip-skip", type=int, default=0,
+                    help="condition on the text-encoder hidden state N "
+                         "layers before the usual output (diffusers "
+                         "semantics; 1 = community 'CLIP skip 2')")
     ap.add_argument("--out", default="out.png")
     args = ap.parse_args()
 
@@ -117,6 +122,7 @@ def main() -> None:
         image_size=args.image_size,
         token_ids=token_ids,
         sampler=args.sampler,
+        clip_skip=args.clip_skip,
     )
     dt = time.perf_counter() - t0
     save_png(image, args.out)

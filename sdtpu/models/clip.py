@@ -57,6 +57,8 @@ def clip_encode(
     token_ids: jax.Array,
     params: dict,
     config: CLIPConfig,
+    *,
+    clip_skip: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Encode (B, L) token ids.
 
@@ -66,14 +68,18 @@ def clip_encode(
     second encoder) — and ``pooled`` is the final-LN state at each sequence's
     EOS position (argmax of ids, the HF convention), used by SDXL
     micro-conditioning.
+
+    ``clip_skip``: take the hidden state ``clip_skip`` layers before the
+    model's usual output layer (diffusers semantics: ``clip_skip=1`` = the
+    community "CLIP skip 2" = penultimate for SD 1.x; composes additively
+    with the bigG penultimate default).  The skipped tail layers still run
+    once for the pooled output — the scan is simply split at the tap point
+    (stacked layer params sliced statically), so nothing is recomputed and
+    no per-layer stack is materialized.
     """
     b, seq_len = token_ids.shape
     x = embedding_lookup(token_ids, params["token_embedding"])
     x = x + params["position_embedding"][None, :seq_len, :].astype(x.dtype)
-
-    # Only stack per-layer outputs when the penultimate state is the model
-    # output (SDXL's bigG); SD 1.x needs just the final state.
-    need_penultimate = not config.use_final_layer_norm_output
 
     def body(carry, layer_params):
         out = encoder_layer(
@@ -83,10 +89,22 @@ def clip_encode(
             act=config.hidden_act,
             eps=config.layer_norm_eps,
         )
-        return out, (out if need_penultimate else None)
+        return out, None
 
-    final, per_layer = jax.lax.scan(body, x, params["layers"])
-    penultimate = per_layer[-2] if need_penultimate else final
+    # layers from the end whose output the conditioning does NOT use: the
+    # user's clip_skip plus SDXL-bigG's built-in penultimate tap
+    eff_skip = clip_skip + (0 if config.use_final_layer_norm_output else 1)
+    if not 0 <= eff_skip < config.num_layers:
+        raise ValueError(f"clip_skip {clip_skip} out of range")
+    n_head = config.num_layers - eff_skip
+    if eff_skip == 0:
+        final, _ = jax.lax.scan(body, x, params["layers"])
+        h = final
+    else:
+        head = jax.tree.map(lambda a: a[:n_head], params["layers"])
+        tail = jax.tree.map(lambda a: a[n_head:], params["layers"])
+        h, _ = jax.lax.scan(body, x, head)
+        final, _ = jax.lax.scan(body, h, tail)
 
     normed = layer_norm(final, params["final_norm"], eps=config.layer_norm_eps)
 
@@ -95,7 +113,11 @@ def clip_encode(
     if config.projection_dim is not None:
         pooled = linear(pooled, params["text_projection"])
 
-    hidden = normed if config.use_final_layer_norm_output else penultimate
+    if config.use_final_layer_norm_output:
+        hidden = normed if eff_skip == 0 else layer_norm(
+            h, params["final_norm"], eps=config.layer_norm_eps)
+    else:
+        hidden = h
     return hidden, pooled
 
 

@@ -212,6 +212,7 @@ class StableDiffusionPipeline:
         latents: Optional[np.ndarray] = None,
         rng: str = "jax",
         output: str = "uint8",
+        clip_skip: int = 0,
         verbose: bool = False,
     ):
         """Text->image (or image->image when ``init_image`` is given).
@@ -229,7 +230,11 @@ class StableDiffusionPipeline:
         ``token_ids`` bypasses the tokenizer (pre-tokenized prompts; also the
         benchmarking path when no vocab asset is installed).  ``sampler``:
         "ddpm" (reference semantics), "ddim", "euler", "lcm", "dpm++", or
-        the Karras-sigma variants "euler-karras" / "dpm++-karras".  ``output``:
+        the Karras-sigma variants "euler-karras" / "dpm++-karras".
+        ``clip_skip``: condition on the hidden state N layers before the
+        text encoder's usual output (diffusers semantics; ``clip_skip=1``
+        = the community "CLIP skip 2"; the tail layers still run for the
+        pooled output, see ``models/clip.py``).  ``output``:
         "uint8" (default), "float" ([-1,1] array), "latents", or "device"
         (un-fetched uint8-packed device array — see ``generate_async``).
         ``verbose`` logs structured stage timings (compile vs execute) —
@@ -301,6 +306,7 @@ class StableDiffusionPipeline:
                 ),
                 strength=strength,
                 output=output,
+                clip_skip=clip_skip,
             )
 
         ids = self._tokenize(prompt, negative_prompt, cfg, token_ids)
@@ -333,6 +339,7 @@ class StableDiffusionPipeline:
             want_latents=output == "latents",
             want_uint8=output in ("uint8", "device"),
             has_mask=mask_image is not None,
+            clip_skip=clip_skip,
         )
 
         # seed and cfg_scale travel as HOST scalars into the jit call (the
@@ -418,6 +425,7 @@ class StableDiffusionPipeline:
         strength: float = 0.9,
         mesh=None,
         output: str = "uint8",
+        clip_skip: int = 0,
     ):
         """Batched txt2img serving: B prompts -> (B, H, W, 3) in ONE compiled
         CFG-batched (2B) program — the large-batch few-step serving path
@@ -499,6 +507,7 @@ class StableDiffusionPipeline:
             round(strength, 6) if is_img2img else 1.0, ids.shape[0], sampler,
             want_uint8=output in ("uint8", "device"),
             has_mask=mask_images is not None,
+            clip_skip=clip_skip,
         )
         if seeds is not None:
             if len(seeds) != cond.shape[0]:
@@ -685,7 +694,7 @@ class StableDiffusionPipeline:
     def _get_compiled(
         self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
         has_latents=False, want_latents=False, want_uint8=False,
-        has_mask=False,
+        has_mask=False, clip_skip=0,
     ):
         # The ring-attention context is read at TRACE time (the shard_map is
         # baked into the compiled program), so it must be part of the cache
@@ -696,7 +705,7 @@ class StableDiffusionPipeline:
 
         cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler,
                      has_latents, want_latents, want_uint8, has_mask,
-                     get_ring_context())
+                     clip_skip, get_ring_context())
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
@@ -707,14 +716,15 @@ class StableDiffusionPipeline:
                              has_latents=has_latents,
                              want_latents=want_latents,
                              want_uint8=want_uint8,
-                             has_mask=has_mask)
+                             has_mask=has_mask,
+                             clip_skip=clip_skip)
             self._compiled[cache_key] = fn
         return fn
 
     def _build(
         self, sdef: SamplerDef, schedule, cfg: bool, is_img2img: bool,
         size: int, has_latents: bool = False, want_latents: bool = False,
-        want_uint8: bool = False, has_mask: bool = False,
+        want_uint8: bool = False, has_mask: bool = False, clip_skip: int = 0,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -738,10 +748,13 @@ class StableDiffusionPipeline:
             and bigG penultimate states (768+1280=2048) plus the bigG
             projected pooled embedding and size/crop time ids for the
             add-embedding micro-conditioning."""
-            hidden, _ = clip_encode(ids, params["clip"], config.clip)
+            hidden, _ = clip_encode(ids, params["clip"], config.clip,
+                                    clip_skip=clip_skip)
             if config.clip_2 is None:
                 return hidden.astype(compute_dtype), None
-            hidden2, pooled2 = clip_encode(ids, params["clip_2"], config.clip_2)
+            hidden2, pooled2 = clip_encode(ids, params["clip_2"],
+                                           config.clip_2,
+                                           clip_skip=clip_skip)
             context = jnp.concatenate(
                 [hidden.astype(compute_dtype), hidden2.astype(compute_dtype)],
                 axis=-1,

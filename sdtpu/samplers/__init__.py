@@ -58,6 +58,15 @@ SAMPLERS = {
         multistep=True,
         state_init=_dpm.state_init,
     ),
+    # ancestral variant: Euler move to sigma_down + fresh noise sigma_up
+    # (the community-default stochastic sampler)
+    "euler-a": SamplerDef(
+        _euler.make_schedule,
+        _euler.euler_ancestral_step,
+        _euler.add_noise,
+        scale_model_input=_euler.scale_model_input,
+        stochastic=True,
+    ),
     # Karras rho-7 sigma spacing (fractional timesteps via log-sigma
     # interpolation) — the standard quality-per-step option at <= 25 steps.
     "euler-karras": SamplerDef(
@@ -72,6 +81,13 @@ SAMPLERS = {
         _dpm.add_noise,
         multistep=True,
         state_init=_dpm.state_init,
+    ),
+    "euler-a-karras": SamplerDef(
+        functools.partial(_euler.make_schedule, karras=True),
+        _euler.euler_ancestral_step,
+        _euler.add_noise,
+        scale_model_input=_euler.scale_model_input,
+        stochastic=True,
     ),
 }
 

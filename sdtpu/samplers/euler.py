@@ -78,6 +78,18 @@ def scale_model_input(schedule: EulerSchedule, step_index, x):
     return x * schedule.input_scale[step_index].astype(x.dtype)
 
 
+def _derivative(schedule: EulerSchedule, sigma, x, e):
+    """d = (x - x0)/sigma for the schedule's prediction type."""
+    if schedule.prediction_type == "v_prediction":
+        # diffusers EulerDiscreteScheduler: x is the UNSCALED sample
+        # (x = x0 + sigma * eps); the model saw x / sqrt(sigma^2 + 1).
+        # x0 = -sigma/sqrt(sigma^2+1) * v + x/(sigma^2+1); d = (x - x0)/sigma.
+        x0 = -sigma / jnp.sqrt(sigma**2 + 1.0) * e + x / (sigma**2 + 1.0)
+        return (x - x0) / sigma
+    # epsilon: x0 = x - sigma * eps; d = (x - x0)/sigma = eps
+    return e
+
+
 def euler_step(
     schedule: EulerSchedule,
     step_index: jax.Array,
@@ -90,16 +102,35 @@ def euler_step(
     e = eps_pred.astype(jnp.float32)
     sigma = schedule.sigmas[step_index]
     sigma_next = schedule.sigmas[step_index + 1]
-    if schedule.prediction_type == "v_prediction":
-        # diffusers EulerDiscreteScheduler: x is the UNSCALED sample
-        # (x = x0 + sigma * eps); the model saw x / sqrt(sigma^2 + 1).
-        # x0 = -sigma/sqrt(sigma^2+1) * v + x/(sigma^2+1); d = (x - x0)/sigma.
-        x0 = -sigma / jnp.sqrt(sigma**2 + 1.0) * e + x / (sigma**2 + 1.0)
-        d = (x - x0) / sigma
-    else:
-        # epsilon: x0 = x - sigma * eps; d = (x - x0)/sigma = eps
-        d = e
+    d = _derivative(schedule, sigma, x, e)
     x_prev = x + (sigma_next - sigma) * d
+    return x_prev.astype(latents.dtype)
+
+
+def euler_ancestral_step(
+    schedule: EulerSchedule,
+    step_index: jax.Array,
+    latents: jax.Array,
+    eps_pred: jax.Array,
+    noise: jax.Array,
+) -> jax.Array:
+    """Euler-ancestral (diffusers ``EulerAncestralDiscreteScheduler``): the
+    deterministic Euler move goes only to ``sigma_down`` and the remaining
+    variance ``sigma_up`` is re-injected as fresh noise —
+    ``sigma_up^2 = sigma_next^2 (sigma^2 - sigma_next^2)/sigma^2``,
+    ``sigma_down^2 = sigma_next^2 - sigma_up^2``.  At the final step
+    ``sigma_next = 0`` so both vanish and the update lands on x0."""
+    x = latents.astype(jnp.float32)
+    e = eps_pred.astype(jnp.float32)
+    sigma = schedule.sigmas[step_index]
+    sigma_next = schedule.sigmas[step_index + 1]
+    d = _derivative(schedule, sigma, x, e)
+    up2 = sigma_next**2 * (sigma**2 - sigma_next**2) / sigma**2
+    up2 = jnp.maximum(up2, 0.0)
+    sigma_up = jnp.sqrt(up2)
+    sigma_down = jnp.sqrt(jnp.maximum(sigma_next**2 - up2, 0.0))
+    x_prev = x + (sigma_down - sigma) * d \
+        + sigma_up * noise.astype(jnp.float32)
     return x_prev.astype(latents.dtype)
 
 

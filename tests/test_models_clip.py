@@ -99,6 +99,48 @@ class TestClipVsTransformers:
         hidden, _ = clip_encode(jnp.array(ids), params, cfg)
         assert_allclose(hidden, expected, atol=1e-4, rtol=1e-3)
 
+    def test_clip_skip_matches_hf(self):
+        """diffusers clip_skip semantics: hidden_states[-(clip_skip+1)]
+        through the final LayerNorm; pooled output unchanged (the tail
+        layers still run)."""
+        model = make_hf_model(SMALL)
+        params = clip_params_from_state_dict(model.state_dict(), SMALL)
+        # 999 = the test vocab's EOS/max id so HF first-EOS pooling and our
+        # argmax pooling agree (same convention as test_pooled_output_matches)
+        ids = np.array([[49, 2, 777, 5, 999, 0, 3, 1] + [0] * 8])
+        with torch.no_grad():
+            out = model(torch.from_numpy(ids), output_hidden_states=True)
+            expected = model.text_model.final_layer_norm(
+                out.hidden_states[-2]).numpy()
+        hidden, pooled = clip_encode(jnp.array(ids), params, SMALL,
+                                     clip_skip=1)
+        assert_allclose(hidden, expected, atol=1e-4, rtol=1e-3)
+        assert_allclose(pooled, out.pooler_output.numpy(),
+                        atol=1e-4, rtol=1e-3)
+
+    def test_clip_skip_composes_with_penultimate(self):
+        """On a bigG-style (penultimate-default) encoder, clip_skip=1 reads
+        one layer further back: hidden_states[-3], un-normed."""
+        cfg = CLIPConfig(
+            vocab_size=1000, hidden_size=64, intermediate_size=128,
+            num_layers=3, num_heads=4, max_length=16,
+            use_final_layer_norm_output=False,
+        )
+        model = make_hf_model(cfg)
+        params = clip_params_from_state_dict(model.state_dict(), cfg)
+        ids = np.array([[1, 2, 3, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]])
+        with torch.no_grad():
+            out = model(torch.from_numpy(ids), output_hidden_states=True)
+        hidden, _ = clip_encode(jnp.array(ids), params, cfg, clip_skip=1)
+        assert_allclose(hidden, out.hidden_states[-3].numpy(),
+                        atol=1e-4, rtol=1e-3)
+
+    def test_clip_skip_out_of_range_raises(self):
+        params = init_clip(jax.random.key(0), SMALL)
+        ids = jnp.ones((1, SMALL.max_length), dtype=jnp.int32)
+        with pytest.raises(ValueError, match="clip_skip"):
+            clip_encode(ids, params, SMALL, clip_skip=SMALL.num_layers)
+
     def test_jit_and_batch(self):
         params = init_clip(jax.random.key(0), SMALL)
         ids = jnp.ones((4, SMALL.max_length), dtype=jnp.int32)

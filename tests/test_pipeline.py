@@ -64,6 +64,17 @@ class TestTxt2Img:
         b = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2, seed=7)
         np.testing.assert_array_equal(a, b)
 
+    def test_clip_skip_changes_conditioning(self, pipe):
+        base = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                             seed=7)
+        skip = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                             seed=7, clip_skip=1)
+        assert skip.shape == base.shape
+        assert not np.array_equal(skip, base)  # different tap layer
+        again = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                              seed=7, clip_skip=1)
+        np.testing.assert_array_equal(skip, again)  # cached program reused
+
     def test_seed_changes_output(self, pipe):
         a = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2, seed=1)
         b = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2, seed=2)

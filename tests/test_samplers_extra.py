@@ -75,7 +75,7 @@ class TestEuler:
 
 
 class TestPipelineSamplers:
-    @pytest.mark.parametrize("sampler", ["ddim", "euler"])
+    @pytest.mark.parametrize("sampler", ["ddim", "euler", "euler-a"])
     def test_generate_with_sampler(self, sampler):
         from test_pipeline import TINY, TOKENS
         from sdtpu.pipeline.pipeline import StableDiffusionPipeline
@@ -89,6 +89,48 @@ class TestPipelineSamplers:
     def test_unknown_sampler_raises(self):
         with pytest.raises(ValueError, match="unknown sampler"):
             get_sampler("plms")
+
+
+class TestEulerAncestral:
+    def test_sigma_split_identity_and_noise_injection(self):
+        """sigma_up^2 + sigma_down^2 = sigma_next^2, and the zero-noise step
+        is exactly the Euler move shortened to sigma_down."""
+        sched = euler.make_schedule(CFG, 10)
+        x = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        e = jax.random.normal(jax.random.key(1), x.shape)
+        z = jax.random.normal(jax.random.key(2), x.shape)
+        i = 4
+        sigma = float(sched.sigmas[i])
+        sigma_next = float(sched.sigmas[i + 1])
+        up2 = sigma_next**2 * (sigma**2 - sigma_next**2) / sigma**2
+        sigma_up = np.sqrt(up2)
+        sigma_down = np.sqrt(sigma_next**2 - up2)
+        assert sigma_up**2 + sigma_down**2 == pytest.approx(sigma_next**2)
+
+        zero = euler.euler_ancestral_step(
+            sched, jnp.array(i), x, e, jnp.zeros_like(x))
+        expected = np.asarray(x) + (sigma_down - sigma) * np.asarray(e)
+        assert_allclose(zero, expected, rtol=1e-4, atol=1e-5)
+
+        noisy = euler.euler_ancestral_step(sched, jnp.array(i), x, e, z)
+        assert_allclose(
+            np.asarray(noisy) - np.asarray(zero),
+            sigma_up * np.asarray(z), rtol=1e-4, atol=1e-5)
+
+    def test_final_step_lands_on_x0(self):
+        """sigma_next = 0 at the last step: sigma_up = sigma_down = 0 and the
+        update returns x0 exactly, noise ignored."""
+        sched = euler.make_schedule(CFG, 10)
+        x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        i = sched.num_steps - 1
+        sigma = float(sched.sigmas[i])
+        z = jax.random.normal(jax.random.key(1), x0.shape)
+        x = x0 + sigma * z
+        e = z  # oracle eps
+        out = euler.euler_ancestral_step(
+            sched, jnp.array(i), x, e,
+            jax.random.normal(jax.random.key(2), x0.shape))
+        assert_allclose(out, x0, rtol=1e-3, atol=1e-4)
 
 
 class TestKarras:
@@ -134,7 +176,8 @@ class TestKarras:
         assert float(karr.sigmas[5]) < float(plain.sigmas[5])
         assert karr.timesteps.dtype == jnp.float32  # fractional
 
-    @pytest.mark.parametrize("sampler", ["euler-karras", "dpm++-karras"])
+    @pytest.mark.parametrize(
+        "sampler", ["euler-karras", "dpm++-karras", "euler-a-karras"])
     def test_generate_with_karras_sampler(self, sampler):
         from test_pipeline import TINY, TOKENS
         from sdtpu.pipeline.pipeline import StableDiffusionPipeline
