@@ -42,8 +42,8 @@ _BLOCK_K = int(os.environ.get("SDTPU_FLASH_BLOCK_K", "1024"))
 
 
 def _kernel(
-    q_ref, k_ref, v_ref, o_ref, *scrs,
-    kv_len, block_k, sm_scale, num_k_blocks, bq, nq,
+    q_ref, k_ref, v_ref, o_ref, *rest,
+    kv_len, block_k, sm_scale, num_k_blocks, bq, nq, emit_stats=False,
 ):
     """``nq`` INDEPENDENT online-softmax chains per body (q rows
     ``[i*bq, (i+1)*bq)`` each with private m/l/acc scratch).
@@ -57,6 +57,10 @@ def _kernel(
     padded-peak on the tiny-sd shape, -10% at every main self-attention
     shape, bit-exact output (tools/probe_flash_2stream.py, BENCHLOG).
     """
+    if emit_stats:
+        m_ref, l_ref, scrs = rest[0], rest[1], rest[2:]
+    else:
+        scrs = rest
     ki = pl.program_id(3)
     chains_scr = [scrs[3 * i:3 * i + 3] for i in range(nq)]
 
@@ -116,6 +120,11 @@ def _kernel(
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             out = acc_scr[...] * jnp.tile(l_inv, (1, d_pad // 128))
             o_ref[0, 0, i * bq:(i + 1) * bq, :] = out.astype(o_ref.dtype)
+            if emit_stats:
+                # lane-replicated row stats for cross-shard softmax merge
+                # (ring attention): m = running max, l = running sum
+                m_ref[0, 0, i * bq:(i + 1) * bq, :] = m_scr[...]
+                l_ref[0, 0, i * bq:(i + 1) * bq, :] = l_scr[...]
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -272,6 +281,96 @@ def flash_attention_packed(
     )(qp, kp, vp)
 
     return out[:, :, :lq, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention_stats(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    block_q: int = 256,
+    block_k: int = 1024,
+    interpret: bool = False,
+):
+    """Flash attention that ALSO returns the per-row softmax statistics —
+    the partial-attention primitive for cross-shard merging (ring
+    attention): given per-KV-block results ``(o_i, m_i, l_i)``, the exact
+    global attention is the softmax-merge
+    ``sum_i o_i * l_i * exp(m_i - M) / sum_i l_i * exp(m_i - M)`` with
+    ``M = max_i m_i``.
+
+    q/k/v: (B, L, H, D).  Returns ``(out, m, l)`` with out (B, Lq, H, D)
+    normalized over THIS kv block, m/l (B, H, Lq) f32."""
+    b, lq, h, d = q.shape
+    d_pad = _ceil_to(d, 128)
+
+    def prep(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))
+
+    lk = k.shape[1]
+    sm_scale = 1.0 / math.sqrt(d)
+    qp, kp, vp = prep(q), prep(k), prep(v)
+
+    nq = 2
+    tile_q = _pick_block(nq * block_q, lq, 8 * nq)
+    bq = tile_q // nq
+    block_k = _pick_block(block_k, lk, 128)
+    lq_pad = _ceil_to(lq, tile_q)
+    lk_pad = _ceil_to(lk, block_k)
+    if lq_pad != lq:
+        qp = jnp.pad(qp, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
+    if lk_pad != lk:
+        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
+    num_k_blocks = lk_pad // block_k
+    grid = (b, h, lq_pad // tile_q, num_k_blocks)
+
+    qkv_spec = [
+        pl.BlockSpec((1, 1, tile_q, d_pad),
+                     lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, d_pad),
+                     lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, d_pad),
+                     lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    q_out_spec = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, 1, tile_q, w), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM)
+
+    out, m, l = pl.pallas_call(
+        functools.partial(
+            _kernel, kv_len=lk, block_k=block_k, sm_scale=sm_scale,
+            num_k_blocks=num_k_blocks, bq=bq, nq=nq, emit_stats=True,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, lq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lq_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, lq_pad, 128), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=qkv_spec,
+        out_specs=[q_out_spec(d_pad), q_out_spec(128), q_out_spec(128)],
+        scratch_shapes=[
+            pltpu.VMEM((bq, [128, 128, d_pad][j]), jnp.float32)
+            for _ in range(nq) for j in range(3)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    out = jnp.transpose(out[:, :, :lq, :d], (0, 2, 1, 3))
+    return out, m[:, :, :lq, 0], l[:, :, :lq, 0]
 
 
 def _out_proj_kernel(o_ref, w_ref, b_ref, r_ref, out_ref, acc_scr,

@@ -71,6 +71,48 @@ def _ring_attention_local(q, k, v, *, axis_name, scale):
     return jnp.einsum("bhqd->bqhd", out).astype(q.dtype)
 
 
+def _ring_flash_local(q, k, v, *, axis_name, interpret):
+    """Per-shard body with the Pallas flash kernel: each rotation runs
+    blockwise flash attention of the local queries against the visiting KV
+    shard (never materializing the (L/N, L/N) score matrix the dense body
+    does — at 65k tokens over 8 chips that matrix is 256 MiB/head) and the
+    per-shard results merge exactly via their softmax stats:
+    ``out = sum_i o_i l_i e^{m_i - M} / sum_i l_i e^{m_i - M}``."""
+    from sdtpu.kernels.flash_attention import flash_attention_stats
+
+    n = jax.lax.psum(1, axis_name)
+    b, lq, h, d = q.shape
+
+    # (no pcast here: this body runs under check_vma=False — see
+    # ring_attention — so there is no varying-axes typing to satisfy)
+    m = jnp.full((b, h, lq), -jnp.inf, jnp.float32)
+    den = jnp.zeros((b, h, lq), jnp.float32)
+    num = jnp.zeros((b, lq, h, d), jnp.float32)
+
+    def body(step, carry):
+        m, den, num, k_blk, v_blk = carry
+        o_i, m_i, l_i = flash_attention_stats(
+            q, k_blk, v_blk, interpret=interpret
+        )
+        m_new = jnp.maximum(m, m_i)
+        # first rotation: m = -inf -> the rescale must be exactly 0, not
+        # exp(-inf - m_new) = nan when m_new is -inf too
+        alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_new))
+        w_i = jnp.exp(m_i - m_new) * l_i
+        to_qdim = lambda s: jnp.transpose(s, (0, 2, 1))[..., None]  # noqa: E731
+        num = num * to_qdim(alpha) + o_i.astype(jnp.float32) * to_qdim(w_i)
+        den = den * alpha + w_i
+        m = m_new
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        return m, den, num, k_blk, v_blk
+
+    m, den, num, _, _ = jax.lax.fori_loop(0, n, body, (m, den, num, k, v))
+    out = num / jnp.transpose(den, (0, 2, 1))[..., None]
+    return out.astype(q.dtype)
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -78,24 +120,49 @@ def ring_attention(
     mesh: Mesh,
     *,
     axis_name: str = "dp",
+    body: str = "auto",
 ) -> jax.Array:
     """Exact attention with q/k/v sequence-sharded over ``axis_name``.
 
     q, k, v: (B, L, H, D) global arrays (or shardings thereof); the sequence
     axis L must divide by the mesh axis size.  Returns (B, L, H, D) with the
     same sharding as q.
+
+    ``body``: the per-shard compute. ``"flash"`` = the Pallas blockwise
+    kernel + softmax-stat merging (no (L/N)^2 score materialization — the
+    long-context configuration); ``"dense"`` = one XLA score matrix per
+    rotation (fine at small shard lengths, and the CPU-test default);
+    ``"auto"`` = flash on TPU-class backends, dense on CPU.
     """
     d = q.shape[-1]
     scale = 1.0 / (d**0.5)
+    if body == "auto":
+        body = "dense" if jax.default_backend() == "cpu" else "flash"
     spec = P(None, axis_name, None, None)
-    fn = shard_map(
-        functools.partial(
+    if body == "flash":
+        local = functools.partial(
+            _ring_flash_local, axis_name=axis_name,
+            interpret=jax.default_backend() == "cpu",
+        )
+        # the Pallas call's outputs carry no varying-mesh-axes type, which
+        # trips shard_map's vma checker; the body's pcast/psum usage is the
+        # same as the (checked) dense body's
+        fn = jax.shard_map(
+            local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )
+    elif body == "dense":
+        local = functools.partial(
             _ring_attention_local, axis_name=axis_name, scale=scale
-        ),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
-    )
+        )
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+        )
+    else:
+        raise ValueError(f"unknown ring body {body!r}")
     return fn(q, k, v)
 
 

@@ -159,6 +159,54 @@ class TestFlashAttention:
         assert_allclose(got, expected, atol=1e-6, rtol=1e-6)
 
 
+class TestFlashAttentionStats:
+    def test_two_block_merge_equals_full(self, rng):
+        """(o, m, l) from two KV halves softmax-merge to exactly the full
+        attention — the ring-attention partial primitive."""
+        from sdtpu.kernels.flash_attention import (
+            flash_attention,
+            flash_attention_stats,
+        )
+
+        b, l, h, d = 1, 128, 2, 16
+        q = jnp.array(rng.standard_normal((b, l, h, d), dtype=np.float32))
+        k = jnp.array(rng.standard_normal((b, l, h, d), dtype=np.float32))
+        v = jnp.array(rng.standard_normal((b, l, h, d), dtype=np.float32))
+        full = flash_attention(q, k, v, interpret=True)
+
+        half = l // 2
+        num = jnp.zeros((b, l, h, d), jnp.float32)
+        m = jnp.full((b, h, l), -jnp.inf, jnp.float32)
+        den = jnp.zeros((b, h, l), jnp.float32)
+        for sl in (slice(0, half), slice(half, l)):
+            o_i, m_i, l_i = flash_attention_stats(
+                q, k[:, sl], v[:, sl], interpret=True)
+            m_new = jnp.maximum(m, m_i)
+            alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_new))
+            w_i = jnp.exp(m_i - m_new) * l_i
+            tq = lambda s: jnp.transpose(s, (0, 2, 1))[..., None]  # noqa: E731
+            num = num * tq(alpha) + o_i * tq(w_i)
+            den = den * alpha + w_i
+            m = m_new
+        merged = num / jnp.transpose(den, (0, 2, 1))[..., None]
+        assert_allclose(merged, full, atol=1e-5, rtol=1e-5)
+
+    def test_stats_describe_softmax(self, rng):
+        """m is the true row max of scaled logits; l the exp-sum at m."""
+        from sdtpu.kernels.flash_attention import flash_attention_stats
+
+        b, l, h, d = 1, 64, 1, 8
+        q = jnp.array(rng.standard_normal((b, l, h, d), dtype=np.float32))
+        k = jnp.array(rng.standard_normal((b, l, h, d), dtype=np.float32))
+        v = jnp.array(rng.standard_normal((b, l, h, d), dtype=np.float32))
+        _, m, lsum = flash_attention_stats(q, k, v, interpret=True)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
+        assert_allclose(m, jnp.max(s, axis=-1), atol=1e-5, rtol=1e-5)
+        assert_allclose(
+            lsum, jnp.sum(jnp.exp(s - jnp.max(s, -1, keepdims=True)), -1),
+            atol=1e-5, rtol=1e-5)
+
+
 class TestOutProjPacked:
     @pytest.mark.parametrize(
         "b,h,l,dp,c,bias",

@@ -172,6 +172,32 @@ class TestRingAttention:
         out = ring_attention(q, k, v, mesh)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_flash_body_matches_dense_attention(self, rng):
+        """The Pallas-kernel per-shard body (softmax-stat merge across
+        rotations — the long-context configuration) is exact vs dense;
+        interpret-mode kernel on the virtual CPU mesh."""
+        from sdtpu.ops.attention import _xla_attention
+        from sdtpu.parallel.ring_attention import ring_attention
+
+        mesh = make_mesh(4, 1)
+        b, l, h, d = 1, 64, 2, 16
+        q = jnp.array(rng.standard_normal((b, l, h, d), dtype=np.float32))
+        k = jnp.array(rng.standard_normal((b, l, h, d), dtype=np.float32))
+        v = jnp.array(rng.standard_normal((b, l, h, d), dtype=np.float32))
+        expected = _xla_attention(q, k, v, causal=False)
+        got = ring_attention(q, k, v, mesh, axis_name="dp", body="flash")
+        assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
+
+    def test_flash_body_extreme_logits_stable(self, rng):
+        from sdtpu.parallel.ring_attention import ring_attention
+
+        mesh = make_mesh(4, 1)
+        q = jnp.array(rng.standard_normal((1, 32, 1, 8), dtype=np.float32)) * 50
+        k = jnp.array(rng.standard_normal((1, 32, 1, 8), dtype=np.float32)) * 50
+        v = jnp.array(rng.standard_normal((1, 32, 1, 8), dtype=np.float32))
+        out = ring_attention(q, k, v, mesh, body="flash")
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_under_jit_with_sharded_inputs(self, rng):
         from sdtpu.ops.attention import _xla_attention
         from sdtpu.parallel.ring_attention import ring_attention
