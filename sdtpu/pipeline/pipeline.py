@@ -164,10 +164,34 @@ class StableDiffusionPipeline:
 
         sd = load_safetensors(lora) if isinstance(lora, str) else lora
         self.params, report = apply_lora(self.params, sd, scale=scale)
+        # keep the pre-fuse kernels (first-write-wins per module) so
+        # unload_loras can restore EXACTLY — the adapter-swap primitive
+        if not hasattr(self, "_lora_originals"):
+            self._lora_originals = {}
+        for key, orig in report.pop("originals").items():
+            self._lora_originals.setdefault(key, orig)
         # commit to device: host-numpy leaves re-transfer through the relay
         # on every call (the round-3 int8 "pathology" — BENCHLOG)
         self.params = jax.tree.map(jnp.asarray, self.params)
         return report
+
+    def unload_loras(self) -> int:
+        """Remove every fused LoRA adapter, restoring the pre-fuse kernels
+        bit-exactly (snapshotted per touched module at :meth:`load_lora`
+        time — only the adapted linears/convs are kept, not a full tree
+        copy).  Swap adapters between requests with
+        ``pipe.unload_loras(); pipe.load_lora(other)`` — the compiled
+        programs are shape-identical throughout, so no recompile.  Returns
+        the number of modules restored."""
+        originals = getattr(self, "_lora_originals", {})
+        if not originals:
+            return 0
+        from sdtpu.utils.lora import restore_weights
+
+        self.params = restore_weights(self.params, originals)
+        self.params = jax.tree.map(jnp.asarray, self.params)
+        self._lora_originals = {}
+        return len(originals)
 
     def load_textual_inversion(self, embeds, *, token=None) -> dict:
         """Load textual-inversion concept embeddings

@@ -256,6 +256,7 @@ def apply_lora(
     groups, unrecognized = _parse_lora_sd(lora_sd)
     applied = 0
     skipped: list = []
+    originals: dict = {}
     for (tag, name), g in sorted(groups.items()):
         table = tables.get(tag)
         hit = table.get(name) if table is not None else None
@@ -274,6 +275,7 @@ def apply_lora(
             )
         kernel = np.asarray(leaf["kernel"])
         target = kernel[layer_idx] if layer_idx is not None else kernel
+        originals.setdefault((tag, name), np.array(target))
         rank = int(np.asarray(g["down"]).shape[0])
         alpha = float(np.asarray(g["alpha"])) if "alpha" in g else float(rank)
         delta = _delta_for_leaf(target, g["down"], g["up"], name)
@@ -295,4 +297,31 @@ def apply_lora(
         "applied": applied,
         "skipped": skipped,
         "unrecognized": unrecognized,
+        # pre-fuse kernels of every touched module (per-layer rows for the
+        # stacked CLIP leaves) — what restore_weights needs for an EXACT
+        # unfuse (re-subtracting the delta would leave a one-ulp bf16
+        # rounding residue per stacked adapter)
+        "originals": originals,
     }
+
+
+def restore_weights(params: dict, originals: Mapping) -> dict:
+    """Undo LoRA fusion exactly: put back the pre-fuse kernels captured in
+    ``apply_lora``'s report (``originals``: ``(tag, name) -> array``).
+    Returns a new tree; the adapter-swap primitive for serving
+    (:meth:`StableDiffusionPipeline.unload_loras`)."""
+    new = _copy_containers(params)
+    tables = {"unet": _index_unet(new["unet"])}
+    if "clip" in new:
+        tables["clip"] = _index_clip(new["clip"])
+    if "clip_2" in new:
+        tables["clip_2"] = _index_clip(new["clip_2"])
+    for (tag, name), orig in originals.items():
+        leaf, layer_idx = tables[tag][name]
+        if layer_idx is None:
+            leaf["kernel"] = orig
+        else:
+            k = np.array(np.asarray(leaf["kernel"]))
+            k[layer_idx] = orig
+            leaf["kernel"] = k
+    return new

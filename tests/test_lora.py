@@ -171,3 +171,22 @@ class TestPipelineApi:
         changed = pipe.generate("x", token_ids=TOKENS[:1],
                                 num_inference_steps=2, seed=11)
         assert not np.array_equal(changed, base)
+
+        # exact unfuse: the snapshotted kernels restore the base output
+        # bit-for-bit (adapter-swap primitive)
+        assert pipe.unload_loras() == 1
+        restored = pipe.generate("x", token_ids=TOKENS[:1],
+                                 num_inference_steps=2, seed=11)
+        assert np.array_equal(restored, base)
+        assert pipe.unload_loras() == 0  # idempotent
+
+    def test_unload_restores_stacked_te_rows(self, pipe, rng):
+        teq = np.array(np.asarray(pipe.params["clip"]["layers"]["attn"]["q"][
+            "kernel"]))
+        d, u = _pair(rng, teq.shape[2], teq.shape[1])
+        key = "lora_te_text_model_encoder_layers_0_self_attn_q_proj"
+        pipe.load_lora({f"{key}.lora_down.weight": d,
+                        f"{key}.lora_up.weight": u}, scale=0.5)
+        assert pipe.unload_loras() == 1
+        got = np.asarray(pipe.params["clip"]["layers"]["attn"]["q"]["kernel"])
+        assert np.array_equal(got, teq)
