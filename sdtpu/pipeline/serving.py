@@ -56,6 +56,7 @@ class _Request:
     init_image: Optional[np.ndarray] = None
     mask_image: Optional[np.ndarray] = None
     strength: float = 0.9
+    clip_skip: int = 0
     t_submit: float = 0.0  # monotonic enqueue time (latency percentiles)
 
     @property
@@ -69,7 +70,8 @@ class _Request:
         return (self.image_size, self.steps, self.sampler, self.cfg,
                 round(self.cfg_scale, 6), img2img,
                 self.mask_image is not None,
-                round(self.strength, 6) if img2img else None)
+                round(self.strength, 6) if img2img else None,
+                self.clip_skip)
 
 
 class ServingEngine:
@@ -141,6 +143,7 @@ class ServingEngine:
         init_image: Optional[np.ndarray] = None,
         mask_image: Optional[np.ndarray] = None,
         strength: float = 0.9,
+        clip_skip: int = 0,
     ) -> Future:
         """Enqueue one txt2img (or img2img when ``init_image`` is given, or
         inpainting when ``mask_image`` too) request; resolves to an
@@ -171,6 +174,7 @@ class ServingEngine:
             init_image=init_image,
             mask_image=mask_image,
             strength=strength,
+            clip_skip=clip_skip,
             t_submit=time.monotonic(),
         )
         self._queue.put(req)
@@ -243,6 +247,7 @@ class ServingEngine:
             image_size=first.image_size,
             token_ids=token_ids,
             sampler=first.sampler,
+            clip_skip=first.clip_skip,
         )
         if first.init_image is not None:
             kw["init_images"] = [r.init_image for r in batch]

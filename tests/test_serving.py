@@ -222,6 +222,22 @@ class TestBatchingPolicy:
             engine.shutdown()
         assert all(img.shape == (32, 32, 3) for img in imgs)
 
+    def test_clip_skip_requests_bucket_separately(self, pipe):
+        """Per-request clip_skip picks a different compiled program, so it
+        must split the batch; same seed+ids with and without skip differ."""
+        engine = ServingEngine(pipe, max_batch_size=4, max_wait_ms=30)
+        try:
+            f1 = engine.submit("p", token_ids=IDS, seed=1,
+                               num_inference_steps=2, image_size=32)
+            f2 = engine.submit("p", token_ids=IDS, seed=1,
+                               num_inference_steps=2, image_size=32,
+                               clip_skip=1)
+            a, b = f1.result(300), f2.result(300)
+        finally:
+            engine.shutdown()
+        assert a.shape == b.shape == (32, 32, 3)
+        assert not np.array_equal(a, b)
+
 
 class TestEngineImg2Img:
     def test_img2img_through_engine_matches_direct(self, pipe):
