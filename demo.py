@@ -55,6 +55,10 @@ def main() -> None:
                     help="load a textual-inversion embedding safetensors; "
                          "TOKEN names the placeholder for emb_params/"
                          "dual-encoder layouts; repeatable")
+    ap.add_argument("--prompt-weighting", action="store_true",
+                    help="parse (word:1.3) / [word] emphasis syntax in the "
+                         "prompts and weight each token's conditioning "
+                         "(needs tokenizer assets)")
     ap.add_argument("--clip-skip", type=int, default=0,
                     help="condition on the text-encoder hidden state N "
                          "layers before the usual output (diffusers "
@@ -102,6 +106,9 @@ def main() -> None:
         # real assets (assets/tokenizer, via tools/prepare_tokenizer.py) are
         # auto-discovered by the pipeline; this fallback only exists for the
         # offline no-asset environment
+        if args.prompt_weighting:
+            ap.error("--prompt-weighting needs tokenizer assets "
+                     "(tools/prepare_tokenizer.py)")
         print("no tokenizer assets: hashing prompt to fixed token ids")
         rng = np.random.default_rng(abs(hash(args.prompt)) % 2**32)
         row = rng.integers(0, pipe.config.clip.vocab_size,
@@ -123,6 +130,7 @@ def main() -> None:
         token_ids=token_ids,
         sampler=args.sampler,
         clip_skip=args.clip_skip,
+        prompt_weighting=args.prompt_weighting,
     )
     dt = time.perf_counter() - t0
     save_png(image, args.out)

@@ -237,6 +237,8 @@ class StableDiffusionPipeline:
         rng: str = "jax",
         output: str = "uint8",
         clip_skip: int = 0,
+        prompt_weighting: bool = False,
+        token_weights: Optional[np.ndarray] = None,
         verbose: bool = False,
     ):
         """Text->image (or image->image when ``init_image`` is given).
@@ -258,7 +260,13 @@ class StableDiffusionPipeline:
         ``clip_skip``: condition on the hidden state N layers before the
         text encoder's usual output (diffusers semantics; ``clip_skip=1``
         = the community "CLIP skip 2"; the tail layers still run for the
-        pooled output, see ``models/clip.py``).  ``output``:
+        pooled output, see ``models/clip.py``).
+        ``prompt_weighting``: parse ``(word:1.3)`` / ``[word]`` emphasis
+        syntax (``utils/prompt_weighting.py``) and scale each token's
+        encoded hidden state by its weight (renormalized to the unweighted
+        mean); needs the tokenizer.  ``token_weights``: the pre-tokenized
+        equivalent — one float per token id row, paired with
+        ``token_ids``.  ``output``:
         "uint8" (default), "float" ([-1,1] array), "latents", or "device"
         (un-fetched uint8-packed device array — see ``generate_async``).
         ``verbose`` logs structured stage timings (compile vs execute) —
@@ -306,6 +314,10 @@ class StableDiffusionPipeline:
             )  # pipeline.mojo:8
 
         if num_images > 1:
+            if prompt_weighting or token_weights is not None:
+                raise ValueError(
+                    "prompt weighting with num_images > 1 is not supported"
+                )
             if init_image is not None:
                 init_images = [init_image] * num_images
             else:
@@ -333,7 +345,19 @@ class StableDiffusionPipeline:
                 clip_skip=clip_skip,
             )
 
-        ids = self._tokenize(prompt, negative_prompt, cfg, token_ids)
+        ids = self._tokenize(prompt, negative_prompt, cfg, token_ids,
+                             weighted=prompt_weighting)
+        weights = None
+        if prompt_weighting:
+            ids, weights = ids
+        elif token_weights is not None:
+            if token_ids is None:
+                raise ValueError("token_weights requires token_ids")
+            tw = np.asarray(token_weights, np.float32)
+            if tw.ndim == 1:
+                tw = tw[None]
+            weights = np.ones(ids.shape, np.float32)
+            weights[: tw.shape[0]] = tw
         is_img2img = init_image is not None
         if mask_image is not None and not is_img2img:
             raise ValueError("mask_image requires init_image (inpainting)")
@@ -364,7 +388,9 @@ class StableDiffusionPipeline:
             want_uint8=output in ("uint8", "device"),
             has_mask=mask_image is not None,
             clip_skip=clip_skip,
+            has_weights=weights is not None,
         )
+        ids_arg = ids if weights is None else (ids, weights)
 
         # seed and cfg_scale travel as HOST scalars into the jit call (the
         # key is built in-jit): eager jax.random.key / jnp.float32 each cost
@@ -375,17 +401,18 @@ class StableDiffusionPipeline:
             image = self._prep_image(init_image, size)
             if mask_image is not None:
                 mask = self._prep_mask(mask_image, size)
-                images = fn(self.params, ids, image, mask, cfg_scale_arr,
+                images = fn(self.params, ids_arg, image, mask, cfg_scale_arr,
                             seed_arr)
             else:
-                images = fn(self.params, ids, image, cfg_scale_arr, seed_arr)
+                images = fn(self.params, ids_arg, image, cfg_scale_arr,
+                            seed_arr)
         elif latents is not None:
             lat0 = np.asarray(latents, np.float32)
             if lat0.ndim == 3:
                 lat0 = lat0[None]
-            images = fn(self.params, ids, lat0, cfg_scale_arr, seed_arr)
+            images = fn(self.params, ids_arg, lat0, cfg_scale_arr, seed_arr)
         else:
-            images = fn(self.params, ids, cfg_scale_arr, seed_arr)
+            images = fn(self.params, ids_arg, cfg_scale_arr, seed_arr)
 
         if output == "device":
             # raw uint8-packed device array, NOT fetched — the caller can
@@ -650,8 +677,30 @@ class StableDiffusionPipeline:
         row[0] = bos
         return row
 
-    def _tokenize(self, prompt, negative_prompt, cfg, token_ids) -> jnp.ndarray:
+    def _tokenize(self, prompt, negative_prompt, cfg, token_ids,
+                  weighted: bool = False):
         max_len = self.config.clip.max_length
+        if weighted:
+            # (word:1.3) emphasis syntax: weighted-parse BOTH prompts
+            # (utils/prompt_weighting.py); returns (ids, weights)
+            if token_ids is not None:
+                raise ValueError(
+                    "prompt_weighting parses the prompt string — with "
+                    "token_ids pass token_weights instead"
+                )
+            if self.tokenizer is None:
+                raise ValueError(
+                    "prompt_weighting needs a tokenizer — provide assets "
+                    "via tools/prepare_tokenizer.py (or pass token_ids + "
+                    "token_weights)"
+                )
+            rows = [self.tokenizer.encode_weighted(prompt, max_length=max_len)]
+            if cfg:
+                rows.append(self.tokenizer.encode_weighted(
+                    negative_prompt, max_length=max_len))
+            ids = np.asarray([r[0] for r in rows], dtype=np.int32)
+            weights = np.asarray([r[1] for r in rows], dtype=np.float32)
+            return ids, weights
         if token_ids is not None:
             ids = np.asarray(token_ids)
             if ids.ndim == 1:
@@ -718,7 +767,7 @@ class StableDiffusionPipeline:
     def _get_compiled(
         self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
         has_latents=False, want_latents=False, want_uint8=False,
-        has_mask=False, clip_skip=0,
+        has_mask=False, clip_skip=0, has_weights=False,
     ):
         # The ring-attention context is read at TRACE time (the shard_map is
         # baked into the compiled program), so it must be part of the cache
@@ -729,7 +778,7 @@ class StableDiffusionPipeline:
 
         cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler,
                      has_latents, want_latents, want_uint8, has_mask,
-                     clip_skip, get_ring_context())
+                     clip_skip, has_weights, get_ring_context())
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
@@ -741,7 +790,8 @@ class StableDiffusionPipeline:
                              want_latents=want_latents,
                              want_uint8=want_uint8,
                              has_mask=has_mask,
-                             clip_skip=clip_skip)
+                             clip_skip=clip_skip,
+                             has_weights=has_weights)
             self._compiled[cache_key] = fn
         return fn
 
@@ -749,6 +799,7 @@ class StableDiffusionPipeline:
         self, sdef: SamplerDef, schedule, cfg: bool, is_img2img: bool,
         size: int, has_latents: bool = False, want_latents: bool = False,
         want_uint8: bool = False, has_mask: bool = False, clip_skip: int = 0,
+        has_weights: bool = False,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -767,18 +818,49 @@ class StableDiffusionPipeline:
         if conv_impl == "auto":
             conv_impl = "xla" if jax.default_backend() == "cpu" else "gemm"
 
+        def apply_token_weights(hidden, tw):
+            """Scale each token's encoded state by its prompt weight, then
+            renormalize to the unweighted per-row mean (the community
+            emphasis semantics — utils/prompt_weighting.py).
+
+            The weighted mean is computed as prev + mean(h*(w-1)) rather
+            than as an independent mean(h*w) reduction: the hidden-state
+            mean is near zero, so two SEPARATELY-compiled reductions of
+            almost-equal near-zero values make prev/new numerically
+            catastrophic (XLA is free to tile the two reduces differently).
+            In this form w == 1 gives a bitwise-exact ratio of 1 (h*(w-1)
+            is exactly zero), so unit weights reproduce the unweighted
+            program's output exactly."""
+            h32 = hidden.astype(jnp.float32)
+            w = tw[..., None]
+            prev = jnp.mean(h32, axis=(-2, -1), keepdims=True)
+            new_mean = prev + jnp.mean(
+                h32 * (w - 1.0), axis=(-2, -1), keepdims=True
+            )
+            ratio = jnp.where(new_mean == 0.0, 1.0, prev / new_mean)
+            ratio = jnp.where(prev == new_mean, 1.0, ratio)
+            return (h32 * w * ratio).astype(hidden.dtype)
+
         def encode_context(params, ids):
             """SD 1.x: one encoder's hidden states.  SDXL: concat of CLIP-L
             and bigG penultimate states (768+1280=2048) plus the bigG
             projected pooled embedding and size/crop time ids for the
             add-embedding micro-conditioning."""
+            tw = None
+            if has_weights:
+                ids, tw = ids
+                tw = tw.astype(jnp.float32)
             hidden, _ = clip_encode(ids, params["clip"], config.clip,
                                     clip_skip=clip_skip)
+            if tw is not None:
+                hidden = apply_token_weights(hidden, tw)
             if config.clip_2 is None:
                 return hidden.astype(compute_dtype), None
             hidden2, pooled2 = clip_encode(ids, params["clip_2"],
                                            config.clip_2,
                                            clip_skip=clip_skip)
+            if tw is not None:
+                hidden2 = apply_token_weights(hidden2, tw)
             context = jnp.concatenate(
                 [hidden.astype(compute_dtype), hidden2.astype(compute_dtype)],
                 axis=-1,
@@ -998,7 +1080,8 @@ class StableDiffusionPipeline:
             def run(params, ids, cfg_scale, key):
                 key = make_key(key)
                 context, added = encode_context(params, ids)
-                batch = ids.shape[0] // 2 if cfg else ids.shape[0]
+                n_rows = (ids[0] if has_weights else ids).shape[0]
+                batch = n_rows // 2 if cfg else n_rows
                 if key.ndim == 1:
                     # per-request keys (serving): row i's image depends only
                     # on its own key, independent of batch composition

@@ -229,6 +229,35 @@ class CLIPTokenizer:
             ids += [self.eos_id] * (max_length - len(ids))
         return ids
 
+    def encode_weighted(
+        self,
+        text: str,
+        *,
+        max_length: Optional[int] = 77,
+        pad: bool = True,
+    ):
+        """Like :meth:`encode` but parses ``(word:1.3)`` emphasis syntax
+        (``sdtpu/utils/prompt_weighting.py``): returns ``(ids, weights)``
+        with one float weight per id (BOS/EOS/padding weigh 1.0)."""
+        from sdtpu.utils.prompt_weighting import parse_prompt_attention
+
+        ids = [self.bos_id]
+        weights = [1.0]
+        for frag, w in parse_prompt_attention(text):
+            fids = self._encode_body(frag)
+            ids += fids
+            weights += [w] * len(fids)
+        if max_length is not None and len(ids) > max_length - 1:
+            ids = ids[: max_length - 1]
+            weights = weights[: max_length - 1]
+        ids.append(self.eos_id)
+        weights.append(1.0)
+        if pad and max_length is not None:
+            n = max_length - len(ids)
+            ids += [self.eos_id] * n
+            weights += [1.0] * n
+        return ids, weights
+
     def decode(self, ids: Sequence[int], *, skip_special: bool = True) -> str:
         tokens = []
         for i in ids:

@@ -1,0 +1,124 @@
+"""Weighted prompts: the (word:1.3) emphasis syntax
+(sdtpu/utils/prompt_weighting.py) through the tokenizer and pipeline."""
+
+import numpy as np
+import pytest
+
+from sdtpu.tokenizer.bpe import CLIPTokenizer
+from sdtpu.utils.prompt_weighting import parse_prompt_attention
+
+from test_pipeline import TOKENS
+from test_tokenizer import build_assets
+
+
+class TestParser:
+    def test_plain_text(self):
+        assert parse_prompt_attention("a cat") == [("a cat", 1.0)]
+
+    def test_explicit_weight(self):
+        assert parse_prompt_attention("a (cat:1.5) dog") == [
+            ("a ", 1.0), ("cat", 1.5), (" dog", 1.0)]
+
+    def test_emphasis_nesting_multiplies(self):
+        out = parse_prompt_attention("((cat))")
+        assert len(out) == 1
+        assert out[0][0] == "cat"
+        assert out[0][1] == pytest.approx(1.1 * 1.1)
+
+    def test_square_deemphasis(self):
+        out = parse_prompt_attention("[cat]")
+        assert out[0][1] == pytest.approx(1 / 1.1)
+
+    def test_mixed_and_merge(self):
+        out = parse_prompt_attention("a (b) (c) d")
+        # "(b) (c)": equal weights but separated by the 1.0 space
+        assert [w for _, w in out] == pytest.approx([1.0, 1.1, 1.0, 1.1, 1.0])
+
+    def test_escaped_brackets_literal(self):
+        assert parse_prompt_attention(r"a \(cat\)") == [("a (cat)", 1.0)]
+
+    def test_unbalanced_open_applies_at_end(self):
+        out = parse_prompt_attention("a (cat")
+        assert out == [("a ", 1.0), ("cat", pytest.approx(1.1))]
+
+    def test_explicit_weight_inside_nesting(self):
+        out = parse_prompt_attention("((flowers:1.2))")
+        assert out[0][1] == pytest.approx(1.2 * 1.1)
+
+    def test_stray_close_is_literal(self):
+        assert parse_prompt_attention("a) b]") == [("a) b]", 1.0)]
+
+
+class TestEncodeWeighted:
+    def test_ids_match_plain_encode_weights_cover_fragments(self, tmp_path):
+        tok = CLIPTokenizer.from_files(*build_assets(tmp_path))
+        plain = tok.encode("a cat flying", max_length=16)
+        ids, ws = tok.encode_weighted("a (cat:2.0) flying", max_length=16)
+        assert ids == plain
+        assert len(ws) == len(ids)
+        assert ws[0] == 1.0  # BOS
+        # exactly the 'cat' token carries 2.0
+        cat_ids = [i for i, w in zip(ids, ws) if w == 2.0]
+        assert cat_ids == tok.encode("cat", max_length=None, pad=False)[1:-1]
+        assert ws[-1] == 1.0  # EOS padding
+
+    def test_placeholder_composes(self, tmp_path):
+        tok = CLIPTokenizer.from_files(*build_assets(tmp_path))
+        tok.add_placeholder("<x>", [901, 902])
+        ids, ws = tok.encode_weighted("(<x>:1.5) cat", max_length=16)
+        assert ids[1:3] == [901, 902]
+        assert ws[1:3] == [1.5, 1.5]
+
+
+class TestPipelineTokenWeights:
+    def test_unit_weights_reproduce_base_and_emphasis_differs(self, tiny_pipe):
+        pipe = tiny_pipe
+        base = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                             seed=3)
+        ones = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                             seed=3, token_weights=np.ones(TOKENS.shape))
+        # w == 1 everywhere: scale and renorm are both exact identities
+        np.testing.assert_array_equal(ones, base)
+
+        w = np.ones(TOKENS.shape, np.float32)
+        w[0, 1] = 1.8
+        emph = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                             seed=3, token_weights=w)
+        assert not np.array_equal(emph, base)
+
+    def test_token_weights_without_ids_raises(self, tiny_pipe):
+        with pytest.raises(ValueError, match="token_ids"):
+            tiny_pipe.generate("x", num_inference_steps=2,
+                               token_weights=np.ones((1, 16)))
+
+    def test_prompt_weighting_end_to_end(self, tmp_path):
+        """Full prompt_weighting=True path with a real (test-vocab)
+        tokenizer: explicit :1.0 weights are a bitwise identity, real
+        emphasis changes the image.  Needs a vocab >= the test
+        tokenizer's id range (TINY's 512 is too small — out-of-range ids
+        NaN the embedding lookup via jnp.take's fill mode)."""
+        import dataclasses
+
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+
+        from test_pipeline import TINY
+
+        cfg = dataclasses.replace(
+            TINY, clip=dataclasses.replace(TINY.clip, vocab_size=1024))
+        pipe = StableDiffusionPipeline.from_random(cfg, seed=0)
+        pipe.tokenizer = CLIPTokenizer.from_files(*build_assets(tmp_path))
+        base = pipe.generate("a cat flying", num_inference_steps=2, seed=7)
+        assert base.min() < base.max()  # finite, non-constant
+        neutral = pipe.generate("a (cat:1.0) flying", num_inference_steps=2,
+                                seed=7, prompt_weighting=True)
+        np.testing.assert_array_equal(neutral, base)
+        emph = pipe.generate("a (cat:1.6) flying", num_inference_steps=2,
+                             seed=7, prompt_weighting=True)
+        assert not np.array_equal(emph, base)
+
+    def test_prompt_weighting_without_tokenizer_raises(self, tiny_pipe):
+        if tiny_pipe.tokenizer is not None:
+            pytest.skip("tokenizer present")
+        with pytest.raises(ValueError, match="tokenizer"):
+            tiny_pipe.generate("a (cat:1.5)", num_inference_steps=2,
+                               prompt_weighting=True)
