@@ -264,7 +264,7 @@ class StableDiffusionPipeline:
         ``prompt_weighting``: parse ``(word:1.3)`` / ``[word]`` emphasis
         syntax (``utils/prompt_weighting.py``) and scale each token's
         encoded hidden state by its weight (renormalized to the unweighted
-        mean); needs the tokenizer.  ``token_weights``: the pre-tokenized
+        per-row mean magnitude); needs the tokenizer.  ``token_weights``: the pre-tokenized
         equivalent — one float per token id row, paired with
         ``token_ids``.  ``output``:
         "uint8" (default), "float" ([-1,1] array), "latents", or "device"
@@ -477,11 +477,18 @@ class StableDiffusionPipeline:
         mesh=None,
         output: str = "uint8",
         clip_skip: int = 0,
+        prompt_weighting: bool = False,
+        token_weights: Optional[np.ndarray] = None,
     ):
         """Batched txt2img serving: B prompts -> (B, H, W, 3) in ONE compiled
         CFG-batched (2B) program — the large-batch few-step serving path
         (BASELINE config 5).  The reference is hardwired to batch 1
         (``pipeline.mojo:12``).
+
+        ``prompt_weighting`` parses ``(word:1.3)`` emphasis syntax in every
+        prompt (and negative prompt); ``token_weights`` is the pre-tokenized
+        per-row equivalent, (B, L) floats aligned with ``token_ids`` (the
+        CFG uncond rows weigh 1.0).  See :meth:`generate`.
 
         ``mesh``: a ``jax.sharding.Mesh`` with a "dp" axis — inputs are
         sharded over dp (params replicated, or tp-sharded if the caller
@@ -512,9 +519,36 @@ class StableDiffusionPipeline:
                 f"{self.config.vae.downscale_factor}"
             )
         max_len = self.config.clip.max_length
-        if token_ids is not None:
+        cond_w = None
+        if prompt_weighting:
+            if token_ids is not None:
+                raise ValueError(
+                    "prompt_weighting parses the prompt strings — with "
+                    "token_ids pass token_weights instead"
+                )
+            if self.tokenizer is None:
+                raise ValueError(
+                    "prompt_weighting needs a tokenizer — provide assets "
+                    "via tools/prepare_tokenizer.py"
+                )
+            enc = [self.tokenizer.encode_weighted(p, max_length=max_len)
+                   for p in prompts]
+            cond = np.asarray([e[0] for e in enc])
+            cond_w = np.asarray([e[1] for e in enc], np.float32)
+        elif token_ids is not None:
             cond = np.asarray(token_ids)
+            if token_weights is not None:
+                cond_w = np.asarray(token_weights, np.float32)
+                if cond_w.ndim == 1:
+                    cond_w = cond_w[None]
+                if cond_w.shape != cond.shape:
+                    raise ValueError(
+                        f"token_weights {cond_w.shape} must match "
+                        f"token_ids {cond.shape}"
+                    )
         else:
+            if token_weights is not None:
+                raise ValueError("token_weights requires token_ids")
             if self.tokenizer is None:
                 raise ValueError("no tokenizer installed — pass token_ids")
             cond = np.asarray(
@@ -533,7 +567,13 @@ class StableDiffusionPipeline:
                 raise ValueError(
                     "negative_prompt list must match the number of prompts"
                 )
-            if self.tokenizer is not None:
+            uncond_w = None
+            if prompt_weighting:
+                enc = [self.tokenizer.encode_weighted(n, max_length=max_len)
+                       for n in negs]
+                uncond = np.asarray([e[0] for e in enc])
+                uncond_w = np.asarray([e[1] for e in enc], np.float32)
+            elif self.tokenizer is not None:
                 uncond = np.asarray(
                     [self.tokenizer.encode(n, max_length=max_len) for n in negs]
                 )
@@ -545,8 +585,15 @@ class StableDiffusionPipeline:
                     )
                 uncond = np.tile(self._uncond_row()[None], (cond.shape[0], 1))
             ids = np.concatenate([cond, uncond])  # [cond..., uncond...]
+            if cond_w is not None:
+                if uncond_w is None:
+                    uncond_w = np.ones(uncond.shape, np.float32)
+                weights = np.concatenate([cond_w, uncond_w])
+            else:
+                weights = None
         else:
             ids = cond
+            weights = cond_w
         ids = np.asarray(ids, dtype=np.int32)
         is_img2img = init_images is not None
         if is_img2img and not 0.0 < strength <= 1.0:
@@ -559,6 +606,7 @@ class StableDiffusionPipeline:
             want_uint8=output in ("uint8", "device"),
             has_mask=mask_images is not None,
             clip_skip=clip_skip,
+            has_weights=weights is not None,
         )
         if seeds is not None:
             if len(seeds) != cond.shape[0]:
@@ -573,6 +621,8 @@ class StableDiffusionPipeline:
 
             dp_ids = NamedSharding(mesh, P("dp", None))
             ids = jax.device_put(ids, dp_ids)
+            if weights is not None:
+                weights = jax.device_put(weights, dp_ids)
             if seeds is not None:
                 key = jax.device_put(key, NamedSharding(mesh, P("dp")))
             # params: respect pre-placed shardings; replicate plain arrays
@@ -580,6 +630,7 @@ class StableDiffusionPipeline:
             if not hasattr(leaf, "sharding") or leaf.sharding.is_fully_replicated:
                 params = jax.device_put(params, NamedSharding(mesh, P()))
 
+        ids_arg = ids if weights is None else (ids, weights)
         if is_img2img:
             imgs_in = jnp.concatenate(
                 [self._prep_image(im, size) for im in init_images]
@@ -602,12 +653,13 @@ class StableDiffusionPipeline:
                     masks = jax.device_put(
                         masks, NamedSharding(mesh, P("dp", None, None, None))
                     )
-                images = fn(params, ids, imgs_in, masks,
+                images = fn(params, ids_arg, imgs_in, masks,
                             jnp.float32(cfg_scale), key)
             else:
-                images = fn(params, ids, imgs_in, jnp.float32(cfg_scale), key)
+                images = fn(params, ids_arg, imgs_in,
+                            jnp.float32(cfg_scale), key)
         else:
-            images = fn(params, ids, jnp.float32(cfg_scale), key)
+            images = fn(params, ids_arg, jnp.float32(cfg_scale), key)
         if output == "device":
             # raw device array (uint8-packed), NOT fetched: the serving
             # engine dispatches the next batch before blocking on this one
@@ -820,22 +872,30 @@ class StableDiffusionPipeline:
 
         def apply_token_weights(hidden, tw):
             """Scale each token's encoded state by its prompt weight, then
-            renormalize to the unweighted per-row mean (the community
-            emphasis semantics — utils/prompt_weighting.py).
+            renormalize so the per-row mean MAGNITUDE mean(|h|) is
+            preserved (emphasis changes direction-of-conditioning, not its
+            overall strength — utils/prompt_weighting.py).
 
-            The weighted mean is computed as prev + mean(h*(w-1)) rather
-            than as an independent mean(h*w) reduction: the hidden-state
-            mean is near zero, so two SEPARATELY-compiled reductions of
-            almost-equal near-zero values make prev/new numerically
-            catastrophic (XLA is free to tile the two reduces differently).
-            In this form w == 1 gives a bitwise-exact ratio of 1 (h*(w-1)
-            is exactly zero), so unit weights reproduce the unweighted
+            Deliberate deviation from A1111/lpw, which preserve the SIGNED
+            mean: mean(h) over a CLIP hidden row is a near-total
+            cancellation (the encoder ends in LayerNorm, so per-token means
+            are ~mean(beta)), leaving a near-zero denominator that turns
+            low-bit reduction noise into an O(1)-random scale (measured:
+            two batch shapes of the same row gave ratios 0.56 vs 0.91).
+            mean(|h|) is O(1) and well-conditioned.
+
+            The weighted stat is computed incrementally as
+            prev + mean(|h|*(|w|-1)) rather than as an independent
+            mean(|h*w|) reduction, so w == 1 gives a bitwise-exact ratio of
+            1 (|h|*(|w|-1) is exactly zero regardless of how XLA tiles the
+            two reduces) and unit weights reproduce the unweighted
             program's output exactly."""
             h32 = hidden.astype(jnp.float32)
             w = tw[..., None]
-            prev = jnp.mean(h32, axis=(-2, -1), keepdims=True)
+            habs = jnp.abs(h32)
+            prev = jnp.mean(habs, axis=(-2, -1), keepdims=True)
             new_mean = prev + jnp.mean(
-                h32 * (w - 1.0), axis=(-2, -1), keepdims=True
+                habs * (jnp.abs(w) - 1.0), axis=(-2, -1), keepdims=True
             )
             ratio = jnp.where(new_mean == 0.0, 1.0, prev / new_mean)
             ratio = jnp.where(prev == new_mean, 1.0, ratio)

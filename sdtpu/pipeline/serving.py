@@ -15,7 +15,10 @@ suite, tests/test_serving.py); on TPU at real dims, XLA picks
 batch-size-dependent matmul/conv tilings whose accumulation order drifts
 the uint8 output by at most +-1 level on a few percent of pixels —
 measured, form-independent, and quantified by
-``tools/check_batch_invariance.py`` (BENCHLOG round 3).
+``tools/check_batch_invariance.py`` (BENCHLOG round 3).  Weighted-prompt
+rows (``token_weights``/``prompt_weighting``) carry the same +-1-level
+scope on every backend: the renormalization ratio's reduction is compiled
+per batch shape, so its low bits are batch-dependent.
 
 The worker keeps TWO batches in flight: batch N+1 is collected and
 dispatched (un-fetched device output) while batch N computes, hiding host
@@ -57,6 +60,10 @@ class _Request:
     mask_image: Optional[np.ndarray] = None
     strength: float = 0.9
     clip_skip: int = 0
+    # prompt emphasis: parse (word:1.3) syntax per row, or pre-tokenized
+    # per-token weights aligned with token_ids
+    prompt_weighting: bool = False
+    token_weights: Optional[np.ndarray] = None
     t_submit: float = 0.0  # monotonic enqueue time (latency percentiles)
 
     @property
@@ -67,11 +74,19 @@ class _Request:
         # mask CONTENT aren't either (host-resized, per-row inputs); the
         # has-mask FLAG and strength are — they pick the compiled program.
         img2img = self.init_image is not None
+        # weighted rows compile a different program (the per-token scale is
+        # traced in), and prompt_weighting vs token_weights feed
+        # generate_batch differently — three mutually-exclusive modes
+        weighting = (
+            "pw" if self.prompt_weighting
+            else "tw" if self.token_weights is not None
+            else None
+        )
         return (self.image_size, self.steps, self.sampler, self.cfg,
                 round(self.cfg_scale, 6), img2img,
                 self.mask_image is not None,
                 round(self.strength, 6) if img2img else None,
-                self.clip_skip)
+                self.clip_skip, weighting)
 
 
 class ServingEngine:
@@ -144,6 +159,8 @@ class ServingEngine:
         mask_image: Optional[np.ndarray] = None,
         strength: float = 0.9,
         clip_skip: int = 0,
+        prompt_weighting: bool = False,
+        token_weights: Optional[np.ndarray] = None,
     ) -> Future:
         """Enqueue one txt2img (or img2img when ``init_image`` is given, or
         inpainting when ``mask_image`` too) request; resolves to an
@@ -175,6 +192,8 @@ class ServingEngine:
             mask_image=mask_image,
             strength=strength,
             clip_skip=clip_skip,
+            prompt_weighting=prompt_weighting,
+            token_weights=token_weights,
             t_submit=time.monotonic(),
         )
         self._queue.put(req)
@@ -249,6 +268,13 @@ class ServingEngine:
             sampler=first.sampler,
             clip_skip=first.clip_skip,
         )
+        if first.prompt_weighting:
+            kw["prompt_weighting"] = True
+        elif first.token_weights is not None:
+            # same bucket -> every row carries weights (and token_ids)
+            kw["token_weights"] = np.stack(
+                [np.asarray(r.token_weights, np.float32) for r in batch]
+            )
         if first.init_image is not None:
             kw["init_images"] = [r.init_image for r in batch]
             kw["strength"] = first.strength

@@ -13,8 +13,11 @@ community prompts portable):
 The parser emits ``[(fragment, weight)]``; the tokenizer assigns each
 fragment's weight to its BPE tokens (``bpe.py:encode_weighted``) and the
 pipeline scales the encoded hidden states per token, renormalizing to the
-unweighted mean so overall conditioning magnitude is preserved (the
-standard emphasis semantics).
+unweighted per-row mean MAGNITUDE so overall conditioning strength is
+preserved.  (A1111/lpw renormalize to the signed mean; that denominator
+is a near-total cancellation for LayerNorm-final encoders and turns
+reduction noise into a random scale — see
+``pipeline.py:apply_token_weights``.)
 """
 
 from __future__ import annotations

@@ -122,3 +122,92 @@ class TestPipelineTokenWeights:
         with pytest.raises(ValueError, match="tokenizer"):
             tiny_pipe.generate("a (cat:1.5)", num_inference_steps=2,
                                prompt_weighting=True)
+
+
+IDS = np.array([1, 5, 9, 2] + [0] * 12)
+
+
+class TestBatchTokenWeights:
+    def test_batch_rows_match_single_request_generate(self, tiny_pipe):
+        """generate_batch token_weights: each weighted row must equal the
+        same request run solo through generate (per-request RNG)."""
+        pipe = tiny_pipe
+        w1 = np.ones(16, np.float32)
+        w2 = np.ones(16, np.float32)
+        w2[2] = 1.7
+        batch = pipe.generate_batch(
+            ["a", "b"], token_ids=np.stack([IDS, IDS]),
+            token_weights=np.stack([w1, w2]),
+            num_inference_steps=2, seeds=[11, 12])
+        # solo references (the (2B,L) ids row layout in generate is
+        # [cond, uncond]; its token_weights covers the leading rows)
+        solo2 = pipe.generate_batch(
+            ["b"], token_ids=IDS[None], token_weights=w2[None],
+            num_inference_steps=2, seeds=[12])
+        np.testing.assert_array_equal(batch[1], solo2[0])
+        # unit-weight row == unweighted program's row (renorm exactness)
+        plain = pipe.generate_batch(
+            ["a"], token_ids=IDS[None], num_inference_steps=2, seeds=[11])
+        np.testing.assert_array_equal(batch[0], plain[0])
+
+    def test_batch_weight_shape_mismatch_raises(self, tiny_pipe):
+        with pytest.raises(ValueError, match="must match"):
+            tiny_pipe.generate_batch(
+                ["a"], token_ids=IDS[None],
+                token_weights=np.ones((1, 8), np.float32),
+                num_inference_steps=1, seeds=[1])
+
+    def test_batch_weights_without_ids_raises(self, tiny_pipe):
+        with pytest.raises(ValueError, match="token_ids"):
+            tiny_pipe.generate_batch(
+                ["a"], token_weights=np.ones((1, 16), np.float32),
+                num_inference_steps=1, seeds=[1])
+
+
+class TestServingWeighted:
+    def test_weighted_requests_coalesce_and_match_solo(self, tiny_pipe):
+        from sdtpu.pipeline.serving import ServingEngine
+
+        w = np.ones(16, np.float32)
+        w[3] = 1.5
+        solo = tiny_pipe.generate_batch(
+            ["p"], token_ids=IDS[None], token_weights=w[None],
+            num_inference_steps=2, seeds=[21])
+        engine = ServingEngine(tiny_pipe, max_batch_size=4, max_wait_ms=50)
+        try:
+            f1 = engine.submit("p", token_ids=IDS, token_weights=w, seed=21,
+                               num_inference_steps=2, image_size=32)
+            f2 = engine.submit("p", token_ids=IDS, token_weights=np.ones(16),
+                               seed=22, num_inference_steps=2, image_size=32)
+            a, b = f1.result(300), f2.result(300)
+            stats = engine.stats()
+        finally:
+            engine.shutdown()
+        # solo vs coalesced: the renorm ratio's reduction is compiled per
+        # batch shape, so its low bits can differ -> at most the engine's
+        # documented +-1 uint8 level on a small fraction of pixels (the
+        # unweighted rows stay bitwise at CPU test dims)
+        diff = np.abs(a.astype(int) - solo[0].astype(int))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() <= 0.005
+        assert not np.array_equal(a, b)
+        # both weighted rows share the "tw" bucket -> one batch
+        assert stats["batches"] == 1
+
+    def test_weighted_and_unweighted_bucket_separately(self, tiny_pipe):
+        from sdtpu.pipeline.serving import ServingEngine
+
+        engine = ServingEngine(tiny_pipe, max_batch_size=4, max_wait_ms=30)
+        try:
+            f1 = engine.submit("p", token_ids=IDS, seed=5,
+                               num_inference_steps=2, image_size=32)
+            f2 = engine.submit("p", token_ids=IDS,
+                               token_weights=np.ones(16, np.float32),
+                               seed=5, num_inference_steps=2, image_size=32)
+            a, b = f1.result(300), f2.result(300)
+            stats = engine.stats()
+        finally:
+            engine.shutdown()
+        assert stats["batches"] == 2  # different compiled programs
+        # unit weights: identical math, exact across the two programs
+        np.testing.assert_array_equal(a, b)
