@@ -314,10 +314,6 @@ class StableDiffusionPipeline:
             )  # pipeline.mojo:8
 
         if num_images > 1:
-            if prompt_weighting or token_weights is not None:
-                raise ValueError(
-                    "prompt weighting with num_images > 1 is not supported"
-                )
             if init_image is not None:
                 init_images = [init_image] * num_images
             else:
@@ -343,6 +339,14 @@ class StableDiffusionPipeline:
                 strength=strength,
                 output=output,
                 clip_skip=clip_skip,
+                prompt_weighting=prompt_weighting,
+                token_weights=(
+                    np.tile(
+                        np.asarray(token_weights, np.float32).reshape(1, -1),
+                        (num_images, 1),
+                    )
+                    if token_weights is not None else None
+                ),
             )
 
         ids = self._tokenize(prompt, negative_prompt, cfg, token_ids,

@@ -157,6 +157,28 @@ class TestBatchTokenWeights:
                 token_weights=np.ones((1, 8), np.float32),
                 num_inference_steps=1, seeds=[1])
 
+    def test_num_images_with_token_weights(self, tiny_pipe):
+        """num_images > 1 delegates to generate_batch with the weights
+        tiled per image; row 0 must equal the single-image call."""
+        w = np.ones(16, np.float32)
+        w[2] = 1.4
+        # reference = the same per-request-RNG program num_images delegates
+        # to (generate() solo uses the scalar split-key scheme instead, so
+        # it is NOT comparable row-for-row)
+        single = tiny_pipe.generate_batch(
+            ["x"], token_ids=IDS[None], token_weights=w[None],
+            num_inference_steps=2, seeds=[5])
+        multi = tiny_pipe.generate("x", token_ids=IDS[None],
+                                   token_weights=w[None],
+                                   num_inference_steps=2, seed=5,
+                                   num_images=2)
+        assert multi.shape[0] == 2
+        # batch-1 program vs batch-2 program: +-1-level scope (renorm
+        # ratio low bits are batch-shape-dependent)
+        diff = np.abs(multi[0].astype(int) - single[0].astype(int))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() <= 0.005
+
     def test_batch_weights_without_ids_raises(self, tiny_pipe):
         with pytest.raises(ValueError, match="token_ids"):
             tiny_pipe.generate_batch(
