@@ -35,6 +35,13 @@ def main() -> None:
                     help="inpainting mask path (white = repaint); "
                          "requires --init-image")
     ap.add_argument("--strength", type=float, default=0.9)
+    ap.add_argument("--controlnet", default=None, metavar="PATH",
+                    help="diffusers ControlNetModel safetensors file or "
+                         "model dir (e.g. lllyasviel/sd-controlnet-canny); "
+                         "requires --control-image")
+    ap.add_argument("--control-image", default=None,
+                    help="control map path (canny edges, depth, pose, ...)")
+    ap.add_argument("--controlnet-scale", type=float, default=1.0)
     ap.add_argument("--int8", action="store_true",
                     help="W8A8-quantize the UNet (2x int8 MXU path; "
                          "fidelity notes in sdtpu/utils/quant.py)")
@@ -98,6 +105,13 @@ def main() -> None:
     if args.int8:
         pipe.quantize_int8(transformer=args.int8_transformer,
                            vae=args.int8_vae)
+    if args.controlnet:
+        if not args.control_image:
+            ap.error("--controlnet requires --control-image")
+        pipe.load_controlnet(args.controlnet)
+        print(f"controlnet {args.controlnet} (scale {args.controlnet_scale})")
+    elif args.control_image:
+        ap.error("--control-image requires --controlnet")
 
     token_ids = None
     if pipe.tokenizer is None:
@@ -110,7 +124,11 @@ def main() -> None:
             ap.error("--prompt-weighting needs tokenizer assets "
                      "(tools/prepare_tokenizer.py)")
         print("no tokenizer assets: hashing prompt to fixed token ids")
-        rng = np.random.default_rng(abs(hash(args.prompt)) % 2**32)
+        # stable hash: str.__hash__ is salted per process, which would make
+        # repeated demo invocations non-reproducible
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(args.prompt.encode()))
         row = rng.integers(0, pipe.config.clip.vocab_size,
                            pipe.config.clip.max_length)
         token_ids = np.stack([row, np.zeros_like(row)])
@@ -131,6 +149,10 @@ def main() -> None:
         sampler=args.sampler,
         clip_skip=args.clip_skip,
         prompt_weighting=args.prompt_weighting,
+        control_image=(
+            load_image(args.control_image) if args.control_image else None
+        ),
+        controlnet_scale=args.controlnet_scale,
     )
     dt = time.perf_counter() - t0
     save_png(image, args.out)

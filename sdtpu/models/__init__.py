@@ -2,6 +2,11 @@
 ``clip.mojo``, ``diffusion.mojo``, ``vae.mojo``)."""
 
 from sdtpu.models.clip import clip_encode, init_clip
+from sdtpu.models.controlnet import (
+    controlnet_cond_embed,
+    controlnet_forward,
+    init_controlnet,
+)
 from sdtpu.models.unet import init_unet, unet_forward
 from sdtpu.models.vae import (
     init_vae_decoder,
@@ -13,7 +18,10 @@ from sdtpu.models.vae import (
 
 __all__ = [
     "clip_encode",
+    "controlnet_cond_embed",
+    "controlnet_forward",
     "init_clip",
+    "init_controlnet",
     "init_unet",
     "init_vae_decoder",
     "init_vae_encoder",

@@ -93,7 +93,11 @@ def precompute_time_projections(
         dtype=dtype,
     )  # (T, ch0)
     temb = jnp.broadcast_to(temb[:, None, :], (T, batch, temb.shape[-1]))
-    if config.time_cond_proj_dim is not None:
+    # cond_proj presence is per-tree: a ControlNet paired with an LCM UNet
+    # has no guidance projection of its own (diffusers semantics)
+    if config.time_cond_proj_dim is not None and (
+        "cond_proj" in params["time_embedding"]
+    ):
         assert timestep_cond is not None, "LCM config requires timestep_cond"
         temb = temb + linear(
             timestep_cond.astype(temb.dtype),
@@ -129,7 +133,8 @@ def precompute_time_projections(
         cache["down"].append([proj(r) for r in block["resnets"]])
     if config.mid_block:
         cache["mid"] = [proj(r) for r in params["mid_block"]["resnets"]]
-    for block in params["up_blocks"]:
+    # encoder-only trees (ControlNet) have no up blocks
+    for block in params.get("up_blocks", []):
         cache["up"].append([proj(r) for r in block["resnets"]])
     return cache
 
@@ -159,7 +164,8 @@ def precompute_cross_kv(context: jax.Array, params: dict, config: UNetConfig):
         )
     if config.mid_block:
         cache["mid"] = [block_kv(a) for a in params["mid_block"]["attentions"]]
-    for block in params["up_blocks"]:
+    # encoder-only trees (ControlNet) have no up blocks
+    for block in params.get("up_blocks", []):
         cache["up"].append([block_kv(a) for a in block.get("attentions", [])])
     return cache
 
@@ -326,6 +332,66 @@ def upsample(x: jax.Array, params: dict, *, conv_impl: str = "xla") -> jax.Array
 # ---------------------------------------------------------------------------
 
 
+def compute_time_embedding(
+    timesteps: jax.Array,
+    params: dict,
+    config: UNetConfig,
+    *,
+    batch: int,
+    dtype,
+    timestep_cond: Optional[jax.Array] = None,
+    added_cond: Optional[dict] = None,
+) -> jax.Array:
+    """One step's full time-MLP chain (``diffusion.mojo:5-21``): sinusoidal
+    embedding -> [LCM cond_proj] -> Linear/SiLU/Linear -> [SDXL
+    add-embedding] -> the hoisted per-resblock SiLU (``diffusion.mojo:61``).
+    Shared by :func:`unet_forward`'s non-cached path and
+    :func:`sdtpu.models.controlnet.controlnet_forward` (which owns a trained
+    copy of these weights)."""
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (batch,))
+
+    temb = timestep_embedding(
+        timesteps,
+        config.block_out_channels[0],
+        flip_sin_to_cos=config.flip_sin_to_cos,
+        freq_shift=config.freq_shift,
+        dtype=dtype,
+    )
+    if config.time_cond_proj_dim is not None and (
+        "cond_proj" in params["time_embedding"]
+    ):
+        assert timestep_cond is not None, "LCM config requires timestep_cond"
+        temb = temb + linear(
+            timestep_cond.astype(temb.dtype),
+            params["time_embedding"]["cond_proj"],
+        )
+    temb = linear(temb, params["time_embedding"]["linear_1"])
+    temb = silu(temb)
+    temb = linear(temb, params["time_embedding"]["linear_2"])
+
+    if config.addition_embed_dim is not None:
+        assert added_cond is not None, "SDXL config requires added_cond"
+        time_ids = added_cond["time_ids"].reshape(-1)
+        tid_emb = timestep_embedding(
+            time_ids,
+            config.addition_time_embed_dim,
+            flip_sin_to_cos=config.flip_sin_to_cos,
+            freq_shift=config.freq_shift,
+            dtype=dtype,
+        ).reshape(batch, -1)
+        add_emb = jnp.concatenate(
+            [added_cond["text_embeds"].astype(dtype), tid_emb],
+            axis=-1,
+        )
+        aemb = linear(add_emb, params["add_embedding"]["linear_1"])
+        aemb = silu(aemb)
+        aemb = linear(aemb, params["add_embedding"]["linear_2"])
+        temb = temb + aemb
+
+    return silu(temb)
+
+
 def _heads_for_level(config: UNetConfig, channels: int) -> int:
     """SD 1.x fixes 8 heads per level (``diffusion.mojo:239,243,247``);
     SDXL fixes head_dim=64 instead (num_attention_heads == 0 sentinel)."""
@@ -347,9 +413,17 @@ def unet_forward(
     conv_impl: str = "xla",
     cross_kv: Optional[dict] = None,
     time_cache: Optional[dict] = None,
+    control: Optional[dict] = None,
 ) -> jax.Array:
     """Predict noise.  latents: (B, H, W, C_in); timesteps: (B,) or scalar;
     context: (B, L, cross_attention_dim).  Returns (B, H, W, C_out).
+
+    ``control``: ControlNet residuals ``{"down": [one per saved skip],
+    "mid": array or None}`` from
+    :func:`sdtpu.models.controlnet.controlnet_forward` — each ``down``
+    entry is added to the corresponding saved skip activation (the decoder
+    concat inputs) and ``mid`` to the mid-block output, the diffusers
+    composition.
 
     ``added_cond`` carries SDXL micro-conditioning: ``{"text_embeds": (B, P),
     "time_ids": (B, 6)}``.  ``timestep_cond`` is the LCM guidance-scale
@@ -365,57 +439,27 @@ def unet_forward(
         tp = time_cache
     else:
         tp = None
-        if timesteps.ndim == 0:
-            timesteps = jnp.broadcast_to(timesteps, (latents.shape[0],))
-
-        # Time embedding (diffusion.mojo:5-21): 320 sinusoidal -> MLP -> 1280.
-        temb = timestep_embedding(
-            timesteps,
-            config.block_out_channels[0],
-            flip_sin_to_cos=config.flip_sin_to_cos,
-            freq_shift=config.freq_shift,
-            dtype=latents.dtype,
+        temb = compute_time_embedding(
+            timesteps, params, config,
+            batch=latents.shape[0], dtype=latents.dtype,
+            timestep_cond=timestep_cond, added_cond=added_cond,
         )
-        if config.time_cond_proj_dim is not None:
-            assert timestep_cond is not None, "LCM config requires timestep_cond"
-            temb = temb + linear(
-                timestep_cond.astype(temb.dtype),
-                params["time_embedding"]["cond_proj"],
-            )
-        temb = linear(temb, params["time_embedding"]["linear_1"])
-        temb = silu(temb)
-        temb = linear(temb, params["time_embedding"]["linear_2"])
-
-        if config.addition_embed_dim is not None:
-            assert added_cond is not None, "SDXL config requires added_cond"
-            time_ids = added_cond["time_ids"].reshape(-1)
-            tid_emb = timestep_embedding(
-                time_ids,
-                config.addition_time_embed_dim,
-                flip_sin_to_cos=config.flip_sin_to_cos,
-                freq_shift=config.freq_shift,
-                dtype=latents.dtype,
-            ).reshape(latents.shape[0], -1)
-            add_emb = jnp.concatenate(
-                [added_cond["text_embeds"].astype(latents.dtype), tid_emb],
-                axis=-1,
-            )
-            aemb = linear(add_emb, params["add_embedding"]["linear_1"])
-            aemb = silu(aemb)
-            aemb = linear(aemb, params["add_embedding"]["linear_2"])
-            temb = temb + aemb
-
-        # The per-resblock SiLU(time) (diffusion.mojo:61) hoisted once.
-        temb = silu(temb)
 
     ng = config.norm_num_groups
     context = context.astype(latents.dtype)
 
     # --- encoder (diffusion.mojo:236-250) ---
+    # ControlNet residuals perturb the SAVED skips (the decoder's concat
+    # inputs), never the running activation — matching diffusers' wiring.
+    ctrl_down = iter(control["down"]) if control is not None else None
+    save = (
+        (lambda a: a) if ctrl_down is None
+        else (lambda a: a + next(ctrl_down).astype(a.dtype))
+    )
     x = conv2d(
         latents, params["conv_in"]["kernel"], params["conv_in"]["bias"], padding=1
     )
-    skips = [x]
+    skips = [save(x)]
     for level, block in enumerate(params["down_blocks"]):
         ch = config.block_out_channels[level]
         heads = _heads_for_level(config, ch)
@@ -435,10 +479,10 @@ def unet_forward(
                         else cross_kv["down"][level][i]
                     ),
                 )
-            skips.append(x)
+            skips.append(save(x))
         if "downsample" in block:
             x = downsample(x, block["downsample"])
-            skips.append(x)
+            skips.append(save(x))
 
     # --- mid (absent in Tiny-SD; present in SD1.5/SDXL) ---
     if config.mid_block:
@@ -457,6 +501,8 @@ def unet_forward(
         )
         x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng, conv_impl=conv_impl,
                          t_pre=None if tp is None else tp["mid"][1])
+        if control is not None and control.get("mid") is not None:
+            x = x + control["mid"].astype(x.dtype)
 
     # --- decoder (diffusion.mojo:252-272): concat skip on channel axis ---
     for rev, block in enumerate(params["up_blocks"]):

@@ -66,6 +66,7 @@ class StableDiffusionPipeline:
         self.config = config
         self.params = params
         self.tokenizer = tokenizer
+        self.controlnet = None
         self._compiled = {}
 
     # -- construction -------------------------------------------------------
@@ -193,6 +194,29 @@ class StableDiffusionPipeline:
         self._lora_originals = {}
         return len(originals)
 
+    def load_controlnet(self, controlnet) -> "StableDiffusionPipeline":
+        """Attach a ControlNet (``sdtpu/models/controlnet.py``) for
+        spatially-conditioned generation: pass ``control_image=`` to
+        :meth:`generate` / ``control_images=`` to :meth:`generate_batch`.
+
+        ``controlnet`` is a diffusers ``ControlNetModel`` safetensors path /
+        model directory (e.g. ``lllyasviel/sd-controlnet-canny``, loaded via
+        ``sdtpu.utils.weights.load_controlnet_params`` against THIS
+        pipeline's UNet config) or an already-built parameter pytree
+        (``init_controlnet`` in tests).  The ControlNet rides every UNet
+        optimization — slab conv kernels, flash attention, scan-hoisted time
+        projections and cross-attention K/V.  Programs without a control
+        image are unaffected (the tree travels as a separate jit argument
+        only when a control image is given).  Returns self."""
+        if isinstance(controlnet, str):
+            from sdtpu.utils.weights import load_controlnet_params
+
+            controlnet = load_controlnet_params(
+                controlnet, self.config.unet, dtype=self.config.param_dtype
+            )
+        self.controlnet = jax.tree.map(jnp.asarray, controlnet)
+        return self
+
     def load_textual_inversion(self, embeds, *, token=None) -> dict:
         """Load textual-inversion concept embeddings
         (``sdtpu/utils/textual_inversion.py``): appends the learned
@@ -239,9 +263,17 @@ class StableDiffusionPipeline:
         clip_skip: int = 0,
         prompt_weighting: bool = False,
         token_weights: Optional[np.ndarray] = None,
+        control_image: Optional[np.ndarray] = None,
+        controlnet_scale: float = 1.0,
         verbose: bool = False,
     ):
         """Text->image (or image->image when ``init_image`` is given).
+
+        ``control_image`` (requires :meth:`load_controlnet`): an (H, W, 3)
+        uint8 / [0,1] float control map (canny edges, depth, pose, ...) —
+        the ControlNet's residuals steer every denoising step.
+        ``controlnet_scale`` multiplies them (a traced scalar: changing it
+        never recompiles).  Composes with img2img / inpainting / CFG.
 
         ``mask_image`` (with ``init_image``) switches to INPAINTING: only
         the masked region (mask > 0 — white pixels / 1.0 floats) is
@@ -347,6 +379,11 @@ class StableDiffusionPipeline:
                     )
                     if token_weights is not None else None
                 ),
+                control_images=(
+                    [control_image] * num_images
+                    if control_image is not None else None
+                ),
+                controlnet_scale=controlnet_scale,
             )
 
         ids = self._tokenize(prompt, negative_prompt, cfg, token_ids,
@@ -384,6 +421,12 @@ class StableDiffusionPipeline:
             raise ValueError(f"unknown rng {rng!r} (expected 'jax' or 'torch')")
         if latents is not None and is_img2img:
             raise ValueError("latents injection is txt2img-only")
+        has_control = control_image is not None
+        if has_control and self.controlnet is None:
+            raise ValueError(
+                "control_image requires a ControlNet — call "
+                "pipe.load_controlnet(...) first"
+            )
         strength_key = round(strength, 6) if is_img2img else 1.0
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img, strength_key,
@@ -393,6 +436,7 @@ class StableDiffusionPipeline:
             has_mask=mask_image is not None,
             clip_skip=clip_skip,
             has_weights=weights is not None,
+            has_control=has_control,
         )
         ids_arg = ids if weights is None else (ids, weights)
 
@@ -401,22 +445,24 @@ class StableDiffusionPipeline:
         # a device round trip through the relay before the real dispatch
         seed_arr = np.uint32(seed)
         cfg_scale_arr = np.float32(cfg_scale)
+        pos = []
         if is_img2img:
-            image = self._prep_image(init_image, size)
+            pos.append(self._prep_image(init_image, size))
             if mask_image is not None:
-                mask = self._prep_mask(mask_image, size)
-                images = fn(self.params, ids_arg, image, mask, cfg_scale_arr,
-                            seed_arr)
-            else:
-                images = fn(self.params, ids_arg, image, cfg_scale_arr,
-                            seed_arr)
+                pos.append(self._prep_mask(mask_image, size))
         elif latents is not None:
             lat0 = np.asarray(latents, np.float32)
             if lat0.ndim == 3:
                 lat0 = lat0[None]
-            images = fn(self.params, ids_arg, lat0, cfg_scale_arr, seed_arr)
+            pos.append(lat0)
+        if has_control:
+            images = fn(
+                {**self.params, "controlnet": self.controlnet}, ids_arg, *pos,
+                self._prep_control(control_image, size), cfg_scale_arr,
+                np.float32(controlnet_scale), seed_arr,
+            )
         else:
-            images = fn(self.params, ids_arg, cfg_scale_arr, seed_arr)
+            images = fn(self.params, ids_arg, *pos, cfg_scale_arr, seed_arr)
 
         if output == "device":
             # raw uint8-packed device array, NOT fetched — the caller can
@@ -483,6 +529,8 @@ class StableDiffusionPipeline:
         clip_skip: int = 0,
         prompt_weighting: bool = False,
         token_weights: Optional[np.ndarray] = None,
+        control_images=None,
+        controlnet_scale: float = 1.0,
     ):
         """Batched txt2img serving: B prompts -> (B, H, W, 3) in ONE compiled
         CFG-batched (2B) program — the large-batch few-step serving path
@@ -604,6 +652,17 @@ class StableDiffusionPipeline:
             raise ValueError("strength must be in (0, 1]")
         if mask_images is not None and not is_img2img:
             raise ValueError("mask_images requires init_images (inpainting)")
+        has_control = control_images is not None
+        if has_control:
+            if self.controlnet is None:
+                raise ValueError(
+                    "control_images requires a ControlNet — call "
+                    "pipe.load_controlnet(...) first"
+                )
+            if len(control_images) != cond.shape[0]:
+                raise ValueError(
+                    "control_images must match the number of prompts"
+                )
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img,
             round(strength, 6) if is_img2img else 1.0, ids.shape[0], sampler,
@@ -611,6 +670,7 @@ class StableDiffusionPipeline:
             has_mask=mask_images is not None,
             clip_skip=clip_skip,
             has_weights=weights is not None,
+            has_control=has_control,
         )
         if seeds is not None:
             if len(seeds) != cond.shape[0]:
@@ -619,7 +679,10 @@ class StableDiffusionPipeline:
         else:
             key = np.uint32(seed)
 
-        params = self.params
+        params = (
+            {**self.params, "controlnet": self.controlnet}
+            if has_control else self.params
+        )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -635,6 +698,7 @@ class StableDiffusionPipeline:
                 params = jax.device_put(params, NamedSharding(mesh, P()))
 
         ids_arg = ids if weights is None else (ids, weights)
+        pos = []
         if is_img2img:
             imgs_in = jnp.concatenate(
                 [self._prep_image(im, size) for im in init_images]
@@ -645,6 +709,7 @@ class StableDiffusionPipeline:
                 imgs_in = jax.device_put(
                     imgs_in, NamedSharding(mesh, P("dp", None, None, None))
                 )
+            pos.append(imgs_in)
             if mask_images is not None:
                 if len(mask_images) != len(init_images):
                     raise ValueError(
@@ -657,13 +722,22 @@ class StableDiffusionPipeline:
                     masks = jax.device_put(
                         masks, NamedSharding(mesh, P("dp", None, None, None))
                     )
-                images = fn(params, ids_arg, imgs_in, masks,
-                            jnp.float32(cfg_scale), key)
-            else:
-                images = fn(params, ids_arg, imgs_in,
-                            jnp.float32(cfg_scale), key)
+                pos.append(masks)
+        if has_control:
+            ctrl_in = jnp.concatenate(
+                [self._prep_control(im, size) for im in control_images]
+            )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                ctrl_in = jax.device_put(
+                    ctrl_in, NamedSharding(mesh, P("dp", None, None, None))
+                )
+            images = fn(params, ids_arg, *pos, ctrl_in,
+                        jnp.float32(cfg_scale), np.float32(controlnet_scale),
+                        key)
         else:
-            images = fn(params, ids_arg, jnp.float32(cfg_scale), key)
+            images = fn(params, ids_arg, *pos, jnp.float32(cfg_scale), key)
         if output == "device":
             # raw device array (uint8-packed), NOT fetched: the serving
             # engine dispatches the next batch before blocking on this one
@@ -792,6 +866,28 @@ class StableDiffusionPipeline:
             img = resize_image(img, size, size)  # pipeline.mojo:69
         return img
 
+    def _prep_control(self, control_image, size) -> np.ndarray:
+        """ControlNet conditioning image -> (1, size, size, 3) float32 in
+        [0, 1] (diffusers' range for control maps — NOT the VAE's [-1, 1]).
+        Accepts (H, W) or (H, W, C) uint8/float; grayscale maps broadcast
+        to 3 channels; nearest-resized on host (pure numpy — eager device
+        ops cost a relay round trip each)."""
+        arr = np.asarray(control_image)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        arr = arr.astype(np.float32)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, axis=-1)
+        if arr.shape[-1] != 3:
+            raise ValueError(f"control image must be (H, W[, 1|3]); got {arr.shape}")
+        if arr.shape[:2] != (size, size):
+            ri = (np.arange(size) * arr.shape[0] // size).clip(0, arr.shape[0] - 1)
+            ci = (np.arange(size) * arr.shape[1] // size).clip(0, arr.shape[1] - 1)
+            arr = arr[ri[:, None], ci[None, :]]
+        return np.clip(arr, 0.0, 1.0)[None].astype(np.float32)
+
     def _prep_mask(self, mask_image, size) -> np.ndarray:
         """Inpainting mask -> (1, lat, lat, 1) float32 in [0, 1]
         (1 = repaint, 0 = preserve the init image).  Accepts (H, W),
@@ -823,7 +919,7 @@ class StableDiffusionPipeline:
     def _get_compiled(
         self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
         has_latents=False, want_latents=False, want_uint8=False,
-        has_mask=False, clip_skip=0, has_weights=False,
+        has_mask=False, clip_skip=0, has_weights=False, has_control=False,
     ):
         # The ring-attention context is read at TRACE time (the shard_map is
         # baked into the compiled program), so it must be part of the cache
@@ -834,7 +930,7 @@ class StableDiffusionPipeline:
 
         cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler,
                      has_latents, want_latents, want_uint8, has_mask,
-                     clip_skip, has_weights, get_ring_context())
+                     clip_skip, has_weights, has_control, get_ring_context())
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
@@ -847,7 +943,8 @@ class StableDiffusionPipeline:
                              want_uint8=want_uint8,
                              has_mask=has_mask,
                              clip_skip=clip_skip,
-                             has_weights=has_weights)
+                             has_weights=has_weights,
+                             has_control=has_control)
             self._compiled[cache_key] = fn
         return fn
 
@@ -855,7 +952,7 @@ class StableDiffusionPipeline:
         self, sdef: SamplerDef, schedule, cfg: bool, is_img2img: bool,
         size: int, has_latents: bool = False, want_latents: bool = False,
         want_uint8: bool = False, has_mask: bool = False, clip_skip: int = 0,
-        has_weights: bool = False,
+        has_weights: bool = False, has_control: bool = False,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -942,7 +1039,7 @@ class StableDiffusionPipeline:
             return context, added
 
         def denoise(params, context, added_cond, latents, cfg_scale, key,
-                    inpaint=None):
+                    inpaint=None, control=None):
             # context: cfg ? (2B, L, D) ordered [cond..., uncond...] : (B, L, D)
             batch = latents.shape[0]
 
@@ -989,6 +1086,30 @@ class StableDiffusionPipeline:
                 dtype=compute_dtype,
             )
 
+            # ControlNet: the control-image embedding is constant across the
+            # scan (computed ONCE here), and the encoder copy gets the same
+            # scan-hoisted cross-K/V + time-projection treatment as the UNet.
+            cn_embed = cn_kv = cn_time = None
+            if control is not None:
+                from sdtpu.models.controlnet import controlnet_cond_embed
+
+                control_img, ctrl_scale = control
+                cn = params["controlnet"]
+                cn_embed = controlnet_cond_embed(
+                    control_img.astype(compute_dtype), cn["cond_embedding"]
+                )
+                if cfg:  # applied to BOTH branches (diffusers default)
+                    cn_embed = jnp.concatenate([cn_embed, cn_embed])
+                cn_kv = precompute_cross_kv(
+                    context.astype(compute_dtype), cn, config.unet
+                )
+                cn_time = precompute_time_projections(
+                    schedule.timesteps, cn, config.unet,
+                    batch=2 * batch if cfg else batch,
+                    timestep_cond=timestep_cond, added_cond=added_cond,
+                    dtype=compute_dtype,
+                )
+
             def body(carry, step):
                 lat, key, state = carry
                 i, t = step
@@ -998,6 +1119,19 @@ class StableDiffusionPipeline:
                 t_in = jnp.broadcast_to(
                     t.astype(jnp.float32), (lat_in.shape[0],)
                 )
+                ctrl = None
+                if control is not None:
+                    from sdtpu.models.controlnet import controlnet_forward
+
+                    ctrl = controlnet_forward(
+                        lat_in.astype(compute_dtype), t_in, context,
+                        cn_embed, params["controlnet"], config.unet,
+                        conditioning_scale=ctrl_scale,
+                        added_cond=added_cond, timestep_cond=timestep_cond,
+                        attention_impl=attn_impl, conv_impl=conv_impl,
+                        cross_kv=cn_kv,
+                        time_cache=jax.tree.map(lambda a: a[i], cn_time),
+                    )
                 eps = unet_forward(
                     lat_in.astype(compute_dtype), t_in, context, params["unet"],
                     config.unet, added_cond=added_cond,
@@ -1005,6 +1139,7 @@ class StableDiffusionPipeline:
                     attention_impl=attn_impl,
                     conv_impl=conv_impl, cross_kv=cross_kv,
                     time_cache=jax.tree.map(lambda a: a[i], time_cache),
+                    control=ctrl,
                 ).astype(jnp.float32)
                 if cfg:
                     cond, uncond = eps[:batch], eps[batch:]
@@ -1088,7 +1223,8 @@ class StableDiffusionPipeline:
 
         if is_img2img:
 
-            def run(params, ids, image, cfg_scale, key, mask=None):
+            def run(params, ids, image, cfg_scale, key, mask=None,
+                    control=None):
                 key = make_key(key)
                 context, added = encode_context(params, ids)
                 batch = image.shape[0]
@@ -1120,28 +1256,31 @@ class StableDiffusionPipeline:
                     else (mask.astype(jnp.float32), lat0, fwd_noise)
                 )
                 latents = denoise(params, context, added, latents, cfg_scale,
-                                  key, inpaint=inpaint)
+                                  key, inpaint=inpaint, control=control)
                 return decode(params, latents)
 
             if has_mask:
                 inner = run
 
-                def run(params, ids, image, mask, cfg_scale, key):  # noqa: F811
-                    return inner(params, ids, image, cfg_scale, key, mask=mask)
+                def run(params, ids, image, mask, cfg_scale, key,  # noqa: F811
+                        control=None):
+                    return inner(params, ids, image, cfg_scale, key, mask=mask,
+                                 control=control)
 
         elif has_latents:
 
-            def run(params, ids, lat0, cfg_scale, key):
+            def run(params, ids, lat0, cfg_scale, key, control=None):
                 key = make_key(key)
                 context, added = encode_context(params, ids)
                 # user-supplied N(0,1) fixture; sigma-space samplers scale
                 latents = lat0 * getattr(schedule, "init_sigma", 1.0)
-                latents = denoise(params, context, added, latents, cfg_scale, key)
+                latents = denoise(params, context, added, latents, cfg_scale,
+                                  key, control=control)
                 return decode(params, latents)
 
         else:
 
-            def run(params, ids, cfg_scale, key):
+            def run(params, ids, cfg_scale, key, control=None):
                 key = make_key(key)
                 context, added = encode_context(params, ids)
                 n_rows = (ids[0] if has_weights else ids).shape[0]
@@ -1165,7 +1304,18 @@ class StableDiffusionPipeline:
                     )  # pipeline.mojo:81
                 # sigma-space samplers start at noise * sigma_max
                 latents = latents * getattr(schedule, "init_sigma", 1.0)
-                latents = denoise(params, context, added, latents, cfg_scale, key)
+                latents = denoise(params, context, added, latents, cfg_scale,
+                                  key, control=control)
                 return decode(params, latents)
+
+        if has_control:
+            # positional-arg adapter: control args slot in before the key as
+            # (..., control_img, cfg_scale, ctrl_scale, key)
+            inner_run = run
+
+            def run(params, ids, *args):  # noqa: F811
+                *pos, control_img, cfg_scale, ctrl_scale, key = args
+                return inner_run(params, ids, *pos, cfg_scale, key,
+                                 control=(control_img, ctrl_scale))
 
         return jax.jit(run)

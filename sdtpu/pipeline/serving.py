@@ -64,6 +64,10 @@ class _Request:
     # per-token weights aligned with token_ids
     prompt_weighting: bool = False
     token_weights: Optional[np.ndarray] = None
+    # ControlNet: per-row control map (requires pipeline.load_controlnet);
+    # the scale is ONE traced scalar per batch, so it buckets
+    control_image: Optional[np.ndarray] = None
+    controlnet_scale: float = 1.0
     t_submit: float = 0.0  # monotonic enqueue time (latency percentiles)
 
     @property
@@ -86,7 +90,11 @@ class _Request:
                 round(self.cfg_scale, 6), img2img,
                 self.mask_image is not None,
                 round(self.strength, 6) if img2img else None,
-                self.clip_skip, weighting)
+                self.clip_skip, weighting,
+                # control CONTENT is per-row; the scale is batch-level (one
+                # traced scalar feeds the whole program)
+                (round(self.controlnet_scale, 6)
+                 if self.control_image is not None else None))
 
 
 class ServingEngine:
@@ -161,6 +169,8 @@ class ServingEngine:
         clip_skip: int = 0,
         prompt_weighting: bool = False,
         token_weights: Optional[np.ndarray] = None,
+        control_image: Optional[np.ndarray] = None,
+        controlnet_scale: float = 1.0,
     ) -> Future:
         """Enqueue one txt2img (or img2img when ``init_image`` is given, or
         inpainting when ``mask_image`` too) request; resolves to an
@@ -170,6 +180,11 @@ class ServingEngine:
             raise RuntimeError("engine is shut down")
         if mask_image is not None and init_image is None:
             raise ValueError("mask_image requires init_image (inpainting)")
+        if control_image is not None and self.pipeline.controlnet is None:
+            raise ValueError(
+                "control_image requires a ControlNet — call "
+                "pipeline.load_controlnet(...) first"
+            )
         config = self.pipeline.config
         req = _Request(
             prompt=prompt,
@@ -194,6 +209,8 @@ class ServingEngine:
             clip_skip=clip_skip,
             prompt_weighting=prompt_weighting,
             token_weights=token_weights,
+            control_image=control_image,
+            controlnet_scale=controlnet_scale,
             t_submit=time.monotonic(),
         )
         self._queue.put(req)
@@ -280,6 +297,9 @@ class ServingEngine:
             kw["strength"] = first.strength
             if first.mask_image is not None:
                 kw["mask_images"] = [r.mask_image for r in batch]
+        if first.control_image is not None:
+            kw["control_images"] = [r.control_image for r in batch]
+            kw["controlnet_scale"] = first.controlnet_scale
         return [r.prompt for r in batch], kw
 
     def _dispatch(self, batch: List[_Request]):

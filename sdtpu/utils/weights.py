@@ -200,7 +200,9 @@ def _attn_block_from_sd(sd: Mapping, p: str) -> dict:
     }
 
 
-def unet_params_from_state_dict(sd: Mapping, config: UNetConfig) -> dict:
+def _unet_encoder_from_sd(sd: Mapping, config: UNetConfig) -> dict:
+    """The encoder half shared by the UNet and its ControlNet copy:
+    conv_in, time/add embeddings, down blocks, mid block."""
     params = {
         "conv_in": _conv(sd, "conv_in"),
         "time_embedding": {
@@ -210,7 +212,7 @@ def unet_params_from_state_dict(sd: Mapping, config: UNetConfig) -> dict:
     }
     if "time_embedding.cond_proj.weight" in sd:
         params["time_embedding"]["cond_proj"] = _lin(sd, "time_embedding.cond_proj")
-    if config.addition_embed_dim is not None:
+    if config.addition_embed_dim is not None and "add_embedding.linear_1.weight" in sd:
         params["add_embedding"] = {
             "linear_1": _lin(sd, "add_embedding.linear_1"),
             "linear_2": _lin(sd, "add_embedding.linear_2"),
@@ -243,6 +245,11 @@ def unet_params_from_state_dict(sd: Mapping, config: UNetConfig) -> dict:
             ],
             "attentions": [_attn_block_from_sd(sd, "mid_block.attentions.0")],
         }
+    return params
+
+
+def unet_params_from_state_dict(sd: Mapping, config: UNetConfig) -> dict:
+    params = _unet_encoder_from_sd(sd, config)
 
     up_blocks = []
     for rev in range(config.num_levels):
@@ -267,6 +274,63 @@ def unet_params_from_state_dict(sd: Mapping, config: UNetConfig) -> dict:
     params["norm_out"] = _norm(sd, "conv_norm_out")
     params["conv_out"] = _conv(sd, "conv_out")
     return params
+
+
+# ---------------------------------------------------------------------------
+# ControlNet (diffusers ControlNetModel state_dict)
+# ---------------------------------------------------------------------------
+
+
+def controlnet_params_from_state_dict(sd: Mapping, config: UNetConfig) -> dict:
+    """Map a diffusers ``ControlNetModel`` state_dict to the
+    :func:`sdtpu.models.controlnet.controlnet_forward` pytree.  ``config`` is
+    the BASE model's UNetConfig — the ControlNet encoder copy shares it.
+
+    Diffusers-specific keys: ``controlnet_cond_embedding.{conv_in,blocks.N,
+    conv_out}`` (the control-image embedder), ``controlnet_down_blocks.N``
+    (one zero conv per saved skip), ``controlnet_mid_block``."""
+    params = _unet_encoder_from_sd(sd, config)
+
+    zero_convs = []
+    i = 0
+    while f"controlnet_down_blocks.{i}.weight" in sd:
+        zero_convs.append(_conv(sd, f"controlnet_down_blocks.{i}"))
+        i += 1
+    if not zero_convs:
+        raise KeyError(
+            "no controlnet_down_blocks.* keys — not a ControlNetModel state_dict"
+        )
+    params["zero_convs"] = zero_convs
+    if config.mid_block:
+        params["zero_conv_mid"] = _conv(sd, "controlnet_mid_block")
+
+    blocks = []
+    i = 0
+    while f"controlnet_cond_embedding.blocks.{i}.weight" in sd:
+        blocks.append(_conv(sd, f"controlnet_cond_embedding.blocks.{i}"))
+        i += 1
+    params["cond_embedding"] = {
+        "conv_in": _conv(sd, "controlnet_cond_embedding.conv_in"),
+        "blocks": blocks,
+        "conv_out": _conv(sd, "controlnet_cond_embedding.conv_out"),
+    }
+    return params
+
+
+def load_controlnet_params(
+    path: str,
+    config: UNetConfig,
+    *,
+    dtype=None,
+) -> dict:
+    """Load a diffusers ControlNet from a safetensors file or a model
+    directory containing one (e.g. ``lllyasviel/sd-controlnet-canny``'s
+    ``diffusion_pytorch_model.safetensors``)."""
+    if os.path.isdir(path):
+        path = _find_weight_file(path)
+    sd = load_safetensors(path)
+    params = controlnet_params_from_state_dict(sd, config)
+    return cast_pytree(params, dtype) if dtype is not None else params
 
 
 # ---------------------------------------------------------------------------

@@ -374,10 +374,13 @@ class RefUNet(nn.Module):
         self.conv_out = nn.Conv2d(chs[0], cfg.out_channels, 3, padding=1)
 
     def forward(self, latents, timesteps, context, *, text_embeds=None,
-                time_ids=None, timestep_cond=None):
+                time_ids=None, timestep_cond=None, down_residuals=None,
+                mid_residual=None):
         """latents: (B, C, H, W); timesteps: (B,); context: (B, L, D);
         text_embeds (B, P) + time_ids (B, 6) for SDXL micro-conditioning;
-        timestep_cond (B, cond_proj_dim) for LCM guidance embedding."""
+        timestep_cond (B, cond_proj_dim) for LCM guidance embedding;
+        down_residuals/mid_residual: ControlNet additional residuals, added
+        to the saved skips / the mid-block output (the diffusers wiring)."""
         temb = self.time_embedding(self.time_proj(timesteps), timestep_cond)
         if hasattr(self, "add_embedding"):
             b = latents.shape[0]
@@ -389,11 +392,125 @@ class RefUNet(nn.Module):
         skips = [x]
         for blk in self.down_blocks:
             x = blk(x, temb, context, skips)
+        if down_residuals is not None:
+            skips = [s + r for s, r in zip(skips, down_residuals)]
         if hasattr(self, "mid_block"):
             x = self.mid_block(x, temb, context)
+        if mid_residual is not None:
+            x = x + mid_residual
         for blk in self.up_blocks:
             x = blk(x, temb, context, skips)
         return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+# ---------------------------------------------------------------------------
+# ControlNetModel (diffusers controlnet spec: the UNet encoder copy + zero
+# convs + the control-image conditioning embedder)
+# ---------------------------------------------------------------------------
+
+
+class ControlNetConditioningEmbedding(nn.Module):
+    """conv_in -> SiLU -> [conv -> SiLU]* walking the channel ladder (odd
+    blocks stride 2, three pairs = the 8x latent downscale) -> zero conv."""
+
+    def __init__(self, out_ch, cond_ch=3, channels=(16, 32, 96, 256)):
+        super().__init__()
+        self.conv_in = nn.Conv2d(cond_ch, channels[0], 3, padding=1)
+        blocks = []
+        for i in range(len(channels) - 1):
+            blocks.append(nn.Conv2d(channels[i], channels[i], 3, padding=1))
+            blocks.append(
+                nn.Conv2d(channels[i], channels[i + 1], 3, padding=1, stride=2)
+            )
+        self.blocks = nn.ModuleList(blocks)
+        self.conv_out = nn.Conv2d(channels[-1], out_ch, 3, padding=1)
+        nn.init.zeros_(self.conv_out.weight)
+        nn.init.zeros_(self.conv_out.bias)
+
+    def forward(self, x):
+        x = F.silu(self.conv_in(x))
+        for blk in self.blocks:
+            x = F.silu(blk(x))
+        return self.conv_out(x)
+
+
+class RefControlNet(nn.Module):
+    """ControlNetModel: the base UNet's encoder + mid block (same cfg), a
+    conditioning embedder added to conv_in's output, and one zero conv per
+    saved skip (``controlnet_down_blocks``) + one for the mid block."""
+
+    def __init__(self, cfg, cond_channels=(16, 32, 96, 256)):
+        super().__init__()
+        chs = cfg.block_out_channels
+        temb_ch = chs[0] * cfg.time_embed_dim_mult
+        groups = cfg.norm_num_groups
+        self.cfg = cfg
+        self.conv_in = nn.Conv2d(cfg.in_channels, chs[0], 3, padding=1)
+        self.time_proj = Timesteps(chs[0], cfg.flip_sin_to_cos, cfg.freq_shift)
+        self.time_embedding = TimestepEmbedding(chs[0], temb_ch)
+        self.controlnet_cond_embedding = ControlNetConditioningEmbedding(
+            chs[0], channels=cond_channels
+        )
+
+        def heads_for(ch):
+            return cfg.num_attention_heads if cfg.num_attention_heads > 0 else ch // 64
+
+        blocks = []
+        zero_convs = [nn.Conv2d(chs[0], chs[0], 1)]
+        in_ch = chs[0]
+        for lvl, ch in enumerate(chs):
+            last = lvl == len(chs) - 1
+            blocks.append(
+                _DownBlock(
+                    in_ch, ch, temb_ch,
+                    layers=cfg.layers_per_block,
+                    attention=cfg.attention_levels[lvl],
+                    heads=heads_for(ch), context_dim=cfg.cross_attention_dim,
+                    groups=groups,
+                    depth=cfg.transformer_layers_per_block[lvl],
+                    downsample=not last,
+                )
+            )
+            zero_convs += [
+                nn.Conv2d(ch, ch, 1) for _ in range(cfg.layers_per_block)
+            ]
+            if not last:
+                zero_convs.append(nn.Conv2d(ch, ch, 1))
+            in_ch = ch
+        self.down_blocks = nn.ModuleList(blocks)
+        self.controlnet_down_blocks = nn.ModuleList(zero_convs)
+
+        if cfg.mid_block:
+            self.mid_block = _MidBlock(
+                chs[-1], temb_ch, heads=heads_for(chs[-1]),
+                context_dim=cfg.cross_attention_dim, groups=groups,
+                depth=cfg.transformer_layers_per_block[-1],
+            )
+            self.controlnet_mid_block = nn.Conv2d(chs[-1], chs[-1], 1)
+
+        for zc in list(self.controlnet_down_blocks) + (
+            [self.controlnet_mid_block] if cfg.mid_block else []
+        ):
+            nn.init.zeros_(zc.weight)
+            nn.init.zeros_(zc.bias)
+
+    def forward(self, latents, timesteps, context, cond, conditioning_scale=1.0):
+        """latents (B, C, H, W); cond (B, 3, 8H, 8W) in [0, 1].  Returns
+        (down residual list, mid residual or None)."""
+        temb = self.time_embedding(self.time_proj(timesteps))
+        x = self.conv_in(latents) + self.controlnet_cond_embedding(cond)
+        skips = [x]
+        for blk in self.down_blocks:
+            x = blk(x, temb, context, skips)
+        down = [
+            zc(s) * conditioning_scale
+            for zc, s in zip(self.controlnet_down_blocks, skips)
+        ]
+        mid = None
+        if hasattr(self, "mid_block"):
+            x = self.mid_block(x, temb, context)
+            mid = self.controlnet_mid_block(x) * conditioning_scale
+        return down, mid
 
 
 # ---------------------------------------------------------------------------
