@@ -35,13 +35,16 @@ def main() -> None:
                     help="inpainting mask path (white = repaint); "
                          "requires --init-image")
     ap.add_argument("--strength", type=float, default=0.9)
-    ap.add_argument("--controlnet", default=None, metavar="PATH",
+    ap.add_argument("--controlnet", action="append", default=[],
+                    metavar="PATH",
                     help="diffusers ControlNetModel safetensors file or "
                          "model dir (e.g. lllyasviel/sd-controlnet-canny); "
-                         "requires --control-image")
-    ap.add_argument("--control-image", default=None,
+                         "requires --control-image; repeat for "
+                         "multi-ControlNet (one --control-image per net)")
+    ap.add_argument("--control-image", action="append", default=[],
                     help="control map path (canny edges, depth, pose, ...)")
-    ap.add_argument("--controlnet-scale", type=float, default=1.0)
+    ap.add_argument("--controlnet-scale", type=float, action="append",
+                    default=[], help="one per net; default 1.0")
     ap.add_argument("--int8", action="store_true",
                     help="W8A8-quantize the UNet (2x int8 MXU path; "
                          "fidelity notes in sdtpu/utils/quant.py)")
@@ -105,11 +108,18 @@ def main() -> None:
     if args.int8:
         pipe.quantize_int8(transformer=args.int8_transformer,
                            vae=args.int8_vae)
+    cn_scales = args.controlnet_scale or [1.0] * len(args.controlnet)
     if args.controlnet:
-        if not args.control_image:
-            ap.error("--controlnet requires --control-image")
-        pipe.load_controlnet(args.controlnet)
-        print(f"controlnet {args.controlnet} (scale {args.controlnet_scale})")
+        if len(args.control_image) != len(args.controlnet):
+            ap.error("need exactly one --control-image per --controlnet")
+        if len(cn_scales) != len(args.controlnet):
+            ap.error("need one --controlnet-scale per --controlnet (or none)")
+        pipe.load_controlnet(
+            args.controlnet[0] if len(args.controlnet) == 1
+            else args.controlnet
+        )
+        for p, s in zip(args.controlnet, cn_scales):
+            print(f"controlnet {p} (scale {s})")
     elif args.control_image:
         ap.error("--control-image requires --controlnet")
 
@@ -150,9 +160,15 @@ def main() -> None:
         clip_skip=args.clip_skip,
         prompt_weighting=args.prompt_weighting,
         control_image=(
-            load_image(args.control_image) if args.control_image else None
+            [load_image(p) for p in args.control_image]
+            if len(args.control_image) > 1
+            else load_image(args.control_image[0])
+            if args.control_image else None
         ),
-        controlnet_scale=args.controlnet_scale,
+        controlnet_scale=(
+            cn_scales if len(cn_scales) > 1
+            else cn_scales[0] if cn_scales else 1.0
+        ),
     )
     dt = time.perf_counter() - t0
     save_png(image, args.out)

@@ -203,19 +203,62 @@ class StableDiffusionPipeline:
         model directory (e.g. ``lllyasviel/sd-controlnet-canny``, loaded via
         ``sdtpu.utils.weights.load_controlnet_params`` against THIS
         pipeline's UNet config) or an already-built parameter pytree
-        (``init_controlnet`` in tests).  The ControlNet rides every UNet
+        (``init_controlnet`` in tests) — or a LIST of either for
+        multi-ControlNet (diffusers ``MultiControlNetModel`` semantics: one
+        control image per net, residuals summed; per-net scales via a
+        ``controlnet_scale`` list).  The ControlNet rides every UNet
         optimization — slab conv kernels, flash attention, scan-hoisted time
         projections and cross-attention K/V.  Programs without a control
         image are unaffected (the tree travels as a separate jit argument
         only when a control image is given).  Returns self."""
-        if isinstance(controlnet, str):
-            from sdtpu.utils.weights import load_controlnet_params
+        def load_one(cn):
+            if isinstance(cn, str):
+                from sdtpu.utils.weights import load_controlnet_params
 
-            controlnet = load_controlnet_params(
-                controlnet, self.config.unet, dtype=self.config.param_dtype
-            )
-        self.controlnet = jax.tree.map(jnp.asarray, controlnet)
+                cn = load_controlnet_params(
+                    cn, self.config.unet, dtype=self.config.param_dtype
+                )
+            return jax.tree.map(jnp.asarray, cn)
+
+        if isinstance(controlnet, (list, tuple)):
+            self.controlnet = [load_one(c) for c in controlnet]
+        else:
+            self.controlnet = load_one(controlnet)
         return self
+
+    def _controlnets(self) -> list:
+        """The loaded ControlNet(s) as a list (single nets stay a dict on
+        ``self.controlnet`` so callers/tests can poke the tree directly)."""
+        return (
+            list(self.controlnet)
+            if isinstance(self.controlnet, (list, tuple))
+            else [self.controlnet]
+        )
+
+    @staticmethod
+    def _control_args(nets, control_image, controlnet_scale):
+        """Normalize (control_image, controlnet_scale) against the loaded
+        net count: returns (list of maps, list of float scales)."""
+        imgs = (
+            list(control_image)
+            if isinstance(control_image, (list, tuple))
+            else [control_image]
+        )
+        if len(imgs) != len(nets):
+            raise ValueError(
+                f"{len(nets)} ControlNet(s) loaded but {len(imgs)} control "
+                "image(s) given — multi-ControlNet needs one map per net"
+            )
+        scales = (
+            list(controlnet_scale)
+            if isinstance(controlnet_scale, (list, tuple))
+            else [controlnet_scale] * len(nets)
+        )
+        if len(scales) != len(nets):
+            raise ValueError(
+                "controlnet_scale list must match the number of ControlNets"
+            )
+        return imgs, [float(s) for s in scales]
 
     def load_textual_inversion(self, embeds, *, token=None) -> dict:
         """Load textual-inversion concept embeddings
@@ -274,6 +317,9 @@ class StableDiffusionPipeline:
         the ControlNet's residuals steer every denoising step.
         ``controlnet_scale`` multiplies them (a traced scalar: changing it
         never recompiles).  Composes with img2img / inpainting / CFG.
+        Multi-ControlNet: load a list of nets, pass one map per net
+        (``control_image=[edges, depth]``) and optionally one scale per net
+        — residuals sum (diffusers ``MultiControlNetModel`` semantics).
 
         ``mask_image`` (with ``init_image``) switches to INPAINTING: only
         the masked region (mask > 0 — white pixels / 1.0 floats) is
@@ -456,10 +502,15 @@ class StableDiffusionPipeline:
                 lat0 = lat0[None]
             pos.append(lat0)
         if has_control:
+            nets = self._controlnets()
+            imgs_c, scales_c = self._control_args(
+                nets, control_image, controlnet_scale
+            )
             images = fn(
-                {**self.params, "controlnet": self.controlnet}, ids_arg, *pos,
-                self._prep_control(control_image, size), cfg_scale_arr,
-                np.float32(controlnet_scale), seed_arr,
+                {**self.params, "controlnet": nets}, ids_arg, *pos,
+                [self._prep_control(im, size) for im in imgs_c],
+                cfg_scale_arr,
+                [np.float32(s) for s in scales_c], seed_arr,
             )
         else:
             images = fn(self.params, ids_arg, *pos, cfg_scale_arr, seed_arr)
@@ -680,7 +731,7 @@ class StableDiffusionPipeline:
             key = np.uint32(seed)
 
         params = (
-            {**self.params, "controlnet": self.controlnet}
+            {**self.params, "controlnet": self._controlnets()}
             if has_control else self.params
         )
         if mesh is not None:
@@ -724,18 +775,28 @@ class StableDiffusionPipeline:
                     )
                 pos.append(masks)
         if has_control:
-            ctrl_in = jnp.concatenate(
-                [self._prep_control(im, size) for im in control_images]
-            )
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                ctrl_in = jax.device_put(
-                    ctrl_in, NamedSharding(mesh, P("dp", None, None, None))
+            nets = self._controlnets()
+            # each request entry: one map (single net) or one map per net
+            rows = [
+                self._control_args(nets, entry, controlnet_scale)
+                for entry in control_images
+            ]
+            scales_c = rows[0][1]
+            ctrl_in = []
+            for k in range(len(nets)):
+                stack = jnp.concatenate(
+                    [self._prep_control(r[0][k], size) for r in rows]
                 )
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    stack = jax.device_put(
+                        stack, NamedSharding(mesh, P("dp", None, None, None))
+                    )
+                ctrl_in.append(stack)
             images = fn(params, ids_arg, *pos, ctrl_in,
-                        jnp.float32(cfg_scale), np.float32(controlnet_scale),
-                        key)
+                        jnp.float32(cfg_scale),
+                        [np.float32(s) for s in scales_c], key)
         else:
             images = fn(params, ids_arg, *pos, jnp.float32(cfg_scale), key)
         if output == "device":
@@ -1086,29 +1147,32 @@ class StableDiffusionPipeline:
                 dtype=compute_dtype,
             )
 
-            # ControlNet: the control-image embedding is constant across the
-            # scan (computed ONCE here), and the encoder copy gets the same
-            # scan-hoisted cross-K/V + time-projection treatment as the UNet.
-            cn_embed = cn_kv = cn_time = None
+            # ControlNet(s): the control-image embeddings are constant across
+            # the scan (computed ONCE here), and each encoder copy gets the
+            # same scan-hoisted cross-K/V + time-projection treatment as the
+            # UNet.  Multi-ControlNet residuals sum (diffusers semantics).
+            cn_caches = ctrl_scales = None
             if control is not None:
                 from sdtpu.models.controlnet import controlnet_cond_embed
 
-                control_img, ctrl_scale = control
-                cn = params["controlnet"]
-                cn_embed = controlnet_cond_embed(
-                    control_img.astype(compute_dtype), cn["cond_embedding"]
-                )
-                if cfg:  # applied to BOTH branches (diffusers default)
-                    cn_embed = jnp.concatenate([cn_embed, cn_embed])
-                cn_kv = precompute_cross_kv(
-                    context.astype(compute_dtype), cn, config.unet
-                )
-                cn_time = precompute_time_projections(
-                    schedule.timesteps, cn, config.unet,
-                    batch=2 * batch if cfg else batch,
-                    timestep_cond=timestep_cond, added_cond=added_cond,
-                    dtype=compute_dtype,
-                )
+                control_imgs, ctrl_scales = control
+                cn_caches = []
+                for cn, img in zip(params["controlnet"], control_imgs):
+                    emb = controlnet_cond_embed(
+                        img.astype(compute_dtype), cn["cond_embedding"]
+                    )
+                    if cfg:  # applied to BOTH branches (diffusers default)
+                        emb = jnp.concatenate([emb, emb])
+                    kv = precompute_cross_kv(
+                        context.astype(compute_dtype), cn, config.unet
+                    )
+                    tc = precompute_time_projections(
+                        schedule.timesteps, cn, config.unet,
+                        batch=2 * batch if cfg else batch,
+                        timestep_cond=timestep_cond, added_cond=added_cond,
+                        dtype=compute_dtype,
+                    )
+                    cn_caches.append((cn, emb, kv, tc))
 
             def body(carry, step):
                 lat, key, state = carry
@@ -1123,15 +1187,26 @@ class StableDiffusionPipeline:
                 if control is not None:
                     from sdtpu.models.controlnet import controlnet_forward
 
-                    ctrl = controlnet_forward(
-                        lat_in.astype(compute_dtype), t_in, context,
-                        cn_embed, params["controlnet"], config.unet,
-                        conditioning_scale=ctrl_scale,
-                        added_cond=added_cond, timestep_cond=timestep_cond,
-                        attention_impl=attn_impl, conv_impl=conv_impl,
-                        cross_kv=cn_kv,
-                        time_cache=jax.tree.map(lambda a: a[i], cn_time),
-                    )
+                    for (cn, emb, kv, tc), sc in zip(cn_caches, ctrl_scales):
+                        r = controlnet_forward(
+                            lat_in.astype(compute_dtype), t_in, context,
+                            emb, cn, config.unet,
+                            conditioning_scale=sc,
+                            added_cond=added_cond,
+                            timestep_cond=timestep_cond,
+                            attention_impl=attn_impl, conv_impl=conv_impl,
+                            cross_kv=kv,
+                            time_cache=jax.tree.map(lambda a: a[i], tc),
+                        )
+                        ctrl = r if ctrl is None else {
+                            "down": [
+                                a + b for a, b in zip(ctrl["down"], r["down"])
+                            ],
+                            "mid": (
+                                None if r["mid"] is None
+                                else ctrl["mid"] + r["mid"]
+                            ),
+                        }
                 eps = unet_forward(
                     lat_in.astype(compute_dtype), t_in, context, params["unet"],
                     config.unet, added_cond=added_cond,

@@ -91,10 +91,17 @@ class _Request:
                 self.mask_image is not None,
                 round(self.strength, 6) if img2img else None,
                 self.clip_skip, weighting,
-                # control CONTENT is per-row; the scale is batch-level (one
-                # traced scalar feeds the whole program)
-                (round(self.controlnet_scale, 6)
-                 if self.control_image is not None else None))
+                # control CONTENT is per-row; the scale(s) are batch-level
+                # (traced scalars feed the whole program); multi-ControlNet
+                # requests carry one scale per net
+                (tuple(
+                    round(s, 6)
+                    for s in (
+                        self.controlnet_scale
+                        if isinstance(self.controlnet_scale, (list, tuple))
+                        else [self.controlnet_scale]
+                    )
+                ) if self.control_image is not None else None))
 
 
 class ServingEngine:

@@ -184,6 +184,60 @@ class TestFullGolden:
         + plain innermost level."""
         self._parity(SD15_TOPO, spatial=16, seed=9)
 
+    def test_sdxl_topology_with_micro_conditioning(self):
+        """SDXL-style ControlNet: the encoder copy carries the add_embedding
+        (pooled text embeds + time-id sinusoids) — parity through the name
+        mapping incl. that path and a no-attention outer level."""
+        from test_unet_full_golden import SDXL_TOPO
+
+        cfg = SDXL_TOPO
+        cn_model = RefControlNet(cfg, cond_channels=COND_CHANNELS).eval()
+        randomize_(cn_model, seed=17)
+        cn_params = jax.tree.map(
+            jnp.asarray,
+            controlnet_params_from_state_dict(
+                state_dict_numpy(cn_model), cfg
+            ),
+        )
+        lat, ctx, cond, ts = _inputs(cfg, spatial=8, batch=2, ctx_len=7,
+                                     seed=17)
+        rng = np.random.default_rng(18)
+        pooled = rng.standard_normal((2, 16)).astype(np.float32)
+        time_ids = np.array(
+            [[512, 512, 0, 0, 512, 512], [768, 768, 10, 20, 512, 512]],
+            np.float32,
+        )
+        with torch.no_grad():
+            t_down, t_mid = cn_model(
+                torch.from_numpy(lat.transpose(0, 3, 1, 2)),
+                torch.from_numpy(ts),
+                torch.from_numpy(ctx),
+                torch.from_numpy(cond.transpose(0, 3, 1, 2)),
+                conditioning_scale=0.9,
+                text_embeds=torch.from_numpy(pooled),
+                time_ids=torch.from_numpy(time_ids),
+            )
+        embed = controlnet_cond_embed(
+            jnp.asarray(cond), cn_params["cond_embedding"]
+        )
+        ctrl = controlnet_forward(
+            jnp.asarray(lat), jnp.asarray(ts), jnp.asarray(ctx), embed,
+            cn_params, cfg, conditioning_scale=0.9,
+            added_cond={
+                "text_embeds": jnp.asarray(pooled),
+                "time_ids": jnp.asarray(time_ids),
+            },
+        )
+        for got_r, want_r in zip(ctrl["down"], t_down):
+            assert_allclose(
+                got_r, want_r.numpy().transpose(0, 2, 3, 1),
+                atol=3e-4, rtol=3e-3,
+            )
+        assert_allclose(
+            ctrl["mid"], t_mid.numpy().transpose(0, 2, 3, 1),
+            atol=3e-4, rtol=3e-3,
+        )
+
     def test_mapping_conserves_elements(self):
         model = RefControlNet(TINY_TOPO, cond_channels=COND_CHANNELS)
         sd = state_dict_numpy(model)
@@ -289,6 +343,61 @@ class TestPipelineControl:
             init_image=init, control_image=control, strength=0.5,
         )
         assert img.shape == (1, 32, 32, 3)
+
+    def test_multi_controlnet(self):
+        """Two nets: a zero-init net contributes nothing, so [zero, trained]
+        must equal the trained net alone (exact); per-net scales list; a
+        map-count mismatch raises."""
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+
+        import pytest
+
+        pipe = StableDiffusionPipeline.from_random(TINY, seed=0)
+        zero_cn = init_controlnet(
+            jax.random.key(20), TINY.unet, cond_channels=COND_CHANNELS_4X
+        )
+        trained = init_controlnet(
+            jax.random.key(21), TINY.unet, cond_channels=COND_CHANNELS_4X
+        )
+        key = jax.random.key(22)
+        trained["zero_convs"] = [
+            {
+                "kernel": 0.5 * jax.random.normal(
+                    jax.random.fold_in(key, i), zc["kernel"].shape,
+                    dtype=zc["kernel"].dtype,
+                ),
+                "bias": zc["bias"],
+            }
+            for i, zc in enumerate(trained["zero_convs"])
+        ]
+        rng = np.random.default_rng(1)
+        map_a = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        map_b = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+
+        pipe.load_controlnet(trained)
+        single = pipe.generate(
+            "x", token_ids=TOKENS[:1], num_inference_steps=2, seed=3,
+            control_image=map_b, controlnet_scale=0.6,
+        )
+        pipe.load_controlnet([zero_cn, trained])
+        both = pipe.generate(
+            "x", token_ids=TOKENS[:1], num_inference_steps=2, seed=3,
+            control_image=[map_a, map_b], controlnet_scale=[1.0, 0.6],
+        )
+        np.testing.assert_array_equal(both, single)
+        with pytest.raises(ValueError, match="one map per net"):
+            pipe.generate(
+                "x", token_ids=TOKENS[:1], num_inference_steps=2, seed=3,
+                control_image=map_a,
+            )
+        # batch path: per-request [map, map] entries
+        imgs = pipe.generate_batch(
+            ["a", "b"], token_ids=np.tile(TOKENS[:1], (2, 1)),
+            num_inference_steps=2, seeds=[1, 2],
+            control_images=[[map_a, map_b], [map_b, map_a]],
+            controlnet_scale=[1.0, 0.6],
+        )
+        assert imgs.shape == (2, 32, 32, 3)
 
     def test_serving_engine_matches_direct(self):
         """ControlNet requests serve through the micro-batching engine:

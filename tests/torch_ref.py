@@ -448,6 +448,15 @@ class RefControlNet(nn.Module):
         self.conv_in = nn.Conv2d(cfg.in_channels, chs[0], 3, padding=1)
         self.time_proj = Timesteps(chs[0], cfg.flip_sin_to_cos, cfg.freq_shift)
         self.time_embedding = TimestepEmbedding(chs[0], temb_ch)
+        if cfg.addition_embed_dim is not None:
+            # SDXL ControlNets carry the text_time micro-conditioning too
+            self.add_time_proj = Timesteps(
+                cfg.addition_time_embed_dim, cfg.flip_sin_to_cos,
+                cfg.freq_shift,
+            )
+            self.add_embedding = TimestepEmbedding(
+                cfg.addition_embed_dim, temb_ch
+            )
         self.controlnet_cond_embedding = ControlNetConditioningEmbedding(
             chs[0], channels=cond_channels
         )
@@ -494,10 +503,17 @@ class RefControlNet(nn.Module):
             nn.init.zeros_(zc.weight)
             nn.init.zeros_(zc.bias)
 
-    def forward(self, latents, timesteps, context, cond, conditioning_scale=1.0):
+    def forward(self, latents, timesteps, context, cond, conditioning_scale=1.0,
+                *, text_embeds=None, time_ids=None):
         """latents (B, C, H, W); cond (B, 3, 8H, 8W) in [0, 1].  Returns
         (down residual list, mid residual or None)."""
         temb = self.time_embedding(self.time_proj(timesteps))
+        if hasattr(self, "add_embedding"):
+            b = latents.shape[0]
+            tid = self.add_time_proj(time_ids.reshape(-1)).reshape(b, -1)
+            temb = temb + self.add_embedding(
+                torch.cat([text_embeds, tid], dim=-1)
+            )
         x = self.conv_in(latents) + self.controlnet_cond_embedding(cond)
         skips = [x]
         for blk in self.down_blocks:
