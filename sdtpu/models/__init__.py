@@ -1,7 +1,7 @@
 """Model-level pure functions (the TPU-native analogue of the reference's L2:
 ``clip.mojo``, ``diffusion.mojo``, ``vae.mojo``)."""
 
-from sdtpu.models.clip import clip_encode, init_clip
+from sdtpu.models.clip import clip_encode, clip_encode_windows, init_clip
 from sdtpu.models.controlnet import (
     controlnet_cond_embed,
     controlnet_forward,
@@ -18,6 +18,7 @@ from sdtpu.models.vae import (
 
 __all__ = [
     "clip_encode",
+    "clip_encode_windows",
     "controlnet_cond_embed",
     "controlnet_forward",
     "init_clip",

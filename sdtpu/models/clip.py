@@ -159,3 +159,33 @@ def init_clip(
             keys[-1], d, config.projection_dim, use_bias=False, dtype=dtype
         )
     return params
+
+
+def clip_encode_windows(
+    token_ids: jax.Array,
+    params: dict,
+    config: CLIPConfig,
+    *,
+    clip_skip: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`clip_encode` with long-prompt chunking (the community
+    "long prompt" scheme, ``bpe.py:encode_long``): (B, n*W) ids run as B*n
+    independent W-token windows through ONE batched encoder call (each
+    window gets its own position embeddings), hidden states re-concatenated
+    to a (B, n*W, D) cross-attention context.  The pooled output (SDXL
+    micro-conditioning) is the FIRST window's — the community convention.
+    n == 1 (the common case) is exactly :func:`clip_encode`."""
+    b, L = token_ids.shape
+    if L <= config.max_length:
+        return clip_encode(token_ids, params, config, clip_skip=clip_skip)
+    if L % config.max_length:
+        raise ValueError(
+            f"token_ids length {L} must be a multiple of the CLIP window "
+            f"({config.max_length}) — chunk long prompts per window "
+            "(tokenizer.encode_long)"
+        )
+    n = L // config.max_length
+    flat = token_ids.reshape(b * n, config.max_length)
+    hidden, pooled = clip_encode(flat, params, config, clip_skip=clip_skip)
+    hidden = hidden.reshape(b, L, hidden.shape[-1])
+    return hidden, pooled.reshape(b, n, -1)[:, 0]

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sdtpu.config import PipelineConfig, get_preset
-from sdtpu.models.clip import clip_encode
+from sdtpu.models.clip import clip_encode_windows
 from sdtpu.models.unet import unet_forward
 from sdtpu.models.vae import vae_decode, vae_encode
 from sdtpu.samplers import SamplerDef, get_sampler
@@ -622,7 +622,20 @@ class StableDiffusionPipeline:
                 f"{self.config.vae.downscale_factor}"
             )
         max_len = self.config.clip.max_length
-        cond_w = None
+        # negative_prompt: one string for the whole batch, or one per
+        # prompt (the micro-batching server coalesces requests with
+        # DIFFERENT negative prompts — each row gets its own uncond).
+        # Resolved up front: cond and uncond rows tokenize TOGETHER so long
+        # prompts chunk to one shared window count (_encode_rows).
+        negs = None
+        if cfg:
+            negs = (
+                list(negative_prompt)
+                if isinstance(negative_prompt, (list, tuple))
+                else [negative_prompt] * len(prompts)
+            )
+        cond_w = uncond = uncond_w = None
+        n_prompts = len(prompts)
         if prompt_weighting:
             if token_ids is not None:
                 raise ValueError(
@@ -634,10 +647,12 @@ class StableDiffusionPipeline:
                     "prompt_weighting needs a tokenizer — provide assets "
                     "via tools/prepare_tokenizer.py"
                 )
-            enc = [self.tokenizer.encode_weighted(p, max_length=max_len)
-                   for p in prompts]
-            cond = np.asarray([e[0] for e in enc])
-            cond_w = np.asarray([e[1] for e in enc], np.float32)
+            ids_all, w_all = self._encode_rows(
+                prompts + (negs or []), max_len, weighted=True
+            )
+            cond, cond_w = ids_all[:n_prompts], w_all[:n_prompts]
+            if negs is not None:
+                uncond, uncond_w = ids_all[n_prompts:], w_all[n_prompts:]
         elif token_ids is not None:
             cond = np.asarray(token_ids)
             if token_weights is not None:
@@ -654,39 +669,35 @@ class StableDiffusionPipeline:
                 raise ValueError("token_weights requires token_ids")
             if self.tokenizer is None:
                 raise ValueError("no tokenizer installed — pass token_ids")
-            cond = np.asarray(
-                [self.tokenizer.encode(p, max_length=max_len) for p in prompts]
-            )
+            ids_all = self._encode_rows(prompts + (negs or []), max_len)
+            cond = ids_all[:n_prompts]
+            if negs is not None:
+                uncond = ids_all[n_prompts:]
         if cfg:
-            # negative_prompt: one string for the whole batch, or one per
-            # prompt (the micro-batching server coalesces requests with
-            # DIFFERENT negative prompts — each row gets its own uncond).
-            negs = (
-                list(negative_prompt)
-                if isinstance(negative_prompt, (list, tuple))
-                else [negative_prompt] * cond.shape[0]
-            )
             if len(negs) != cond.shape[0]:
                 raise ValueError(
                     "negative_prompt list must match the number of prompts"
                 )
-            uncond_w = None
-            if prompt_weighting:
-                enc = [self.tokenizer.encode_weighted(n, max_length=max_len)
-                       for n in negs]
-                uncond = np.asarray([e[0] for e in enc])
-                uncond_w = np.asarray([e[1] for e in enc], np.float32)
-            elif self.tokenizer is not None:
-                uncond = np.asarray(
-                    [self.tokenizer.encode(n, max_length=max_len) for n in negs]
-                )
-            else:
-                if any(n for n in negs):
-                    raise ValueError(
-                        "no tokenizer installed — non-empty negative prompts "
-                        "require a tokenizer (or pre-tokenize 2B token_ids)"
+            if uncond is None:  # pre-tokenized cond: match its window count
+                n_win = cond.shape[1] // max_len
+                if self.tokenizer is not None:
+                    uncond = np.asarray([
+                        self.tokenizer.encode_long(
+                            t, window=max_len, num_windows=n_win
+                        )
+                        for t in negs
+                    ])
+                else:
+                    if any(n for n in negs):
+                        raise ValueError(
+                            "no tokenizer installed — non-empty negative "
+                            "prompts require a tokenizer (or pre-tokenize "
+                            "2B token_ids)"
+                        )
+                    uncond = np.tile(
+                        np.tile(self._uncond_row(), n_win)[None],
+                        (cond.shape[0], 1),
                     )
-                uncond = np.tile(self._uncond_row()[None], (cond.shape[0], 1))
             ids = np.concatenate([cond, uncond])  # [cond..., uncond...]
             if cond_w is not None:
                 if uncond_w is None:
@@ -856,6 +867,34 @@ class StableDiffusionPipeline:
 
     # -- internals -----------------------------------------------------------
 
+    def _encode_rows(self, texts, max_len, *, weighted=False):
+        """Tokenize a batch of texts to the SAME number of CLIP windows
+        (the max any row needs — long prompts chunk per the community
+        scheme, ``bpe.py:encode_long``; short batches stay one window, so
+        existing shapes/programs are untouched).  Returns (B, n*max_len)
+        int32 ids (and (B, n*max_len) float32 weights when ``weighted``)."""
+        tok = self.tokenizer
+        if weighted:
+            enc = [tok.encode_weighted_long(t, window=max_len) for t in texts]
+            n = max(len(e[0]) // max_len for e in enc)
+            enc = [
+                e if len(e[0]) == n * max_len
+                else tok.encode_weighted_long(t, window=max_len, num_windows=n)
+                for e, t in zip(enc, texts)
+            ]
+            return (
+                np.asarray([e[0] for e in enc], np.int32),
+                np.asarray([e[1] for e in enc], np.float32),
+            )
+        enc = [tok.encode_long(t, window=max_len) for t in texts]
+        n = max(len(e) // max_len for e in enc)
+        enc = [
+            e if len(e) == n * max_len
+            else tok.encode_long(t, window=max_len, num_windows=n)
+            for e, t in zip(enc, texts)
+        ]
+        return np.asarray(enc, np.int32)
+
     def _uncond_row(self) -> np.ndarray:
         """Empty-prompt token row for CFG's unconditional branch: BOS then
         EOS-padding (CLIP convention: 49406, 49407, 49407, ...).  Used when
@@ -885,13 +924,8 @@ class StableDiffusionPipeline:
                     "via tools/prepare_tokenizer.py (or pass token_ids + "
                     "token_weights)"
                 )
-            rows = [self.tokenizer.encode_weighted(prompt, max_length=max_len)]
-            if cfg:
-                rows.append(self.tokenizer.encode_weighted(
-                    negative_prompt, max_length=max_len))
-            ids = np.asarray([r[0] for r in rows], dtype=np.int32)
-            weights = np.asarray([r[1] for r in rows], dtype=np.float32)
-            return ids, weights
+            texts = [prompt] + ([negative_prompt] if cfg else [])
+            return self._encode_rows(texts, max_len, weighted=True)
         if token_ids is not None:
             ids = np.asarray(token_ids)
             if ids.ndim == 1:
@@ -902,16 +936,21 @@ class StableDiffusionPipeline:
                     "no tokenizer installed — pass token_ids or provide "
                     "assets via tools/prepare_tokenizer.py"
                 )
-            rows = [self.tokenizer.encode(prompt, max_length=max_len)]
-            if cfg:
-                rows.append(self.tokenizer.encode(negative_prompt, max_length=max_len))
-            ids = np.asarray(rows)
+            texts = [prompt] + ([negative_prompt] if cfg else [])
+            ids = self._encode_rows(texts, max_len)
         if cfg and ids.shape[0] == 1:
+            # caller pre-tokenized only the cond row: synthesize the uncond
+            # at the SAME window count
+            n = ids.shape[1] // max_len
             if self.tokenizer is not None:
-                neg = self.tokenizer.encode(negative_prompt, max_length=max_len)
+                neg = self.tokenizer.encode_long(
+                    negative_prompt, window=max_len, num_windows=n
+                )
                 ids = np.concatenate([ids, np.asarray(neg)[None]], axis=0)
             else:
-                ids = np.concatenate([ids, self._uncond_row()[None]], axis=0)
+                ids = np.concatenate(
+                    [ids, np.tile(self._uncond_row(), n)[None]], axis=0
+                )
         return np.asarray(ids, dtype=np.int32)  # host array; jit transfers once
 
     def _prep_image(self, init_image, size) -> jnp.ndarray:
@@ -1063,6 +1102,10 @@ class StableDiffusionPipeline:
             ratio = jnp.where(prev == new_mean, 1.0, ratio)
             return (h32 * w * ratio).astype(hidden.dtype)
 
+        def encode_windows(ids, clip_params, clip_cfg):
+            return clip_encode_windows(ids, clip_params, clip_cfg,
+                                       clip_skip=clip_skip)
+
         def encode_context(params, ids):
             """SD 1.x: one encoder's hidden states.  SDXL: concat of CLIP-L
             and bigG penultimate states (768+1280=2048) plus the bigG
@@ -1072,15 +1115,13 @@ class StableDiffusionPipeline:
             if has_weights:
                 ids, tw = ids
                 tw = tw.astype(jnp.float32)
-            hidden, _ = clip_encode(ids, params["clip"], config.clip,
-                                    clip_skip=clip_skip)
+            hidden, _ = encode_windows(ids, params["clip"], config.clip)
             if tw is not None:
                 hidden = apply_token_weights(hidden, tw)
             if config.clip_2 is None:
                 return hidden.astype(compute_dtype), None
-            hidden2, pooled2 = clip_encode(ids, params["clip_2"],
-                                           config.clip_2,
-                                           clip_skip=clip_skip)
+            hidden2, pooled2 = encode_windows(ids, params["clip_2"],
+                                              config.clip_2)
             if tw is not None:
                 hidden2 = apply_token_weights(hidden2, tw)
             context = jnp.concatenate(

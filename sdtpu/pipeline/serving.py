@@ -68,6 +68,10 @@ class _Request:
     # the scale is ONE traced scalar per batch, so it buckets
     control_image: Optional[np.ndarray] = None
     controlnet_scale: float = 1.0
+    # long prompts chunk into n CLIP windows (bpe.py:encode_long); rows with
+    # different window counts must not coalesce — the padded empty windows
+    # would otherwise make a row's context depend on batch composition
+    n_windows: int = 1
     t_submit: float = 0.0  # monotonic enqueue time (latency percentiles)
 
     @property
@@ -101,7 +105,8 @@ class _Request:
                         if isinstance(self.controlnet_scale, (list, tuple))
                         else [self.controlnet_scale]
                     )
-                ) if self.control_image is not None else None))
+                ) if self.control_image is not None else None),
+                self.n_windows)
 
 
 class ServingEngine:
@@ -187,12 +192,32 @@ class ServingEngine:
             raise RuntimeError("engine is shut down")
         if mask_image is not None and init_image is None:
             raise ValueError("mask_image requires init_image (inpainting)")
-        if control_image is not None and self.pipeline.controlnet is None:
+        if control_image is not None and (
+            getattr(self.pipeline, "controlnet", None) is None
+        ):
             raise ValueError(
                 "control_image requires a ControlNet — call "
                 "pipeline.load_controlnet(...) first"
             )
         config = self.pipeline.config
+        # long-prompt window count (the compilation-bucket dimension): a
+        # request's rows chunk to max(prompt, negative prompt) windows
+        tok = getattr(self.pipeline, "tokenizer", None)
+        w = config.clip.max_length
+        use_cfg = config.default_cfg if cfg is None else cfg
+        if token_ids is not None:
+            n_windows = max(1, np.asarray(token_ids).shape[-1] // w)
+        elif tok is None:
+            n_windows = 1
+        elif prompt_weighting:
+            texts = [prompt] + ([negative_prompt] if use_cfg else [])
+            n_windows = max(
+                len(tok.encode_weighted_long(t, window=w)[0]) // w
+                for t in texts
+            )
+        else:
+            texts = [prompt] + ([negative_prompt] if use_cfg else [])
+            n_windows = max(tok.num_windows(t, window=w) for t in texts)
         req = _Request(
             prompt=prompt,
             negative_prompt=negative_prompt,
@@ -218,6 +243,7 @@ class ServingEngine:
             token_weights=token_weights,
             control_image=control_image,
             controlnet_scale=controlnet_scale,
+            n_windows=n_windows,
             t_submit=time.monotonic(),
         )
         self._queue.put(req)

@@ -258,6 +258,80 @@ class CLIPTokenizer:
             weights += [1.0] * n
         return ids, weights
 
+    def encode_long(
+        self,
+        text: str,
+        *,
+        window: int = 77,
+        num_windows: Optional[int] = None,
+    ) -> List[int]:
+        """Chunked encoding for prompts longer than one CLIP window (the
+        A1111/community "long prompt" scheme): body tokens are split into
+        ``window - 2``-token chunks, each wrapped ``[BOS] chunk [EOS]`` and
+        EOS-padded, then concatenated — the text encoder runs once per
+        window (each with its own position embeddings) and the hidden
+        states concatenate into a (n*window)-token cross-attention context.
+
+        Returns ``n * window`` ids where n = ceil(len(body)/(window-2)),
+        floored at 1 — so a short prompt returns exactly :meth:`encode`'s
+        output.  ``num_windows`` forces n (padding with empty windows =
+        ``[BOS] [EOS]...``, the uncond row): CFG and batching need cond and
+        uncond rows chunked to the same length."""
+        body = self._encode_body(text)
+        cap = window - 2
+        n = max(1, -(-len(body) // cap))
+        if num_windows is not None:
+            if num_windows < n:
+                body = body[: num_windows * cap]
+            n = num_windows
+        ids: List[int] = []
+        for k in range(n):
+            chunk = body[k * cap: (k + 1) * cap]
+            row = [self.bos_id] + chunk + [self.eos_id]
+            row += [self.eos_id] * (window - len(row))
+            ids += row
+        return ids
+
+    def encode_weighted_long(
+        self,
+        text: str,
+        *,
+        window: int = 77,
+        num_windows: Optional[int] = None,
+    ):
+        """:meth:`encode_long` with ``(word:1.3)`` emphasis parsing:
+        returns ``(ids, weights)`` spanning all windows (BOS/EOS/padding
+        weigh 1.0)."""
+        from sdtpu.utils.prompt_weighting import parse_prompt_attention
+
+        body: List[int] = []
+        w_body: List[float] = []
+        for frag, w in parse_prompt_attention(text):
+            fids = self._encode_body(frag)
+            body += fids
+            w_body += [w] * len(fids)
+        cap = window - 2
+        n = max(1, -(-len(body) // cap))
+        if num_windows is not None:
+            if num_windows < n:
+                body = body[: num_windows * cap]
+                w_body = w_body[: num_windows * cap]
+            n = num_windows
+        ids: List[int] = []
+        weights: List[float] = []
+        for k in range(n):
+            chunk = body[k * cap: (k + 1) * cap]
+            w_chunk = w_body[k * cap: (k + 1) * cap]
+            pad = window - 2 - len(chunk)
+            ids += [self.bos_id] + chunk + [self.eos_id] * (pad + 1)
+            weights += [1.0] + w_chunk + [1.0] * (pad + 1)
+        return ids, weights
+
+    def num_windows(self, text: str, *, window: int = 77) -> int:
+        """How many CLIP windows :meth:`encode_long` would use for ``text``
+        (serving buckets on this so coalesced rows share a shape)."""
+        return max(1, -(-len(self._encode_body(text)) // (window - 2)))
+
     def decode(self, ids: Sequence[int], *, skip_special: bool = True) -> str:
         tokens = []
         for i in ids:
