@@ -73,6 +73,13 @@ def main() -> None:
                     help="condition on the text-encoder hidden state N "
                          "layers before the usual output (diffusers "
                          "semantics; 1 = community 'CLIP skip 2')")
+    ap.add_argument("--refiner", default=None, metavar="DIR_OR_PRESET",
+                    help="SDXL refiner checkpoint dir (diffusers layout) or "
+                         "preset name (sdxl-refiner): the base model runs "
+                         "the high-noise head (denoising_end), the refiner "
+                         "finishes from its latents (denoising_start)")
+    ap.add_argument("--denoising-split", type=float, default=0.8,
+                    help="base/refiner handoff fraction (default 0.8)")
     ap.add_argument("--out", default="out.png")
     args = ap.parse_args()
 
@@ -143,6 +150,18 @@ def main() -> None:
                            pipe.config.clip.max_length)
         token_ids = np.stack([row, np.zeros_like(row)])
 
+    refiner = None
+    if args.refiner:
+        import os
+
+        if os.path.isdir(args.refiner):
+            refiner = StableDiffusionPipeline.from_pretrained(args.refiner)
+        else:
+            print(f"refiner preset {args.refiner}: random weights")
+            refiner = StableDiffusionPipeline.from_random(args.refiner)
+        if args.init_image or args.mask_image:
+            ap.error("--refiner composes with txt2img only")
+
     t0 = time.perf_counter()
     image = pipe.generate(
         args.prompt,
@@ -169,7 +188,35 @@ def main() -> None:
             cn_scales if len(cn_scales) > 1
             else cn_scales[0] if cn_scales else 1.0
         ),
+        denoising_end=args.denoising_split if refiner else None,
+        output="latents" if refiner else "uint8",
     )
+    if refiner:
+        ref_token_ids = None
+        if refiner.tokenizer is None:
+            import numpy as np
+
+            import zlib
+
+            rng = np.random.default_rng(zlib.crc32(args.prompt.encode()))
+            row = rng.integers(0, refiner.config.text_config.vocab_size,
+                               refiner.config.text_config.max_length)
+            ref_token_ids = np.stack([row, np.zeros_like(row)])
+        image = refiner.generate(
+            args.prompt,
+            args.negative_prompt,
+            cfg=False if args.no_cfg else None,
+            cfg_scale=args.cfg_scale,
+            num_inference_steps=args.steps,
+            seed=args.seed,
+            # the latent grid is the BASE model's (refiner presets may
+            # default to a different native size)
+            image_size=args.image_size or pipe.config.default_image_size,
+            token_ids=ref_token_ids,
+            sampler=args.sampler,
+            latents=image,
+            denoising_start=args.denoising_split,
+        )
     dt = time.perf_counter() - t0
     save_png(image, args.out)
     print(f"wrote {args.out} ({image.shape[1]}x{image.shape[2]}) in {dt:.2f}s "

@@ -133,12 +133,20 @@ class PipelineConfig:
     """End-to-end pipeline preset: architectures + runtime policy."""
 
     name: str
-    clip: CLIPConfig
+    # First text encoder; None for bigG-only models (the SDXL refiner).
+    clip: Optional[CLIPConfig]
     unet: UNetConfig
     vae: VAEConfig
     scheduler: SchedulerConfig
     # Second text encoder for SDXL (None for SD 1.x / Tiny-SD).
     clip_2: Optional[CLIPConfig] = None
+    # SDXL-refiner micro-conditioning: time_ids carry (h, w, crop_top,
+    # crop_left, aesthetic_score) — 5 ids, with the aesthetic score split
+    # cond/uncond — instead of the base model's 6 size/crop ids
+    # (diffusers ``requires_aesthetics_score``).
+    requires_aesthetics_score: bool = False
+    default_aesthetic_score: float = 6.0
+    default_negative_aesthetic_score: float = 2.5
     default_image_size: int = 512
     # Preset-level runtime defaults (``generate`` args left unset fall back
     # here): distilled few-step presets (LCM, SDXL-Turbo) ship with their
@@ -169,6 +177,12 @@ class PipelineConfig:
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
+
+    @property
+    def text_config(self) -> CLIPConfig:
+        """The tokenizer-facing text encoder config (clip, or clip_2 for
+        bigG-only models like the SDXL refiner)."""
+        return self.clip if self.clip is not None else self.clip_2
 
 
 # ---------------------------------------------------------------------------
@@ -254,6 +268,33 @@ SDXL_BASE = PipelineConfig(
     default_image_size=1024,
 )
 
+# SDXL refiner (stabilityai/stable-diffusion-xl-refiner-1.0): bigG-only
+# text encoder (context 1280), 4-level UNet with plain outer levels and
+# depth-4 transformers, aesthetic-score micro-conditioning (5 time ids).
+# Runs the LOW-noise tail of the schedule on the base model's latents:
+#   base.generate(..., denoising_end=0.8, output="latents")
+#   refiner.generate(..., latents=lat, denoising_start=0.8)
+SDXL_REFINER = PipelineConfig(
+    name="stabilityai/stable-diffusion-xl-refiner-1.0",
+    clip=None,
+    clip_2=SDXL_BASE.clip_2,
+    unet=UNetConfig(
+        block_out_channels=(384, 768, 1536, 1536),
+        layers_per_block=2,
+        attention_levels=(False, True, True, False),
+        transformer_layers_per_block=(1, 4, 4, 4),
+        num_attention_heads=0,  # head_dim = 64 at every level
+        cross_attention_dim=1280,
+        mid_block=True,
+        addition_embed_dim=2560,  # pooled 1280 + 5 time ids x 256
+        addition_time_embed_dim=256,
+    ),
+    vae=VAEConfig(scaling_factor=0.13025),
+    scheduler=SchedulerConfig(),
+    default_image_size=1024,
+    requires_aesthetics_score=True,
+)
+
 # LCM-distilled SD 1.5 (e.g. SimianLuo/LCM_Dreamshaper_v7): the SD 1.5
 # architecture plus the guidance-embedding input (time_cond_proj_dim=256) —
 # guidance enters as an embedding (w = cfg_scale - 1), NOT as a CFG batch,
@@ -296,6 +337,8 @@ PRESETS = {
     "sd21": SD21,
     "stabilityai/stable-diffusion-xl-base-1.0": SDXL_BASE,
     "sdxl": SDXL_BASE,
+    "stabilityai/stable-diffusion-xl-refiner-1.0": SDXL_REFINER,
+    "sdxl-refiner": SDXL_REFINER,
     "SimianLuo/LCM_Dreamshaper_v7": LCM_SD15,
     "lcm-sd15": LCM_SD15,
     "stabilityai/sdxl-turbo": SDXL_TURBO,

@@ -90,6 +90,9 @@ class StableDiffusionPipeline:
             config = config.replace(param_dtype=dtype, compute_dtype=dtype)
         params = load_pipeline_params(model_dir, config)
         tok_dir = os.path.join(model_dir, "tokenizer")
+        if not os.path.isdir(tok_dir):
+            # bigG-only checkpoints (SDXL refiner) ship only tokenizer_2
+            tok_dir = os.path.join(model_dir, "tokenizer_2")
         if os.path.isdir(tok_dir):
             tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
         else:  # fall back to repo assets (tools/prepare_tokenizer.py)
@@ -115,7 +118,7 @@ class StableDiffusionPipeline:
 
             tokenizer = CLIPTokenizer.from_default_assets()
             if tokenizer is not None and (
-                len(tokenizer.vocab) > config.clip.vocab_size
+                len(tokenizer.vocab) > config.text_config.vocab_size
             ):
                 tokenizer = None
         params = init_pipeline_params(jax.random.key(seed), config)
@@ -308,6 +311,8 @@ class StableDiffusionPipeline:
         token_weights: Optional[np.ndarray] = None,
         control_image: Optional[np.ndarray] = None,
         controlnet_scale: float = 1.0,
+        denoising_end: Optional[float] = None,
+        denoising_start: Optional[float] = None,
         verbose: bool = False,
     ):
         """Text->image (or image->image when ``init_image`` is given).
@@ -320,6 +325,16 @@ class StableDiffusionPipeline:
         Multi-ControlNet: load a list of nets, pass one map per net
         (``control_image=[edges, depth]``) and optionally one scale per net
         — residuals sum (diffusers ``MultiControlNetModel`` semantics).
+
+        ``denoising_end`` / ``denoising_start``: the SDXL base->refiner
+        handoff (diffusers semantics — the schedule splits at the training
+        -timestep cutoff ``round(N - frac*N)``).  The base runs the
+        high-noise head and returns its carry
+        (``denoising_end=0.8, output="latents"``); the refiner pipeline
+        consumes it (``latents=..., denoising_start=0.8``) and runs the
+        low-noise tail — no re-noising, same sampler family on both sides.
+        With one model and a deterministic sampler, a split run is
+        bit-exact with the unsplit run (tests/test_refiner.py).
 
         ``mask_image`` (with ``init_image``) switches to INPAINTING: only
         the masked region (mask > 0 — white pixels / 1.0 floats) is
@@ -390,6 +405,24 @@ class StableDiffusionPipeline:
                 f"image_size must be a positive multiple of "
                 f"{self.config.vae.downscale_factor}"
             )  # pipeline.mojo:8
+
+        if denoising_start is not None:
+            if latents is None:
+                raise ValueError(
+                    "denoising_start consumes a base model's latents — pass "
+                    "latents= (base run: denoising_end=..., output='latents')"
+                )
+            if not 0.0 < denoising_start < 1.0:
+                raise ValueError("denoising_start must be in (0, 1)")
+        if denoising_end is not None and not 0.0 < denoising_end < 1.0:
+            raise ValueError("denoising_end must be in (0, 1)")
+        if num_images > 1 and (
+            denoising_end is not None or denoising_start is not None
+        ):
+            raise ValueError(
+                "denoising_end/denoising_start are single-image (the "
+                "base->refiner handoff carries explicit latents)"
+            )
 
         if num_images > 1:
             if init_image is not None:
@@ -483,6 +516,8 @@ class StableDiffusionPipeline:
             clip_skip=clip_skip,
             has_weights=weights is not None,
             has_control=has_control,
+            denoising_end=denoising_end,
+            denoising_start=denoising_start,
         )
         ids_arg = ids if weights is None else (ids, weights)
 
@@ -621,7 +656,7 @@ class StableDiffusionPipeline:
                 f"image_size must be a positive multiple of "
                 f"{self.config.vae.downscale_factor}"
             )
-        max_len = self.config.clip.max_length
+        max_len = self.config.text_config.max_length
         # negative_prompt: one string for the whole batch, or one per
         # prompt (the micro-batching server coalesces requests with
         # DIFFERENT negative prompts — each row gets its own uncond).
@@ -835,7 +870,7 @@ class StableDiffusionPipeline:
         ``sdtpu.utils.runtime.enable_compilation_cache`` — warmup after a
         restart is a cache read, not a compile.)"""
         n = 0
-        max_len = self.config.clip.max_length
+        max_len = self.config.text_config.max_length
         for size in image_sizes:
             for steps in step_counts:
                 for batch in batch_sizes:
@@ -901,15 +936,15 @@ class StableDiffusionPipeline:
         the caller pre-tokenized only the cond row — duplicating the cond row
         would make guidance a mathematical no-op while still paying the 2x
         CFG batch."""
-        vocab = self.config.clip.vocab_size
+        vocab = self.config.text_config.vocab_size
         bos, eos = vocab - 2, vocab - 1
-        row = np.full((self.config.clip.max_length,), eos, dtype=np.int64)
+        row = np.full((self.config.text_config.max_length,), eos, dtype=np.int64)
         row[0] = bos
         return row
 
     def _tokenize(self, prompt, negative_prompt, cfg, token_ids,
                   weighted: bool = False):
-        max_len = self.config.clip.max_length
+        max_len = self.config.text_config.max_length
         if weighted:
             # (word:1.3) emphasis syntax: weighted-parse BOTH prompts
             # (utils/prompt_weighting.py); returns (ids, weights)
@@ -1020,6 +1055,7 @@ class StableDiffusionPipeline:
         self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
         has_latents=False, want_latents=False, want_uint8=False,
         has_mask=False, clip_skip=0, has_weights=False, has_control=False,
+        denoising_end=None, denoising_start=None,
     ):
         # The ring-attention context is read at TRACE time (the shard_map is
         # baked into the compiled program), so it must be part of the cache
@@ -1030,13 +1066,28 @@ class StableDiffusionPipeline:
 
         cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler,
                      has_latents, want_latents, want_uint8, has_mask,
-                     clip_skip, has_weights, has_control, get_ring_context())
+                     clip_skip, has_weights, has_control,
+                     denoising_end, denoising_start, get_ring_context())
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
             schedule = sdef.make_schedule(
                 self.config.scheduler, steps, strength if is_img2img else 1.0
             )
+            if denoising_end is not None or denoising_start is not None:
+                from sdtpu.samplers import slice_schedule
+
+                n_train = self.config.scheduler.num_train_timesteps
+                if denoising_start is not None:
+                    schedule = slice_schedule(
+                        schedule, num_train_timesteps=n_train,
+                        denoising_start=denoising_start,
+                    )
+                if denoising_end is not None:
+                    schedule = slice_schedule(
+                        schedule, num_train_timesteps=n_train,
+                        denoising_end=denoising_end,
+                    )
             fn = self._build(sdef, schedule, cfg, is_img2img, size,
                              has_latents=has_latents,
                              want_latents=want_latents,
@@ -1044,7 +1095,8 @@ class StableDiffusionPipeline:
                              has_mask=has_mask,
                              clip_skip=clip_skip,
                              has_weights=has_weights,
-                             has_control=has_control)
+                             has_control=has_control,
+                             continuation=denoising_start is not None)
             self._compiled[cache_key] = fn
         return fn
 
@@ -1053,6 +1105,7 @@ class StableDiffusionPipeline:
         size: int, has_latents: bool = False, want_latents: bool = False,
         want_uint8: bool = False, has_mask: bool = False, clip_skip: int = 0,
         has_weights: bool = False, has_control: bool = False,
+        continuation: bool = False,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -1110,30 +1163,54 @@ class StableDiffusionPipeline:
             """SD 1.x: one encoder's hidden states.  SDXL: concat of CLIP-L
             and bigG penultimate states (768+1280=2048) plus the bigG
             projected pooled embedding and size/crop time ids for the
-            add-embedding micro-conditioning."""
+            add-embedding micro-conditioning.  SDXL refiner: bigG alone
+            (context 1280) with 5 time ids — size/crop plus an aesthetic
+            score that differs cond (6.0) vs uncond (2.5), the
+            ``requires_aesthetics_score`` convention."""
             tw = None
             if has_weights:
                 ids, tw = ids
                 tw = tw.astype(jnp.float32)
-            hidden, _ = encode_windows(ids, params["clip"], config.clip)
-            if tw is not None:
-                hidden = apply_token_weights(hidden, tw)
+            parts = []
+            if config.clip is not None:
+                hidden, _ = encode_windows(ids, params["clip"], config.clip)
+                if tw is not None:
+                    hidden = apply_token_weights(hidden, tw)
+                parts.append(hidden.astype(compute_dtype))
             if config.clip_2 is None:
-                return hidden.astype(compute_dtype), None
+                return parts[0], None
             hidden2, pooled2 = encode_windows(ids, params["clip_2"],
                                               config.clip_2)
             if tw is not None:
                 hidden2 = apply_token_weights(hidden2, tw)
-            context = jnp.concatenate(
-                [hidden.astype(compute_dtype), hidden2.astype(compute_dtype)],
-                axis=-1,
+            parts.append(hidden2.astype(compute_dtype))
+            context = (
+                jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
             )
-            time_ids = jnp.tile(
-                jnp.asarray(
-                    [size, size, 0, 0, size, size], dtype=jnp.float32
-                )[None],
-                (ids.shape[0], 1),
-            )
+            rows = ids.shape[0]
+            if config.requires_aesthetics_score:
+                base = jnp.tile(
+                    jnp.asarray([size, size, 0, 0], dtype=jnp.float32)[None],
+                    (rows, 1),
+                )
+                a = config.default_aesthetic_score
+                na = config.default_negative_aesthetic_score
+                if cfg:  # rows ordered [cond..., uncond...]
+                    half = rows // 2
+                    score = jnp.concatenate([
+                        jnp.full((half, 1), a, jnp.float32),
+                        jnp.full((rows - half, 1), na, jnp.float32),
+                    ])
+                else:
+                    score = jnp.full((rows, 1), a, jnp.float32)
+                time_ids = jnp.concatenate([base, score], axis=-1)
+            else:
+                time_ids = jnp.tile(
+                    jnp.asarray(
+                        [size, size, 0, 0, size, size], dtype=jnp.float32
+                    )[None],
+                    (rows, 1),
+                )
             added = {
                 "text_embeds": pooled2.astype(compute_dtype),
                 "time_ids": time_ids,
@@ -1388,8 +1465,13 @@ class StableDiffusionPipeline:
             def run(params, ids, lat0, cfg_scale, key, control=None):
                 key = make_key(key)
                 context, added = encode_context(params, ids)
-                # user-supplied N(0,1) fixture; sigma-space samplers scale
-                latents = lat0 * getattr(schedule, "init_sigma", 1.0)
+                if continuation:
+                    # denoising_start handoff: the base model's carry is
+                    # already at this schedule position — no init scaling
+                    latents = lat0
+                else:
+                    # user-supplied N(0,1) fixture; sigma-space samplers scale
+                    latents = lat0 * getattr(schedule, "init_sigma", 1.0)
                 latents = denoise(params, context, added, latents, cfg_scale,
                                   key, control=control)
                 return decode(params, latents)

@@ -203,7 +203,7 @@ class ServingEngine:
         # long-prompt window count (the compilation-bucket dimension): a
         # request's rows chunk to max(prompt, negative prompt) windows
         tok = getattr(self.pipeline, "tokenizer", None)
-        w = config.clip.max_length
+        w = config.text_config.max_length
         use_cfg = config.default_cfg if cfg is None else cfg
         if token_ids is not None:
             n_windows = max(1, np.asarray(token_ids).shape[-1] // w)

@@ -92,6 +92,63 @@ SAMPLERS = {
 }
 
 
+def slice_schedule(
+    schedule,
+    *,
+    num_train_timesteps: int,
+    denoising_end: Optional[float] = None,
+    denoising_start: Optional[float] = None,
+):
+    """Split a schedule at a denoising fraction — the SDXL base->refiner
+    handoff (diffusers ``denoising_end``/``denoising_start`` semantics:
+    the cutoff is ``round(N - frac * N)`` in TRAINING timesteps; the base
+    keeps steps with t >= cutoff, the refiner keeps t < cutoff, so the two
+    halves partition the full schedule exactly).
+
+    Works on any sampler's schedule: every (S,) per-step field is sliced,
+    (S+1,) fields (Euler's sigma ladder) keep the boundary entry.  A
+    start-slice zeroes DPM++'s first ``inv_2r`` so the multistep solver
+    cold-starts first-order (there is no previous x0 across the handoff).
+    """
+    import numpy as np
+
+    ts = np.asarray(schedule.timesteps)
+    S = int(ts.shape[0])
+    if (denoising_end is None) == (denoising_start is None):
+        raise ValueError("pass exactly one of denoising_end/denoising_start")
+    frac = denoising_end if denoising_end is not None else denoising_start
+    if not 0.0 < frac < 1.0:
+        raise ValueError("denoising fraction must be in (0, 1)")
+    cutoff = round(num_train_timesteps - frac * num_train_timesteps)
+    if denoising_end is not None:
+        k = int((ts >= cutoff).sum())  # keep the high-noise head
+        if not 0 < k <= S:
+            raise ValueError(
+                f"denoising_end={frac} leaves no steps to run"
+            )
+        sl, sl1 = slice(0, k), slice(0, k + 1)
+    else:
+        k = int((ts < cutoff).sum())  # keep the low-noise tail
+        if not 0 < k <= S:
+            raise ValueError(
+                f"denoising_start={frac} leaves no steps to run"
+            )
+        sl, sl1 = slice(S - k, S), slice(S - k, S + 1)
+    upd = {}
+    for f in dataclasses.fields(schedule):
+        v = getattr(schedule, f.name)
+        n = getattr(v, "shape", None)
+        if n and len(n) >= 1:
+            if n[0] == S:
+                upd[f.name] = v[sl]
+            elif n[0] == S + 1:
+                upd[f.name] = v[sl1]
+    out = dataclasses.replace(schedule, **upd)
+    if denoising_start is not None and hasattr(out, "inv_2r"):
+        out = dataclasses.replace(out, inv_2r=out.inv_2r.at[0].set(0.0))
+    return out
+
+
 def get_sampler(name: str) -> SamplerDef:
     try:
         return SAMPLERS[name]
@@ -110,4 +167,5 @@ __all__ = [
     "make_alphas_cumprod",
     "make_betas",
     "make_schedule",
+    "slice_schedule",
 ]

@@ -471,15 +471,18 @@ def load_pipeline_params(
     ``dtype or config.param_dtype``.
     """
     dtype = dtype or config.param_dtype
-    clip_sd = load_safetensors(_find_weight_file(os.path.join(model_dir, "text_encoder")))
     unet_sd = load_safetensors(_find_weight_file(os.path.join(model_dir, "unet")))
     vae_sd = load_safetensors(_find_weight_file(os.path.join(model_dir, "vae")))
     params = {
-        "clip": clip_params_from_state_dict(clip_sd, config.clip),
         "unet": unet_params_from_state_dict(unet_sd, config.unet),
         "vae_encoder": vae_encoder_params_from_state_dict(vae_sd, config.vae),
         "vae_decoder": vae_decoder_params_from_state_dict(vae_sd, config.vae),
     }
+    if config.clip is not None:  # bigG-only models (SDXL refiner) skip it
+        clip_sd = load_safetensors(
+            _find_weight_file(os.path.join(model_dir, "text_encoder"))
+        )
+        params["clip"] = clip_params_from_state_dict(clip_sd, config.clip)
     if config.clip_2 is not None:
         clip2_sd = load_safetensors(
             _find_weight_file(os.path.join(model_dir, "text_encoder_2"))
@@ -516,11 +519,12 @@ def init_pipeline_params(key, config: PipelineConfig, *, dtype=None) -> dict:
     dtype = dtype or config.param_dtype
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     params = {
-        "clip": init_clip(k1, config.clip, dtype=dtype),
         "unet": init_unet(k2, config.unet, dtype=dtype),
         "vae_encoder": init_vae_encoder(k3, config.vae, dtype=dtype),
         "vae_decoder": init_vae_decoder(k4, config.vae, dtype=dtype),
     }
+    if config.clip is not None:  # bigG-only models (SDXL refiner) skip it
+        params["clip"] = init_clip(k1, config.clip, dtype=dtype)
     if config.clip_2 is not None:
         params["clip_2"] = init_clip(k5, config.clip_2, dtype=dtype)
     return params

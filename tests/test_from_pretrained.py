@@ -128,6 +128,11 @@ def _write_unet(dirpath, config):
             attnblock(f"down_blocks.{i}.attentions.{j}", a)
         if "downsample" in block:
             _conv(sd, f"down_blocks.{i}.downsamplers.0.conv", block["downsample"])
+    if "mid_block" in params:
+        for j, r in enumerate(params["mid_block"]["resnets"]):
+            resnet(f"mid_block.resnets.{j}", r)
+        for j, a in enumerate(params["mid_block"]["attentions"]):
+            attnblock(f"mid_block.attentions.{j}", a)
     for i, block in enumerate(params["up_blocks"]):
         for j, r in enumerate(block["resnets"]):
             resnet(f"up_blocks.{i}.resnets.{j}", r)
