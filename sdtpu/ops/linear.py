@@ -7,13 +7,58 @@ transpose through a scalar triple loop, ``utils.mojo:1549-1569``).
 
 from __future__ import annotations
 
-
+import contextlib
+import threading
 
 import jax
 import jax.numpy as jnp
 
+_capture = threading.local()
+
+
+@contextlib.contextmanager
+def activation_capture(store: dict, site_by_kernel_id: dict):
+    """Record per-feature input abs-max for selected linears (int8
+    calibration, ``sdtpu/utils/calibrate.py``).
+
+    ``site_by_kernel_id`` maps ``id(params["kernel"])`` -> site path;
+    matched calls max-accumulate ``max |x|`` over all leading axes into
+    ``store[path]``.  EAGER-ONLY: under jit the inputs are tracers with no
+    values — calibration runs the forward un-jitted."""
+    _capture.store = store
+    _capture.sites = site_by_kernel_id
+    try:
+        yield store
+    finally:
+        _capture.store = None
+        _capture.sites = None
+
+
+def _maybe_capture(x, params):
+    sites = getattr(_capture, "sites", None)
+    if not sites:
+        return
+    site = sites.get(id(params.get("kernel")))
+    if site is None:
+        return
+    if isinstance(x, jax.core.Tracer):
+        raise RuntimeError(
+            "activation_capture needs concrete values — run the forward "
+            "eagerly (outside jit) during calibration"
+        )
+    import numpy as np
+
+    amax = np.asarray(
+        jnp.max(jnp.abs(x.astype(jnp.float32)),
+                axis=tuple(range(x.ndim - 1)))
+    )
+    store = _capture.store
+    prev = store.get(site)
+    store[site] = amax if prev is None else np.maximum(prev, amax)
+
 
 def linear(x: jax.Array, params: dict) -> jax.Array:
+    _maybe_capture(x, params)
     if "kernel_q" in params:
         if "act_scale" in params:
             return linear_q8(x, params)

@@ -320,6 +320,24 @@ def _quantize_attn_params(
     }
 
 
+def _set_by_path(tree, path: str, value):
+    """Copy-on-write assignment into a dict/list pytree by a dotted path
+    (list levels use integer segments)."""
+    keys = path.split(".")
+
+    def rec(node, i):
+        k = keys[i]
+        if isinstance(node, list):
+            k = int(k)
+            new = list(node)
+        else:
+            new = dict(node)
+        new[k] = value if i == len(keys) - 1 else rec(node[k], i + 1)
+        return new
+
+    return rec(tree, 0)
+
+
 def quantize_unet_int8(
     params: dict,
     *,
@@ -328,6 +346,8 @@ def quantize_unet_int8(
     transformer=False,  # False | True | "full"
     skip_down: tuple = (),
     skip_up: tuple = (),
+    act_ranges: dict = None,
+    act_margin: float = 1.0,
 ) -> dict:
     """Quantize eligible UNet resblock convs (W8A8).  Attention/GeGLU
     projections, shortcuts, up/downsamples, and the in/out convs stay
@@ -345,6 +365,13 @@ def quantize_unet_int8(
     matmuls per block (attn1/attn2 out-projections, GeGLU down) with
     RUNTIME per-row activation scales (:func:`_quantize_linear_dyn`) —
     worth trying on matmul-dominated presets (SDXL).
+
+    ``act_ranges`` (with ``transformer="full"``): calibrated per-feature
+    input abs-max per dynamic site (``sdtpu/utils/calibrate.py``) — those
+    sites get STATIC symmetric per-feature scales
+    (``s = act_margin * amax / 127``, zero zero-point) on the same
+    ``linear_q8`` path as the post-LN matmuls, removing the runtime
+    per-row range work; uncalibrated sites keep the dynamic path.
 
     ``skip_down`` / ``skip_up``: block indices (python indexing, negatives
     ok) left in float — the selective-precision knob for real-weight
@@ -380,6 +407,27 @@ def quantize_unet_int8(
     out["up_blocks"] = [
         block(b, i in su) for i, b in enumerate(params["up_blocks"])
     ]
+
+    if transformer == "full" and act_ranges:
+        from sdtpu.utils.calibrate import iter_dynamic_sites
+
+        for path, lin in iter_dynamic_sites(params):
+            amax = act_ranges.get(path)
+            if amax is None or "kernel" not in lin:
+                continue
+            seg = path.split(".")
+            if seg[0] == "down_blocks" and int(seg[1]) in sd:
+                continue
+            if seg[0] == "up_blocks" and int(seg[1]) in su:
+                continue
+            if lin["kernel"].shape[0] < min_ch:
+                continue
+            s = np.maximum(
+                np.asarray(amax, np.float32) * (act_margin / 127.0), 1e-8
+            )
+            out = _set_by_path(
+                out, path, _quantize_linear(lin, s, np.zeros_like(s))
+            )
     return out
 
 

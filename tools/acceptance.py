@@ -255,9 +255,31 @@ def step_int8_fidelity(args):
         got = qpipe.generate("a cat flying a spaceship", **kw)
         score = psnr(np.asarray(want, np.float32), np.asarray(got, np.float32))
         ok = score >= 40.0
+
+        # calibrated "full" transformer variant (static scales for the
+        # out-projections/GeGLU-down from a short real trajectory —
+        # sdtpu/utils/calibrate.py); informational, gated on the same bar
+        from sdtpu.utils.calibrate import calibrate_pipeline_act_ranges
+
+        ids = np.asarray(
+            [pipe.tokenizer.encode("a cat flying a spaceship")]
+        )
+        ranges = calibrate_pipeline_act_ranges(
+            pipe, ids, num_steps=4, seed=args.seed
+        )
+        cpipe = StableDiffusionPipeline(
+            pipe.config,
+            quantize_pipeline_int8(pipe.params, transformer="full",
+                                   act_ranges=ranges),
+            tokenizer=pipe.tokenizer,
+        )
+        got_c = cpipe.generate("a cat flying a spaceship", **kw)
+        score_c = psnr(np.asarray(want, np.float32),
+                       np.asarray(got_c, np.float32))
         return record("int8-fidelity", "PASS" if ok else "FAIL",
                       f"int8 vs bf16 PSNR {score:.1f} dB on real weights "
-                      f"(gate >= 40)")
+                      f"(gate >= 40); calibrated-full variant "
+                      f"{score_c:.1f} dB")
     except Exception as exc:
         return record("int8-fidelity", "FAIL",
                       f"{type(exc).__name__}: {exc}")
