@@ -56,6 +56,11 @@ def main() -> None:
                     help="with --int8: also quantize the VAE decoder's "
                          "resnet convs (decode is ~32%% of a few-step "
                          "serving batch)")
+    ap.add_argument("--controlnet", action="store_true",
+                    help="attach a random-init ControlNet at the preset's "
+                         "dims and condition on a control image (measures "
+                         "the encoder-copy overhead; ~+40%% UNet encoder "
+                         "FLOPs)")
     ap.add_argument("--no-overlap", action="store_true",
                     help="disable the pipelined dispatch-before-fetch "
                          "measurement (old strictly-sequential timing)")
@@ -118,13 +123,26 @@ def main() -> None:
     print(f"params materialized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(40)
+    control_image = None
+    if args.controlnet:
+        from sdtpu.models.controlnet import init_controlnet
+
+        cn_shapes = jax.eval_shape(
+            lambda k: init_controlnet(k, config.unet), jax.random.key(0)
+        )
+        pipe.load_controlnet(
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), cn_shapes)
+        )
+        control_image = rng.integers(
+            0, 255, (args.image_size, args.image_size, 3), dtype=np.uint8
+        )
     if args.serving:
         _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg)
         return
     if args.batch == 1:
         ids = rng.integers(
-            1, config.clip.vocab_size,
-            (2 if cfg else 1, config.clip.max_length),
+            1, config.text_config.vocab_size,
+            (2 if cfg else 1, config.text_config.max_length),
         )
         init_image = (
             rng.integers(0, 255, (args.image_size, args.image_size, 3),
@@ -137,12 +155,12 @@ def main() -> None:
                 "bench", token_ids=ids, num_inference_steps=steps,
                 seed=seed, image_size=args.image_size, output=output,
                 sampler=sampler, cfg=cfg, init_image=init_image,
-                strength=args.strength,
+                strength=args.strength, control_image=control_image,
             )
 
     else:
         ids = rng.integers(
-            1, config.clip.vocab_size, (args.batch, config.clip.max_length)
+            1, config.text_config.vocab_size, (args.batch, config.text_config.max_length)
         )
 
         def run(seed: int, output: str = "uint8"):
@@ -151,6 +169,10 @@ def main() -> None:
                 num_inference_steps=steps, seed=seed,
                 image_size=args.image_size, output=output,
                 sampler=sampler, cfg=cfg,
+                control_images=(
+                    [control_image] * args.batch
+                    if control_image is not None else None
+                ),
             )
 
     t0 = time.perf_counter()
@@ -191,10 +213,16 @@ def main() -> None:
     p50 = statistics.median(times)
     images_per_sec = args.batch / p50
     variant = "img2img " if args.img2img else ""
+    if args.controlnet:
+        variant = "controlnet " + variant
     if args.int8:
         variant = "int8 " + variant
     guidance = "CFG" if cfg else "no-CFG"
-    flops = _program_flops(pipe, args, steps, sampler, cfg)
+    # the analytic flop model doesn't cover the ControlNet encoder copy;
+    # skip MFU rather than overstate it
+    flops = None if args.controlnet else _program_flops(
+        pipe, args, steps, sampler, cfg
+    )
     result = {
         "metric": f"{args.preset} {args.image_size}x{args.image_size} "
                   f"{variant}{steps}-step {sampler} {guidance} images/sec/chip",
@@ -244,7 +272,7 @@ def _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg) -> None:
 
     n = args.requests - args.requests % args.batch or args.batch
     ids = rng.integers(
-        1, config.clip.vocab_size, (n, config.clip.max_length)
+        1, config.text_config.vocab_size, (n, config.text_config.max_length)
     )
     # precompile the bucket so the measurement is steady-state serving
     pipe.warmup(
