@@ -213,6 +213,19 @@ SD15 = PipelineConfig(
     scheduler=SchedulerConfig(),
 )
 
+# Dedicated inpainting checkpoint (runwayml/stable-diffusion-inpainting):
+# SD 1.5 trained with a 9-channel UNet input — noisy latents ++ latent-grid
+# mask ++ masked-image latents.  `generate(init_image=..., mask_image=...)`
+# routes to the concat wiring automatically (in_channels == 2*latent+1);
+# pass strength=1.0 for the standard full-repaint behavior.
+SD15_INPAINT = PipelineConfig(
+    name="runwayml/stable-diffusion-inpainting",
+    clip=CLIPConfig(),
+    unet=dataclasses.replace(SD15.unet, in_channels=9),
+    vae=VAEConfig(),
+    scheduler=SchedulerConfig(),
+)
+
 SD21 = PipelineConfig(
     name="stabilityai/stable-diffusion-2-1",
     # OpenCLIP ViT-H text encoder: 1024 wide, 23 layers, GELU, penultimate
@@ -333,6 +346,8 @@ PRESETS = {
     "tiny-sd": TINY_SD,
     "runwayml/stable-diffusion-v1-5": SD15,
     "sd15": SD15,
+    "runwayml/stable-diffusion-inpainting": SD15_INPAINT,
+    "sd15-inpaint": SD15_INPAINT,
     "stabilityai/stable-diffusion-2-1": SD21,
     "sd21": SD21,
     "stabilityai/stable-diffusion-xl-base-1.0": SDXL_BASE,

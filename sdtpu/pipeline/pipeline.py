@@ -1046,6 +1046,11 @@ class StableDiffusionPipeline:
                 0, arr.shape[1] - 1
             )
             arr = arr[ri[:, None], ci[None, :]]
+        ch = self.config.unet.in_channels
+        if ch == 2 * self.config.vae.latent_channels + 1:
+            # dedicated inpaint checkpoints consume the PIXEL-grid mask
+            # (masked-image computation + in-program latent downsample)
+            return np.clip(arr, 0.0, 1.0)[None, :, :, None].astype(np.float32)
         f = self.config.vae.downscale_factor
         lat = size // f
         m = arr.reshape(lat, f, lat, f).mean(axis=(1, 3))
@@ -1096,7 +1101,8 @@ class StableDiffusionPipeline:
                              clip_skip=clip_skip,
                              has_weights=has_weights,
                              has_control=has_control,
-                             continuation=denoising_start is not None)
+                             continuation=denoising_start is not None,
+                             full_strength=strength >= 1.0)
             self._compiled[cache_key] = fn
         return fn
 
@@ -1105,11 +1111,14 @@ class StableDiffusionPipeline:
         size: int, has_latents: bool = False, want_latents: bool = False,
         want_uint8: bool = False, has_mask: bool = False, clip_skip: int = 0,
         has_weights: bool = False, has_control: bool = False,
-        continuation: bool = False,
+        continuation: bool = False, full_strength: bool = False,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
         lat_size = size // config.vae.downscale_factor
+        # dedicated inpainting checkpoints (runwayml/sd-inpainting style):
+        # the UNet consumes latents ++ mask ++ masked-image latents
+        inpaint_unet = config.unet.in_channels == 2 * latent_ch + 1
         compute_dtype = config.compute_dtype
         attn_impl = config.attention_impl
         if attn_impl == "auto":
@@ -1218,7 +1227,7 @@ class StableDiffusionPipeline:
             return context, added
 
         def denoise(params, context, added_cond, latents, cfg_scale, key,
-                    inpaint=None, control=None):
+                    inpaint=None, control=None, extra_channels=None):
             # context: cfg ? (2B, L, D) ordered [cond..., uncond...] : (B, L, D)
             batch = latents.shape[0]
 
@@ -1292,6 +1301,17 @@ class StableDiffusionPipeline:
                     )
                     cn_caches.append((cn, emb, kv, tc))
 
+            # Dedicated inpainting checkpoints (in_channels = 2*latent+1):
+            # mask + masked-image latents are CONSTANT across the scan —
+            # CFG-tile and cast once here, concat per step after
+            # scale_model_input (the scheduler scaling applies only to the
+            # noisy latent part, the diffusers convention).
+            extra = None
+            if extra_channels is not None:
+                extra = extra_channels.astype(compute_dtype)
+                if cfg:
+                    extra = jnp.concatenate([extra, extra])
+
             def body(carry, step):
                 lat, key, state = carry
                 i, t = step
@@ -1305,6 +1325,9 @@ class StableDiffusionPipeline:
                 if control is not None:
                     from sdtpu.models.controlnet import controlnet_forward
 
+                    # ControlNets are trained on BASE models: they consume
+                    # the 4-channel noisy latents even when the UNet takes
+                    # the 9-channel inpaint input (diffusers wiring)
                     for (cn, emb, kv, tc), sc in zip(cn_caches, ctrl_scales):
                         r = controlnet_forward(
                             lat_in.astype(compute_dtype), t_in, context,
@@ -1325,6 +1348,10 @@ class StableDiffusionPipeline:
                                 else ctrl["mid"] + r["mid"]
                             ),
                         }
+                if extra is not None:
+                    lat_in = jnp.concatenate(
+                        [lat_in.astype(compute_dtype), extra], axis=-1
+                    )
                 eps = unet_forward(
                     lat_in.astype(compute_dtype), t_in, context, params["unet"],
                     config.unet, added_cond=added_cond,
@@ -1443,13 +1470,53 @@ class StableDiffusionPipeline:
                     params["vae_encoder"], config.vae,
                     attention_impl=attn_impl, conv_impl=conv_impl,
                 ).astype(jnp.float32)  # pipeline.mojo:66-75
-                latents = sdef.add_noise(schedule, lat0, fwd_noise, 0)  # pipeline.mojo:79
-                inpaint = (
-                    None if mask is None
-                    else (mask.astype(jnp.float32), lat0, fwd_noise)
-                )
+                inpaint = extra = None
+                if mask is not None and inpaint_unet:
+                    # dedicated inpaint checkpoint: mask arrives at PIXEL
+                    # grid; the UNet consumes [latents, mask, masked-image
+                    # latents] and learned the blend — no per-step paste
+                    mask_pix = mask.astype(jnp.float32)
+                    keep = (mask_pix < 0.5).astype(image.dtype)
+                    masked = image * keep
+                    if key.ndim == 1:
+                        m_noise = jax.vmap(lambda k: row_noise(k, 3))(key)
+                    else:
+                        key, k_m = jax.random.split(key)
+                        m_noise = jax.random.normal(
+                            k_m, (batch, *lat_shape), jnp.float32
+                        )
+                    masked_lat = vae_encode(
+                        masked.astype(compute_dtype), m_noise,
+                        params["vae_encoder"], config.vae,
+                        attention_impl=attn_impl, conv_impl=conv_impl,
+                    ).astype(jnp.float32)
+                    f = config.vae.downscale_factor
+                    # nearest-downsample to the latent grid (diffusers'
+                    # F.interpolate(mode="nearest") index mapping)
+                    mask_lat = mask_pix[:, ::f, ::f, :]
+                    extra = jnp.concatenate(
+                        [
+                            jnp.broadcast_to(
+                                mask_lat, (batch, lat_size, lat_size, 1)
+                            ),
+                            masked_lat,
+                        ],
+                        axis=-1,
+                    )
+                    if full_strength:
+                        # pure-noise init (diffusers is_strength_max)
+                        latents = fwd_noise * getattr(
+                            schedule, "init_sigma", 1.0
+                        )
+                    else:
+                        latents = sdef.add_noise(schedule, lat0, fwd_noise, 0)
+                else:
+                    latents = sdef.add_noise(schedule, lat0, fwd_noise, 0)  # pipeline.mojo:79
+                    if mask is not None:
+                        inpaint = (mask.astype(jnp.float32), lat0, fwd_noise)
                 latents = denoise(params, context, added, latents, cfg_scale,
-                                  key, inpaint=inpaint, control=control)
+                                  key, inpaint=inpaint, control=control,
+                                  extra_channels=extra)
                 return decode(params, latents)
 
             if has_mask:
