@@ -97,6 +97,15 @@ def apply_textual_inversion(
     registered: dict = {}
     for placeholder, rows_l, rows_g in parse_textual_inversion(
             sd, token=token):
+        if "clip" not in new:
+            # bigG-only pipeline (SDXL refiner): the single table IS
+            # clip_2 — dual-encoder files contribute their G rows only
+            rows = rows_g if rows_g is not None else rows_l
+            first = _append_rows(new["clip_2"], rows)
+            registered[placeholder] = list(
+                range(first, first + rows.shape[0])
+            )
+            continue
         first = _append_rows(new["clip"], rows_l)
         ids = list(range(first, first + rows_l.shape[0]))
         if rows_g is not None:

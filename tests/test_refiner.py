@@ -194,6 +194,28 @@ class TestRefinerPipeline:
         )
         assert img.shape == (1, 32, 32, 3)
 
+    def test_textual_inversion_lands_in_clip2(self, refiner):
+        """A bigG-only pipeline appends concept vectors to its single
+        (clip_2) table — both single- and dual-encoder file layouts."""
+        import numpy as np
+
+        from sdtpu.utils.textual_inversion import apply_textual_inversion
+
+        d = REFINER_CLIP2.hidden_size
+        vocab = REFINER_CLIP2.vocab_size
+        single = {"<cat>": np.ones((1, d), np.float32)}
+        params, reg = apply_textual_inversion(refiner.params, single)
+        assert reg["<cat>"] == [vocab]
+        assert params["clip_2"]["token_embedding"]["weight"].shape[0] == (
+            vocab + 1
+        )
+        dual = {"clip_l": np.ones((2, 8), np.float32),
+                "clip_g": np.ones((2, d), np.float32)}
+        params2, reg2 = apply_textual_inversion(
+            refiner.params, dual, token="<dog>"
+        )
+        assert reg2["<dog>"] == [vocab, vocab + 1]
+
     def test_refiner_img2img(self, refiner):
         """The refiner also runs standalone img2img (strength-based),
         diffusers' other refiner mode."""
