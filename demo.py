@@ -35,6 +35,9 @@ def main() -> None:
                     help="inpainting mask path (white = repaint); "
                          "requires --init-image")
     ap.add_argument("--strength", type=float, default=0.9)
+    ap.add_argument("--image-guidance-scale", type=float, default=1.5,
+                    help="InstructPix2Pix editing checkpoints (--preset "
+                         "ip2p): the image-guidance branch's scale")
     ap.add_argument("--controlnet", action="append", default=[],
                     metavar="PATH",
                     help="diffusers ControlNetModel safetensors file or "
@@ -178,6 +181,7 @@ def main() -> None:
         sampler=args.sampler,
         clip_skip=args.clip_skip,
         prompt_weighting=args.prompt_weighting,
+        image_guidance_scale=args.image_guidance_scale,
         control_image=(
             [load_image(p) for p in args.control_image]
             if len(args.control_image) > 1

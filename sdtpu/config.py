@@ -226,6 +226,19 @@ SD15_INPAINT = PipelineConfig(
     scheduler=SchedulerConfig(),
 )
 
+# Instruction-following image editing (timbrooks/instruct-pix2pix): SD 1.5
+# trained with an 8-channel UNet input — noisy latents ++ the conditioning
+# image's UNSCALED posterior-mode latents — and a third guidance branch
+# (image guidance).  `generate("make it a winter scene", init_image=photo,
+# image_guidance_scale=1.5)`; routed automatically (in_channels == 2*latent).
+IP2P = PipelineConfig(
+    name="timbrooks/instruct-pix2pix",
+    clip=CLIPConfig(),
+    unet=dataclasses.replace(SD15.unet, in_channels=8),
+    vae=VAEConfig(),
+    scheduler=SchedulerConfig(),
+)
+
 SD21 = PipelineConfig(
     name="stabilityai/stable-diffusion-2-1",
     # OpenCLIP ViT-H text encoder: 1024 wide, 23 layers, GELU, penultimate
@@ -348,6 +361,9 @@ PRESETS = {
     "sd15": SD15,
     "runwayml/stable-diffusion-inpainting": SD15_INPAINT,
     "sd15-inpaint": SD15_INPAINT,
+    "timbrooks/instruct-pix2pix": IP2P,
+    "instruct-pix2pix": IP2P,
+    "ip2p": IP2P,
     "stabilityai/stable-diffusion-2-1": SD21,
     "sd21": SD21,
     "stabilityai/stable-diffusion-xl-base-1.0": SDXL_BASE,

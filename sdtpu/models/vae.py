@@ -173,15 +173,24 @@ def vae_encode(
     *,
     attention_impl: str = "xla",
     conv_impl: str = "xla",
+    apply_scaling: bool = True,
 ) -> jax.Array:
     """Full img2img encode path (``vae.mojo:118-129,157``): moments ->
-    clamp(logvar) -> reparameterize with the given N(0,1) noise -> scale."""
+    clamp(logvar) -> reparameterize with the given N(0,1) noise -> scale.
+
+    ``noise=None`` takes the posterior MODE (the mean, no sampling);
+    ``apply_scaling=False`` skips the 0.18215 multiply — InstructPix2Pix's
+    image-conditioning latents use mode() UNscaled (the diffusers quirk the
+    model was trained with)."""
     moments = vae_encoder(image, params, config, attention_impl=attention_impl, conv_impl=conv_impl)
     mean, logvar = jnp.split(moments, 2, axis=-1)
-    logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
-    std = jnp.exp(0.5 * logvar).astype(mean.dtype)
-    latents = mean + noise.astype(mean.dtype) * std
-    return latents * config.scaling_factor
+    if noise is None:
+        latents = mean
+    else:
+        logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
+        std = jnp.exp(0.5 * logvar).astype(mean.dtype)
+        latents = mean + noise.astype(mean.dtype) * std
+    return latents * config.scaling_factor if apply_scaling else latents
 
 
 def vae_decode(

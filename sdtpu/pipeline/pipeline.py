@@ -313,6 +313,7 @@ class StableDiffusionPipeline:
         controlnet_scale: float = 1.0,
         denoising_end: Optional[float] = None,
         denoising_start: Optional[float] = None,
+        image_guidance_scale: float = 1.5,
         verbose: bool = False,
     ):
         """Text->image (or image->image when ``init_image`` is given).
@@ -335,6 +336,14 @@ class StableDiffusionPipeline:
         low-noise tail — no re-noising, same sampler family on both sides.
         With one model and a deterministic sampler, a split run is
         bit-exact with the unsplit run (tests/test_refiner.py).
+
+        ``image_guidance_scale``: InstructPix2Pix editing checkpoints
+        (``in_channels == 2*latent``, e.g. timbrooks/instruct-pix2pix)
+        treat ``init_image`` as the image to EDIT per the prompt: three
+        guidance branches [text+image, image-only, unconditional] combined
+        with (cfg_scale, image_guidance_scale) — both traced scalars, so
+        changing either never recompiles.  ``strength`` is ignored there
+        (the edit model denoises from pure noise).
 
         ``mask_image`` (with ``init_image``) switches to INPAINTING: only
         the masked region (mask > 0 — white pixels / 1.0 floats) is
@@ -463,6 +472,7 @@ class StableDiffusionPipeline:
                     if control_image is not None else None
                 ),
                 controlnet_scale=controlnet_scale,
+                image_guidance_scale=image_guidance_scale,
             )
 
         ids = self._tokenize(prompt, negative_prompt, cfg, token_ids,
@@ -481,6 +491,14 @@ class StableDiffusionPipeline:
         is_img2img = init_image is not None
         if mask_image is not None and not is_img2img:
             raise ValueError("mask_image requires init_image (inpainting)")
+        is_edit = is_img2img and (
+            self.config.unet.in_channels
+            == 2 * self.config.vae.latent_channels
+        )
+        if is_edit and mask_image is not None:
+            raise ValueError(
+                "editing checkpoints (InstructPix2Pix) take no mask"
+            )
         if rng == "torch":
             if is_img2img or latents is not None:
                 raise ValueError("rng='torch' is txt2img-only")
@@ -506,7 +524,10 @@ class StableDiffusionPipeline:
                 "control_image requires a ControlNet — call "
                 "pipe.load_controlnet(...) first"
             )
-        strength_key = round(strength, 6) if is_img2img else 1.0
+        # edit models denoise from pure noise: strength never truncates
+        strength_key = (
+            1.0 if (is_edit or not is_img2img) else round(strength, 6)
+        )
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img, strength_key,
             ids.shape[0], sampler, has_latents=latents is not None,
@@ -525,7 +546,10 @@ class StableDiffusionPipeline:
         # key is built in-jit): eager jax.random.key / jnp.float32 each cost
         # a device round trip through the relay before the real dispatch
         seed_arr = np.uint32(seed)
-        cfg_scale_arr = np.float32(cfg_scale)
+        cfg_scale_arr = (
+            (np.float32(cfg_scale), np.float32(image_guidance_scale))
+            if is_edit and cfg else np.float32(cfg_scale)
+        )
         pos = []
         if is_img2img:
             pos.append(self._prep_image(init_image, size))
@@ -617,6 +641,7 @@ class StableDiffusionPipeline:
         token_weights: Optional[np.ndarray] = None,
         control_images=None,
         controlnet_scale: float = 1.0,
+        image_guidance_scale: float = 1.5,
     ):
         """Batched txt2img serving: B prompts -> (B, H, W, 3) in ONE compiled
         CFG-batched (2B) program — the large-batch few-step serving path
@@ -749,6 +774,14 @@ class StableDiffusionPipeline:
             raise ValueError("strength must be in (0, 1]")
         if mask_images is not None and not is_img2img:
             raise ValueError("mask_images requires init_images (inpainting)")
+        is_edit = is_img2img and (
+            self.config.unet.in_channels
+            == 2 * self.config.vae.latent_channels
+        )
+        if is_edit and mask_images is not None:
+            raise ValueError(
+                "editing checkpoints (InstructPix2Pix) take no mask"
+            )
         has_control = control_images is not None
         if has_control:
             if self.controlnet is None:
@@ -762,7 +795,8 @@ class StableDiffusionPipeline:
                 )
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img,
-            round(strength, 6) if is_img2img else 1.0, ids.shape[0], sampler,
+            round(strength, 6) if is_img2img and not is_edit else 1.0,
+            ids.shape[0], sampler,
             want_uint8=output in ("uint8", "device"),
             has_mask=mask_images is not None,
             clip_skip=clip_skip,
@@ -795,6 +829,10 @@ class StableDiffusionPipeline:
                 params = jax.device_put(params, NamedSharding(mesh, P()))
 
         ids_arg = ids if weights is None else (ids, weights)
+        cfg_arg = (
+            (jnp.float32(cfg_scale), jnp.float32(image_guidance_scale))
+            if is_edit and cfg else jnp.float32(cfg_scale)
+        )
         pos = []
         if is_img2img:
             imgs_in = jnp.concatenate(
@@ -841,10 +879,10 @@ class StableDiffusionPipeline:
                     )
                 ctrl_in.append(stack)
             images = fn(params, ids_arg, *pos, ctrl_in,
-                        jnp.float32(cfg_scale),
+                        cfg_arg,
                         [np.float32(s) for s in scales_c], key)
         else:
-            images = fn(params, ids_arg, *pos, jnp.float32(cfg_scale), key)
+            images = fn(params, ids_arg, *pos, cfg_arg, key)
         if output == "device":
             # raw device array (uint8-packed), NOT fetched: the serving
             # engine dispatches the next batch before blocking on this one
@@ -1119,6 +1157,8 @@ class StableDiffusionPipeline:
         # dedicated inpainting checkpoints (runwayml/sd-inpainting style):
         # the UNet consumes latents ++ mask ++ masked-image latents
         inpaint_unet = config.unet.in_channels == 2 * latent_ch + 1
+        # InstructPix2Pix-style editing checkpoints: latents ++ image latents
+        edit_unet = config.unet.in_channels == 2 * latent_ch
         compute_dtype = config.compute_dtype
         attn_impl = config.attention_impl
         if attn_impl == "auto":
@@ -1231,6 +1271,19 @@ class StableDiffusionPipeline:
             # context: cfg ? (2B, L, D) ordered [cond..., uncond...] : (B, L, D)
             batch = latents.shape[0]
 
+            # InstructPix2Pix (in_channels = 2*latent) guidance runs THREE
+            # branches per image — [text+image, image-only, unconditional]
+            # — steered by two scales (text + image guidance); the image
+            # rows ride extra_channels (caller-tiled [img, img, zeros]).
+            image_gs = None
+            if edit_unet and cfg:
+                cfg_scale, image_gs = cfg_scale
+                context = jnp.concatenate(
+                    [context[:batch], context[batch:], context[batch:]]
+                )
+            n_rep = 3 if (edit_unet and cfg) else (2 if cfg else 1)
+            model_batch = n_rep * batch
+
             # cross-attention K/V depend only on the (constant) context:
             # compute them ONCE here instead of every scan step — XLA does
             # not hoist them itself (round-2 XProf: ~1.4 ms/step of
@@ -1251,7 +1304,7 @@ class StableDiffusionPipeline:
                 from sdtpu.ops import timestep_embedding
 
                 w = jnp.broadcast_to(
-                    (cfg_scale - 1.0) * 1000.0, (2 * batch if cfg else batch,)
+                    (cfg_scale - 1.0) * 1000.0, (model_batch,)
                 )
                 timestep_cond = timestep_embedding(
                     w, config.unet.time_cond_proj_dim,
@@ -1268,7 +1321,7 @@ class StableDiffusionPipeline:
                 schedule.timesteps,
                 params["unet"],
                 config.unet,
-                batch=2 * batch if cfg else batch,
+                batch=model_batch,
                 timestep_cond=timestep_cond,
                 added_cond=added_cond,
                 dtype=compute_dtype,
@@ -1288,14 +1341,14 @@ class StableDiffusionPipeline:
                     emb = controlnet_cond_embed(
                         img.astype(compute_dtype), cn["cond_embedding"]
                     )
-                    if cfg:  # applied to BOTH branches (diffusers default)
-                        emb = jnp.concatenate([emb, emb])
+                    if n_rep > 1:  # every guidance branch (diffusers default)
+                        emb = jnp.concatenate([emb] * n_rep)
                     kv = precompute_cross_kv(
                         context.astype(compute_dtype), cn, config.unet
                     )
                     tc = precompute_time_projections(
                         schedule.timesteps, cn, config.unet,
-                        batch=2 * batch if cfg else batch,
+                        batch=model_batch,
                         timestep_cond=timestep_cond, added_cond=added_cond,
                         dtype=compute_dtype,
                     )
@@ -1306,16 +1359,18 @@ class StableDiffusionPipeline:
             # CFG-tile and cast once here, concat per step after
             # scale_model_input (the scheduler scaling applies only to the
             # noisy latent part, the diffusers convention).
+            # extra_channels arrives already tiled to the MODEL batch (the
+            # rows differ per guidance branch for InstructPix2Pix)
             extra = None
             if extra_channels is not None:
                 extra = extra_channels.astype(compute_dtype)
-                if cfg:
-                    extra = jnp.concatenate([extra, extra])
 
             def body(carry, step):
                 lat, key, state = carry
                 i, t = step
-                lat_in = jnp.concatenate([lat, lat]) if cfg else lat
+                lat_in = (
+                    jnp.concatenate([lat] * n_rep) if n_rep > 1 else lat
+                )
                 if sdef.scale_model_input is not None:
                     lat_in = sdef.scale_model_input(schedule, i, lat_in)
                 t_in = jnp.broadcast_to(
@@ -1361,7 +1416,14 @@ class StableDiffusionPipeline:
                     time_cache=jax.tree.map(lambda a: a[i], time_cache),
                     control=ctrl,
                 ).astype(jnp.float32)
-                if cfg:
+                if edit_unet and cfg:
+                    # eps_u + s_text (eps_text - eps_img) + s_img (eps_img - eps_u)
+                    e_t = eps[:batch]
+                    e_i = eps[batch:2 * batch]
+                    e_u = eps[2 * batch:]
+                    eps = (e_u + cfg_scale * (e_t - e_i)
+                           + image_gs * (e_i - e_u))
+                elif cfg:
                     cond, uncond = eps[:batch], eps[batch:]
                     eps = uncond + cfg_scale * (cond - uncond)  # pipeline.mojo:111-119
                 if sdef.stochastic:
@@ -1465,6 +1527,29 @@ class StableDiffusionPipeline:
                     fwd_noise = jax.random.normal(
                         k_fwd, (batch, *lat_shape), jnp.float32
                     )
+                if edit_unet:
+                    # InstructPix2Pix: the conditioning image rides extra
+                    # channels as the posterior MODE, UNSCALED (the
+                    # diffusers quirk the model was trained with); rows are
+                    # [image, image, zeros] across the three guidance
+                    # branches; the denoised latents start as pure noise.
+                    img_lat = vae_encode(
+                        image.astype(compute_dtype), None,
+                        params["vae_encoder"], config.vae,
+                        attention_impl=attn_impl, conv_impl=conv_impl,
+                        apply_scaling=False,
+                    ).astype(jnp.float32)
+                    if cfg:
+                        extra = jnp.concatenate(
+                            [img_lat, img_lat, jnp.zeros_like(img_lat)]
+                        )
+                    else:
+                        extra = img_lat
+                    latents = fwd_noise * getattr(schedule, "init_sigma", 1.0)
+                    latents = denoise(params, context, added, latents,
+                                      cfg_scale, key, control=control,
+                                      extra_channels=extra)
+                    return decode(params, latents)
                 lat0 = vae_encode(
                     image.astype(compute_dtype), enc_noise,
                     params["vae_encoder"], config.vae,
@@ -1503,6 +1588,8 @@ class StableDiffusionPipeline:
                         ],
                         axis=-1,
                     )
+                    if cfg:  # both guidance branches see the same extras
+                        extra = jnp.concatenate([extra, extra])
                     if full_strength:
                         # pure-noise init (diffusers is_strength_max)
                         latents = fwd_noise * getattr(

@@ -59,6 +59,9 @@ class _Request:
     init_image: Optional[np.ndarray] = None
     mask_image: Optional[np.ndarray] = None
     strength: float = 0.9
+    # InstructPix2Pix editing models: the third guidance branch's scale
+    # (traced, but ONE value per batch -> it buckets)
+    image_guidance_scale: float = 1.5
     clip_skip: int = 0
     # prompt emphasis: parse (word:1.3) syntax per row, or pre-tokenized
     # per-token weights aligned with token_ids
@@ -94,6 +97,7 @@ class _Request:
                 round(self.cfg_scale, 6), img2img,
                 self.mask_image is not None,
                 round(self.strength, 6) if img2img else None,
+                round(self.image_guidance_scale, 6) if img2img else None,
                 self.clip_skip, weighting,
                 # control CONTENT is per-row; the scale(s) are batch-level
                 # (traced scalars feed the whole program); multi-ControlNet
@@ -183,6 +187,7 @@ class ServingEngine:
         token_weights: Optional[np.ndarray] = None,
         control_image: Optional[np.ndarray] = None,
         controlnet_scale: float = 1.0,
+        image_guidance_scale: float = 1.5,
     ) -> Future:
         """Enqueue one txt2img (or img2img when ``init_image`` is given, or
         inpainting when ``mask_image`` too) request; resolves to an
@@ -238,6 +243,7 @@ class ServingEngine:
             init_image=init_image,
             mask_image=mask_image,
             strength=strength,
+            image_guidance_scale=image_guidance_scale,
             clip_skip=clip_skip,
             prompt_weighting=prompt_weighting,
             token_weights=token_weights,
@@ -328,6 +334,7 @@ class ServingEngine:
         if first.init_image is not None:
             kw["init_images"] = [r.init_image for r in batch]
             kw["strength"] = first.strength
+            kw["image_guidance_scale"] = first.image_guidance_scale
             if first.mask_image is not None:
                 kw["mask_images"] = [r.mask_image for r in batch]
         if first.control_image is not None:
