@@ -123,6 +123,17 @@ def main() -> None:
     print(f"params materialized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(40)
+    # conditioned UNet families need their inputs: 9-channel inpaint
+    # checkpoints take init+mask, 8-channel editing checkpoints take init
+    latent_ch = config.vae.latent_channels
+    bench_mask = None
+    if config.unet.in_channels == 2 * latent_ch + 1:
+        args.img2img = True
+        bench_mask = np.zeros((args.image_size, args.image_size), np.uint8)
+        bench_mask[:, args.image_size // 2:] = 255
+        args.strength = 1.0
+    elif config.unet.in_channels == 2 * latent_ch:
+        args.img2img = True
     control_image = None
     if args.controlnet:
         from sdtpu.models.controlnet import init_controlnet
@@ -156,6 +167,7 @@ def main() -> None:
                 seed=seed, image_size=args.image_size, output=output,
                 sampler=sampler, cfg=cfg, init_image=init_image,
                 strength=args.strength, control_image=control_image,
+                mask_image=bench_mask,
             )
 
     else:
@@ -218,11 +230,12 @@ def main() -> None:
     if args.int8:
         variant = "int8 " + variant
     guidance = "CFG" if cfg else "no-CFG"
-    # the analytic flop model doesn't cover the ControlNet encoder copy;
-    # skip MFU rather than overstate it
-    flops = None if args.controlnet else _program_flops(
-        pipe, args, steps, sampler, cfg
-    )
+    # the analytic flop model covers neither the ControlNet encoder copy
+    # nor the conditioned-UNet input channels / 3-branch edit batch; skip
+    # MFU rather than misstate it
+    flops = None if (
+        args.controlnet or config.unet.in_channels != latent_ch
+    ) else _program_flops(pipe, args, steps, sampler, cfg)
     result = {
         "metric": f"{args.preset} {args.image_size}x{args.image_size} "
                   f"{variant}{steps}-step {sampler} {guidance} images/sec/chip",
