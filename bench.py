@@ -61,6 +61,9 @@ def main() -> None:
                          "dims and condition on a control image (measures "
                          "the encoder-copy overhead; ~+40%% UNet encoder "
                          "FLOPs)")
+    ap.add_argument("--encoder-cache", type=int, default=1,
+                    help="encoder-feature reuse interval (run the encoder "
+                         "once per K steps; decoder-only in between)")
     ap.add_argument("--no-overlap", action="store_true",
                     help="disable the pipelined dispatch-before-fetch "
                          "measurement (old strictly-sequential timing)")
@@ -168,6 +171,7 @@ def main() -> None:
                 sampler=sampler, cfg=cfg, init_image=init_image,
                 strength=args.strength, control_image=control_image,
                 mask_image=bench_mask,
+                encoder_cache_interval=args.encoder_cache,
             )
 
     else:
@@ -181,6 +185,7 @@ def main() -> None:
                 num_inference_steps=steps, seed=seed,
                 image_size=args.image_size, output=output,
                 sampler=sampler, cfg=cfg,
+                encoder_cache_interval=args.encoder_cache,
                 control_images=(
                     [control_image] * args.batch
                     if control_image is not None else None
@@ -225,6 +230,8 @@ def main() -> None:
     p50 = statistics.median(times)
     images_per_sec = args.batch / p50
     variant = "img2img " if args.img2img else ""
+    if args.encoder_cache > 1:
+        variant = f"enc-cache{args.encoder_cache} " + variant
     if args.controlnet:
         variant = "controlnet " + variant
     if args.int8:
@@ -235,6 +242,7 @@ def main() -> None:
     # MFU rather than misstate it
     flops = None if (
         args.controlnet or config.unet.in_channels != latent_ch
+        or args.encoder_cache > 1
     ) else _program_flops(pipe, args, steps, sampler, cfg)
     result = {
         "metric": f"{args.preset} {args.image_size}x{args.image_size} "

@@ -72,6 +72,12 @@ def main() -> None:
                     help="parse (word:1.3) / [word] emphasis syntax in the "
                          "prompts and weight each token's conditioning "
                          "(needs tokenizer assets)")
+    ap.add_argument("--encoder-cache", type=int, default=1, metavar="K",
+                    help="encoder-feature reuse interval (Faster Diffusion "
+                         "/ DeepCache approximation): run the UNet encoder "
+                         "once per K steps, decoder-only in between — "
+                         "faster at a quality cost; validate on real "
+                         "weights")
     ap.add_argument("--clip-skip", type=int, default=0,
                     help="condition on the text-encoder hidden state N "
                          "layers before the usual output (diffusers "
@@ -182,6 +188,7 @@ def main() -> None:
         clip_skip=args.clip_skip,
         prompt_weighting=args.prompt_weighting,
         image_guidance_scale=args.image_guidance_scale,
+        encoder_cache_interval=args.encoder_cache,
         control_image=(
             [load_image(p) for p in args.control_image]
             if len(args.control_image) > 1

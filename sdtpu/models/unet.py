@@ -445,6 +445,41 @@ def unet_forward(
             timestep_cond=timestep_cond, added_cond=added_cond,
         )
 
+    x, skips = unet_encode(
+        latents, temb, context, params, config,
+        attention_impl=attention_impl, conv_impl=conv_impl,
+        cross_kv=cross_kv, time_proj=tp, control=control,
+    )
+    return unet_decode(
+        x, skips, temb, context, params, config,
+        attention_impl=attention_impl, conv_impl=conv_impl,
+        cross_kv=cross_kv, time_proj=tp,
+    )
+
+
+def unet_encode(
+    latents: jax.Array,
+    temb: jax.Array,
+    context: jax.Array,
+    params: dict,
+    config: UNetConfig,
+    *,
+    attention_impl: str = "xla",
+    conv_impl: str = "xla",
+    cross_kv: Optional[dict] = None,
+    time_proj: Optional[dict] = None,
+    control: Optional[dict] = None,
+) -> tuple:
+    """The UNet's encoder + mid half: returns ``(x, skips)`` — the mid
+    output and the saved skip activations (a tuple, decoder-concat order).
+
+    Split out of :func:`unet_forward` so the pipeline's encoder-feature
+    cache (the Faster-Diffusion/DeepCache family: encoder features change
+    slowly across adjacent denoising steps) can reuse one key step's
+    ``(x, skips)`` for several decoder-only steps.  ``temb`` is the final
+    (SiLU'd) time embedding; ``time_proj`` one step's hoisted per-resblock
+    projections (``precompute_time_projections``)."""
+    tp = time_proj
     ng = config.norm_num_groups
     context = context.astype(latents.dtype)
 
@@ -503,6 +538,29 @@ def unet_forward(
                          t_pre=None if tp is None else tp["mid"][1])
         if control is not None and control.get("mid") is not None:
             x = x + control["mid"].astype(x.dtype)
+    return x, tuple(skips)
+
+
+def unet_decode(
+    x: jax.Array,
+    skips,
+    temb: jax.Array,
+    context: jax.Array,
+    params: dict,
+    config: UNetConfig,
+    *,
+    attention_impl: str = "xla",
+    conv_impl: str = "xla",
+    cross_kv: Optional[dict] = None,
+    time_proj: Optional[dict] = None,
+) -> jax.Array:
+    """The UNet's decoder + output head: consumes :func:`unet_encode`'s
+    ``(x, skips)`` (possibly a CACHED earlier step's — the encoder-reuse
+    approximation) with the CURRENT step's time embedding/projections."""
+    tp = time_proj
+    ng = config.norm_num_groups
+    context = context.astype(x.dtype)
+    skips = list(skips)
 
     # --- decoder (diffusion.mojo:252-272): concat skip on channel axis ---
     for rev, block in enumerate(params["up_blocks"]):

@@ -314,6 +314,7 @@ class StableDiffusionPipeline:
         denoising_end: Optional[float] = None,
         denoising_start: Optional[float] = None,
         image_guidance_scale: float = 1.5,
+        encoder_cache_interval: int = 1,
         verbose: bool = False,
     ):
         """Text->image (or image->image when ``init_image`` is given).
@@ -336,6 +337,16 @@ class StableDiffusionPipeline:
         low-noise tail — no re-noising, same sampler family on both sides.
         With one model and a deterministic sampler, a split run is
         bit-exact with the unsplit run (tests/test_refiner.py).
+
+        ``encoder_cache_interval``: encoder-feature reuse (the Faster
+        Diffusion / DeepCache approximation — encoder+mid features change
+        slowly across adjacent steps).  ``k > 1`` runs the UNet encoder
+        once per group of k steps and decoder-only (with the current
+        step's time projections) in between — ~(k-1)/k of the encoder+mid
+        cost saved at a QUALITY cost that must be validated on real
+        weights; any ``steps % k`` remainder runs full at the end.
+        Default 1 (off).  Incompatible with ControlNet (its residuals
+        enter the cached encoder).
 
         ``image_guidance_scale``: InstructPix2Pix editing checkpoints
         (``in_channels == 2*latent``, e.g. timbrooks/instruct-pix2pix)
@@ -524,6 +535,13 @@ class StableDiffusionPipeline:
                 "control_image requires a ControlNet — call "
                 "pipe.load_controlnet(...) first"
             )
+        if encoder_cache_interval < 1:
+            raise ValueError("encoder_cache_interval must be >= 1")
+        if encoder_cache_interval > 1 and has_control:
+            raise ValueError(
+                "encoder_cache_interval is incompatible with ControlNet "
+                "(the control residuals enter the cached encoder half)"
+            )
         # edit models denoise from pure noise: strength never truncates
         strength_key = (
             1.0 if (is_edit or not is_img2img) else round(strength, 6)
@@ -539,6 +557,7 @@ class StableDiffusionPipeline:
             has_control=has_control,
             denoising_end=denoising_end,
             denoising_start=denoising_start,
+            encoder_cache=encoder_cache_interval,
         )
         ids_arg = ids if weights is None else (ids, weights)
 
@@ -642,6 +661,7 @@ class StableDiffusionPipeline:
         control_images=None,
         controlnet_scale: float = 1.0,
         image_guidance_scale: float = 1.5,
+        encoder_cache_interval: int = 1,
     ):
         """Batched txt2img serving: B prompts -> (B, H, W, 3) in ONE compiled
         CFG-batched (2B) program — the large-batch few-step serving path
@@ -802,6 +822,7 @@ class StableDiffusionPipeline:
             clip_skip=clip_skip,
             has_weights=weights is not None,
             has_control=has_control,
+            encoder_cache=encoder_cache_interval,
         )
         if seeds is not None:
             if len(seeds) != cond.shape[0]:
@@ -1098,7 +1119,7 @@ class StableDiffusionPipeline:
         self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
         has_latents=False, want_latents=False, want_uint8=False,
         has_mask=False, clip_skip=0, has_weights=False, has_control=False,
-        denoising_end=None, denoising_start=None,
+        denoising_end=None, denoising_start=None, encoder_cache=1,
     ):
         # The ring-attention context is read at TRACE time (the shard_map is
         # baked into the compiled program), so it must be part of the cache
@@ -1110,7 +1131,8 @@ class StableDiffusionPipeline:
         cache_key = (size, steps, cfg, is_img2img, strength, n_ids, sampler,
                      has_latents, want_latents, want_uint8, has_mask,
                      clip_skip, has_weights, has_control,
-                     denoising_end, denoising_start, get_ring_context())
+                     denoising_end, denoising_start, encoder_cache,
+                     get_ring_context())
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
@@ -1140,7 +1162,8 @@ class StableDiffusionPipeline:
                              has_weights=has_weights,
                              has_control=has_control,
                              continuation=denoising_start is not None,
-                             full_strength=strength >= 1.0)
+                             full_strength=strength >= 1.0,
+                             encoder_cache=encoder_cache)
             self._compiled[cache_key] = fn
         return fn
 
@@ -1150,6 +1173,7 @@ class StableDiffusionPipeline:
         want_uint8: bool = False, has_mask: bool = False, clip_skip: int = 0,
         has_weights: bool = False, has_control: bool = False,
         continuation: bool = False, full_strength: bool = False,
+        encoder_cache: int = 1,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -1267,7 +1291,8 @@ class StableDiffusionPipeline:
             return context, added
 
         def denoise(params, context, added_cond, latents, cfg_scale, key,
-                    inpaint=None, control=None, extra_channels=None):
+                    inpaint=None, control=None, extra_channels=None,
+                    cache_interval=1):
             # context: cfg ? (2B, L, D) ordered [cond..., uncond...] : (B, L, D)
             batch = latents.shape[0]
 
@@ -1416,6 +1441,12 @@ class StableDiffusionPipeline:
                     time_cache=jax.tree.map(lambda a: a[i], time_cache),
                     control=ctrl,
                 ).astype(jnp.float32)
+                return finish_step(lat, key, state, eps, i), None
+
+            def finish_step(lat, key, state, eps, i):
+                """Guidance combine -> variance noise -> sampler step ->
+                inpaint blend: shared by the plain scan body and the
+                encoder-cached grouped body."""
                 if edit_unet and cfg:
                     # eps_u + s_text (eps_text - eps_img) + s_img (eps_img - eps_u)
                     e_t = eps[:batch]
@@ -1464,17 +1495,81 @@ class StableDiffusionPipeline:
                         sdef.add_noise(schedule, ref0, ref_noise, j),
                     )
                     lat = mask_l * lat + (1.0 - mask_l) * ref
-                return (lat, key, state), None
+                return (lat, key, state)
 
-            steps = (
-                jnp.arange(schedule.num_steps, dtype=jnp.int32),
-                schedule.timesteps,
-            )
             state0 = (
                 sdef.state_init(latents) if sdef.multistep else jnp.zeros((), jnp.float32)
             )
+            S = schedule.num_steps
+            idx = jnp.arange(S, dtype=jnp.int32)
+            if cache_interval > 1:
+                # Encoder-feature reuse (Faster Diffusion / DeepCache
+                # family): encoder+mid features change slowly across
+                # adjacent denoising steps — each group of ``k`` steps runs
+                # the encoder ONCE (first step) and decoder-only for the
+                # rest, reusing the cached (mid, skips) with the CURRENT
+                # step's time projections.  Cached steps never see the
+                # noisy latents — that is the approximation.  Any
+                # ``S % k`` remainder runs FULL at the end (the low-noise
+                # detail steps).
+                from sdtpu.models.unet import unet_decode, unet_encode
+
+                k_int = cache_interval
+                G = S // k_int
+
+                def one_step(lat, key, state, i, t, cache):
+                    lat_in = (
+                        jnp.concatenate([lat] * n_rep) if n_rep > 1 else lat
+                    )
+                    if sdef.scale_model_input is not None:
+                        lat_in = sdef.scale_model_input(schedule, i, lat_in)
+                    tc_i = jax.tree.map(lambda a: a[i], time_cache)
+                    if cache is None:
+                        if extra is not None:
+                            lat_in = jnp.concatenate(
+                                [lat_in.astype(compute_dtype), extra], axis=-1
+                            )
+                        cache = unet_encode(
+                            lat_in.astype(compute_dtype), tc_i["temb"],
+                            context, params["unet"], config.unet,
+                            attention_impl=attn_impl, conv_impl=conv_impl,
+                            cross_kv=cross_kv, time_proj=tc_i,
+                        )
+                    x, sk = cache
+                    eps = unet_decode(
+                        x, sk, tc_i["temb"], context, params["unet"],
+                        config.unet,
+                        attention_impl=attn_impl, conv_impl=conv_impl,
+                        cross_kv=cross_kv, time_proj=tc_i,
+                    ).astype(jnp.float32)
+                    lat, key, state = finish_step(lat, key, state, eps, i)
+                    return lat, key, state, cache
+
+                def gbody(carry, step):
+                    lat, key, state = carry
+                    i_vec, t_vec = step
+                    cache = None
+                    for j in range(k_int):  # static unroll within the group
+                        lat, key, state, cache = one_step(
+                            lat, key, state, i_vec[j], t_vec[j], cache
+                        )
+                    return (lat, key, state), None
+
+                carry = (latents, key, state0)
+                if G > 0:
+                    groups = (
+                        idx[: G * k_int].reshape(G, k_int),
+                        schedule.timesteps[: G * k_int].reshape(G, k_int),
+                    )
+                    carry, _ = jax.lax.scan(gbody, carry, groups)
+                if S % k_int:
+                    tail = (idx[G * k_int:], schedule.timesteps[G * k_int:])
+                    carry, _ = jax.lax.scan(body, carry, tail)
+                latents = carry[0]
+                return latents
+
             (latents, _, _), _ = jax.lax.scan(
-                body, (latents, key, state0), steps
+                body, (latents, key, state0), (idx, schedule.timesteps)
             )
             return latents
 
@@ -1548,7 +1643,8 @@ class StableDiffusionPipeline:
                     latents = fwd_noise * getattr(schedule, "init_sigma", 1.0)
                     latents = denoise(params, context, added, latents,
                                       cfg_scale, key, control=control,
-                                      extra_channels=extra)
+                                      extra_channels=extra,
+                                      cache_interval=encoder_cache)
                     return decode(params, latents)
                 lat0 = vae_encode(
                     image.astype(compute_dtype), enc_noise,
@@ -1603,7 +1699,8 @@ class StableDiffusionPipeline:
                         inpaint = (mask.astype(jnp.float32), lat0, fwd_noise)
                 latents = denoise(params, context, added, latents, cfg_scale,
                                   key, inpaint=inpaint, control=control,
-                                  extra_channels=extra)
+                                  extra_channels=extra,
+                                  cache_interval=encoder_cache)
                 return decode(params, latents)
 
             if has_mask:
@@ -1627,7 +1724,8 @@ class StableDiffusionPipeline:
                     # user-supplied N(0,1) fixture; sigma-space samplers scale
                     latents = lat0 * getattr(schedule, "init_sigma", 1.0)
                 latents = denoise(params, context, added, latents, cfg_scale,
-                                  key, control=control)
+                                  key, control=control,
+                                  cache_interval=encoder_cache)
                 return decode(params, latents)
 
         else:
@@ -1657,7 +1755,8 @@ class StableDiffusionPipeline:
                 # sigma-space samplers start at noise * sigma_max
                 latents = latents * getattr(schedule, "init_sigma", 1.0)
                 latents = denoise(params, context, added, latents, cfg_scale,
-                                  key, control=control)
+                                  key, control=control,
+                                  cache_interval=encoder_cache)
                 return decode(params, latents)
 
         if has_control:

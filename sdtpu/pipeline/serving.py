@@ -71,6 +71,8 @@ class _Request:
     # the scale is ONE traced scalar per batch, so it buckets
     control_image: Optional[np.ndarray] = None
     controlnet_scale: float = 1.0
+    # encoder-feature reuse interval (compiles a different program)
+    encoder_cache_interval: int = 1
     # long prompts chunk into n CLIP windows (bpe.py:encode_long); rows with
     # different window counts must not coalesce — the padded empty windows
     # would otherwise make a row's context depend on batch composition
@@ -110,7 +112,7 @@ class _Request:
                         else [self.controlnet_scale]
                     )
                 ) if self.control_image is not None else None),
-                self.n_windows)
+                self.n_windows, self.encoder_cache_interval)
 
 
 class ServingEngine:
@@ -188,6 +190,7 @@ class ServingEngine:
         control_image: Optional[np.ndarray] = None,
         controlnet_scale: float = 1.0,
         image_guidance_scale: float = 1.5,
+        encoder_cache_interval: int = 1,
     ) -> Future:
         """Enqueue one txt2img (or img2img when ``init_image`` is given, or
         inpainting when ``mask_image`` too) request; resolves to an
@@ -249,6 +252,7 @@ class ServingEngine:
             token_weights=token_weights,
             control_image=control_image,
             controlnet_scale=controlnet_scale,
+            encoder_cache_interval=encoder_cache_interval,
             n_windows=n_windows,
             t_submit=time.monotonic(),
         )
@@ -314,6 +318,7 @@ class ServingEngine:
         else:
             token_ids = np.stack([np.asarray(r.token_ids) for r in batch])
         kw = dict(
+            encoder_cache_interval=first.encoder_cache_interval,
             negative_prompt=[r.negative_prompt for r in batch],
             cfg=first.cfg,
             cfg_scale=first.cfg_scale,

@@ -34,9 +34,14 @@ RUN python bench.py --preset sdxl --repeats 2 --int8 --int8-transformer
 RUN python bench.py --preset lcm-sd15 --repeats 8
 RUN python bench.py --preset sdxl-turbo --repeats 4
 
-# 2. new-feature overheads
+# 2. new-feature overheads + the encoder-cache lever
 RUN python bench.py --repeats 4 --controlnet
 RUN python bench.py --preset sd15 --repeats 3 --controlnet
+RUN python bench.py --repeats 4 --encoder-cache 2
+RUN python bench.py --repeats 4 --encoder-cache 3
+RUN python bench.py --preset sdxl --repeats 2 --encoder-cache 2
+RUN python bench.py --preset ip2p --repeats 3
+RUN python bench.py --preset sd15-inpaint --repeats 3
 
 # 3. serving (BASELINE config 5)
 RUN python bench.py --serving --batch 8 --preset lcm-sd15
