@@ -29,16 +29,20 @@ xla_bridge._backend_factories.pop("axon", None)
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent compilation cache for the CPU test suite: the suite's cost is
-# dominated by jit compiles of tiny pipelines, and the cache makes re-runs
-# read compiled programs from disk.  Machine-local (never committed/copied:
-# CPU cache entries from other machines are a SIGILL hazard — CLAUDE.md).
-_cache_dir = os.environ.get("SDTPU_TEST_CACHE", "/root/.jax_cache_cpu_tests")
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:
-    pass
+# Persistent compilation cache for the CPU test suite: OPT-IN via
+# SDTPU_TEST_CACHE=<dir>.  Off by default: XLA:CPU's executable.serialize()
+# (the cache-write path) segfaulted deterministically ~340 tests into a
+# cold full-suite run on this host (twice, incl. after wiping the cache;
+# python faulthandler pointed at compilation_cache.put_executable_and_time)
+# — and foreign-machine entries are a separate SIGILL hazard (CLAUDE.md).
+# A cold suite run is slower but stable.
+_cache_dir = os.environ.get("SDTPU_TEST_CACHE")
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
