@@ -321,6 +321,19 @@ SDXL_REFINER = PipelineConfig(
     requires_aesthetics_score=True,
 )
 
+# SDXL inpainting (diffusers/stable-diffusion-xl-1.0-inpainting-0.1): the
+# SDXL base architecture with the 9-channel inpaint input; routed by
+# in_channels exactly like sd15-inpaint.
+SDXL_INPAINT = PipelineConfig(
+    name="diffusers/stable-diffusion-xl-1.0-inpainting-0.1",
+    clip=SDXL_BASE.clip,
+    clip_2=SDXL_BASE.clip_2,
+    unet=dataclasses.replace(SDXL_BASE.unet, in_channels=9),
+    vae=SDXL_BASE.vae,
+    scheduler=SchedulerConfig(),
+    default_image_size=1024,
+)
+
 # LCM-distilled SD 1.5 (e.g. SimianLuo/LCM_Dreamshaper_v7): the SD 1.5
 # architecture plus the guidance-embedding input (time_cond_proj_dim=256) —
 # guidance enters as an embedding (w = cfg_scale - 1), NOT as a CFG batch,
@@ -370,6 +383,8 @@ PRESETS = {
     "sdxl": SDXL_BASE,
     "stabilityai/stable-diffusion-xl-refiner-1.0": SDXL_REFINER,
     "sdxl-refiner": SDXL_REFINER,
+    "diffusers/stable-diffusion-xl-1.0-inpainting-0.1": SDXL_INPAINT,
+    "sdxl-inpaint": SDXL_INPAINT,
     "SimianLuo/LCM_Dreamshaper_v7": LCM_SD15,
     "lcm-sd15": LCM_SD15,
     "stabilityai/sdxl-turbo": SDXL_TURBO,

@@ -121,6 +121,26 @@ class TestInpaintUNet:
         with pytest.raises(Exception):
             pipe.generate("x", token_ids=TOKENS[:1], num_inference_steps=1)
 
+    def test_sdxl_topology_inpaint(self):
+        """The 9-channel wiring composes with SDXL micro-conditioning
+        (the sdxl-inpaint preset's shape)."""
+        from test_pipeline_sdxl import TINY_XL
+
+        cfg = TINY_XL.replace(
+            name="test/tiny-xl-inpaint",
+            # head_dim-64 sentinel would give 0 heads at tiny widths
+            unet=dataclasses.replace(TINY_XL.unet, in_channels=9,
+                                     num_attention_heads=2),
+        )
+        pipe = StableDiffusionPipeline.from_random(cfg, seed=0)
+        ids = np.array([[1, 5, 9, 2] + [0] * 8, [1, 2] + [0] * 10])
+        init = np.full((32, 32, 3), 128, np.uint8)
+        img = pipe.generate(
+            "x", token_ids=ids, num_inference_steps=2, seed=1,
+            init_image=init, mask_image=_mask(), strength=1.0,
+        )
+        assert img.shape == (1, 32, 32, 3)
+
     def test_blend_path_unaffected_for_4ch(self, tiny_pipe):
         """Ordinary checkpoints keep the latent-blend inpainting (mask at
         the LATENT grid internally) — frozen behavior."""

@@ -35,8 +35,18 @@ class TestDistilledPresets:
 
     def test_all_presets_resolve(self):
         for name in ("tiny-sd", "sd15", "sd21", "sdxl", "lcm-sd15",
-                     "sdxl-turbo"):
+                     "sdxl-turbo", "sdxl-refiner", "sd15-inpaint",
+                     "sdxl-inpaint", "ip2p"):
             assert get_preset(name).name
+
+    def test_conditioned_input_presets(self):
+        """in_channels routes the generate() wiring — pin the constants."""
+        assert get_preset("sd15-inpaint").unet.in_channels == 9
+        assert get_preset("sdxl-inpaint").unet.in_channels == 9
+        assert get_preset("sdxl-inpaint").clip_2 is not None
+        assert get_preset("ip2p").unet.in_channels == 8
+        assert get_preset("sdxl-refiner").clip is None
+        assert get_preset("sdxl-refiner").requires_aesthetics_score
 
 
 # a tiny LCM-shaped config: guidance-embedding UNet + lcm defaults
