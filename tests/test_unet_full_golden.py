@@ -159,6 +159,58 @@ class TestFullUNetGolden:
         )
         assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
+    def test_refiner_topology_with_aesthetic_time_ids(self):
+        """SDXL-REFINER shape: plain outer AND inner levels, depth-2
+        transformers, mid block, and 5 (aesthetic-score) time ids through
+        the add-embedding — pooled P + 5 x time_embed_dim must land
+        exactly (a wrong id count would shape-error or mis-add)."""
+        cfg = UNetConfig(
+            block_out_channels=(32, 48, 64),
+            layers_per_block=2,
+            attention_levels=(False, True, False),
+            transformer_layers_per_block=(1, 2, 1),
+            num_attention_heads=2,
+            cross_attention_dim=40,
+            norm_num_groups=8,
+            mid_block=True,
+            addition_embed_dim=16 + 5 * 8,  # pooled 16 + 5 ids x 8
+            addition_time_embed_dim=8,
+        )
+        model = RefUNet(cfg).eval()
+        randomize_(model, seed=21)
+        params = jax.tree.map(
+            jnp.asarray,
+            unet_params_from_state_dict(state_dict_numpy(model), cfg),
+        )
+        rng = np.random.default_rng(21)
+        batch = 2
+        lat = rng.standard_normal((batch, 16, 16, 4)).astype(np.float32)
+        ctx = rng.standard_normal((batch, 9, 40)).astype(np.float32)
+        ts = np.array([981.0, 1.0], np.float32)
+        pooled = rng.standard_normal((batch, 16)).astype(np.float32)
+        time_ids = np.array(
+            [[512, 512, 0, 0, 6.0], [768, 768, 10, 20, 2.5]], np.float32
+        )
+        with torch.no_grad():
+            want = model(
+                torch.from_numpy(lat.transpose(0, 3, 1, 2)),
+                torch.from_numpy(ts),
+                torch.from_numpy(ctx),
+                text_embeds=torch.from_numpy(pooled),
+                time_ids=torch.from_numpy(time_ids),
+            ).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(
+            unet_forward(
+                jnp.asarray(lat), jnp.asarray(ts), jnp.asarray(ctx), params,
+                cfg,
+                added_cond={
+                    "text_embeds": jnp.asarray(pooled),
+                    "time_ids": jnp.asarray(time_ids),
+                },
+            )
+        )
+        assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
     def test_lcm_guidance_embedding_full_net(self):
         """LCM cond_proj: the guidance embedding enters the time MLP through
         a bias-free projection — parity incl. that weight."""
