@@ -65,8 +65,19 @@ def main() -> None:
         jnp.asarray, unet_params_from_state_dict(unet_sd, config.unet)
     )
     ref = RefUNet(config.unet).eval()
+
+    def as_mirror(k, v):
+        # newer-diffusers checkpoints (and SDXL) store Transformer2D
+        # proj_in/out as LINEAR (O, I); the mirror models them as 1x1
+        # convs — mathematically identical, reshape to (O, I, 1, 1)
+        v = np.asarray(v)
+        if (k.endswith(("proj_in.weight", "proj_out.weight"))
+                and v.ndim == 2):
+            v = v[:, :, None, None]
+        return torch.from_numpy(v)
+
     missing, unexpected = ref.load_state_dict(
-        {k: torch.from_numpy(np.asarray(v)) for k, v in unet_sd.items()},
+        {k: as_mirror(k, v) for k, v in unet_sd.items()},
         strict=False,
     )
     if missing or unexpected:
@@ -76,17 +87,39 @@ def main() -> None:
         (1, args.latent, args.latent, config.unet.in_channels)
     ).astype(np.float32)
     ctx = rng.standard_normal(
-        (1, config.clip.max_length, config.unet.cross_attention_dim)
+        (1, config.text_config.max_length, config.unet.cross_attention_dim)
     ).astype(np.float32)
     ts = np.array([500.0], np.float32)
+    # SDXL/refiner micro-conditioning: synthesize pooled embeds + time ids
+    # (5 ids when the preset requires an aesthetic score, else 6)
+    added_t = {}
+    added_j = None
+    if config.unet.addition_embed_dim is not None:
+        n_ids = 5 if config.requires_aesthetics_score else 6
+        pooled_dim = (
+            config.unet.addition_embed_dim
+            - n_ids * config.unet.addition_time_embed_dim
+        )
+        pooled = rng.standard_normal((1, pooled_dim)).astype(np.float32)
+        tid = np.array(
+            [[512, 512, 0, 0, 6.0, 512][:n_ids]], np.float32
+        )
+        added_t = {
+            "text_embeds": torch.from_numpy(pooled),
+            "time_ids": torch.from_numpy(tid),
+        }
+        added_j = {
+            "text_embeds": jnp.asarray(pooled),
+            "time_ids": jnp.asarray(tid),
+        }
     with torch.no_grad():
         want = ref(
             torch.from_numpy(lat.transpose(0, 3, 1, 2)),
-            torch.from_numpy(ts), torch.from_numpy(ctx),
+            torch.from_numpy(ts), torch.from_numpy(ctx), **added_t,
         ).numpy().transpose(0, 2, 3, 1)
     got = np.asarray(
         unet_forward(jnp.asarray(lat), jnp.asarray(ts), jnp.asarray(ctx),
-                     params, config.unet)
+                     params, config.unet, added_cond=added_j)
     )
     mx, r = rel(got, want)
     print(f"UNet  forward: max abs err {mx:.2e}, rel {r:.2e} "
