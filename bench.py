@@ -153,15 +153,15 @@ def main() -> None:
     if args.serving:
         _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg)
         return
+    init_image = (
+        rng.integers(0, 255, (args.image_size, args.image_size, 3),
+                     dtype=np.uint8)
+        if args.img2img else None
+    )
     if args.batch == 1:
         ids = rng.integers(
             1, config.text_config.vocab_size,
             (2 if cfg else 1, config.text_config.max_length),
-        )
-        init_image = (
-            rng.integers(0, 255, (args.image_size, args.image_size, 3),
-                         dtype=np.uint8)
-            if args.img2img else None
         )
 
         def run(seed: int, output: str = "uint8"):
@@ -186,6 +186,15 @@ def main() -> None:
                 image_size=args.image_size, output=output,
                 sampler=sampler, cfg=cfg,
                 encoder_cache_interval=args.encoder_cache,
+                init_images=(
+                    [init_image] * args.batch
+                    if init_image is not None else None
+                ),
+                mask_images=(
+                    [bench_mask] * args.batch
+                    if bench_mask is not None else None
+                ),
+                strength=args.strength,
                 control_images=(
                     [control_image] * args.batch
                     if control_image is not None else None
@@ -295,10 +304,23 @@ def _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg) -> None:
     ids = rng.integers(
         1, config.text_config.vocab_size, (n, config.text_config.max_length)
     )
+    init_image = mask_image = None
+    latent_ch = config.vae.latent_channels
+    if config.unet.in_channels != latent_ch:  # inpaint/edit presets
+        init_image = rng.integers(
+            0, 255, (args.image_size, args.image_size, 3), dtype=np.uint8
+        )
+        if config.unet.in_channels == 2 * latent_ch + 1:
+            mask_image = np.zeros(
+                (args.image_size, args.image_size), np.uint8
+            )
+            mask_image[:, args.image_size // 2:] = 255
     # precompile the bucket so the measurement is steady-state serving
     pipe.warmup(
         image_sizes=(args.image_size,), step_counts=(steps,),
         batch_sizes=(args.batch,), cfg=cfg, sampler=sampler,
+        img2img=init_image is not None, inpaint=mask_image is not None,
+        strength=1.0 if mask_image is not None else args.strength,
     )
     engine = ServingEngine(pipe, max_batch_size=args.batch, max_wait_ms=5.0)
     try:
@@ -308,6 +330,8 @@ def _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg) -> None:
                 "bench", token_ids=ids[i], seed=i,
                 num_inference_steps=steps, sampler=sampler, cfg=cfg,
                 image_size=args.image_size,
+                init_image=init_image, mask_image=mask_image,
+                strength=1.0 if mask_image is not None else args.strength,
             )
             for i in range(n)
         ]

@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--image-guidance-scale", type=float, default=1.5,
                     help="InstructPix2Pix editing checkpoints (--preset "
                          "ip2p): the image-guidance branch's scale")
+    ap.add_argument("--guidance-rescale", type=float, default=0.0,
+                    help="CFG-rescale factor (Lin et al. 2023; diffusers "
+                         "guidance_rescale) — fixes overexposure at high "
+                         "cfg scales, recommended ~0.7 for v-prediction "
+                         "models trained with zero terminal SNR")
     ap.add_argument("--controlnet", action="append", default=[],
                     metavar="PATH",
                     help="diffusers ControlNetModel safetensors file or "
@@ -155,8 +160,8 @@ def main() -> None:
         import zlib
 
         rng = np.random.default_rng(zlib.crc32(args.prompt.encode()))
-        row = rng.integers(0, pipe.config.clip.vocab_size,
-                           pipe.config.clip.max_length)
+        row = rng.integers(0, pipe.config.text_config.vocab_size,
+                           pipe.config.text_config.max_length)
         token_ids = np.stack([row, np.zeros_like(row)])
 
     refiner = None
@@ -188,6 +193,7 @@ def main() -> None:
         clip_skip=args.clip_skip,
         prompt_weighting=args.prompt_weighting,
         image_guidance_scale=args.image_guidance_scale,
+        guidance_rescale=args.guidance_rescale,
         encoder_cache_interval=args.encoder_cache,
         control_image=(
             [load_image(p) for p in args.control_image]

@@ -40,6 +40,23 @@ from sdtpu.samplers import SamplerDef, get_sampler
 from sdtpu.utils.image import from_uint8
 
 
+def rescale_noise_cfg(eps_cfg, eps_text, rescale):
+    """CFG-rescale ("Common Diffusion Noise Schedules and Sample Steps are
+    Flawed", Lin et al. 2023, eq. 16; diffusers ``guidance_rescale``): shrink
+    the CFG-combined noise back toward the text branch's per-sample std to
+    fix the overexposure that high guidance scales cause, then blend with
+    the unrescaled prediction by ``rescale``.
+
+    Stats are per-sample (all axes but batch), f32.  ``rescale == 0`` is an
+    identity, but callers skip the call entirely at 0 so the default
+    program is bitwise-untouched."""
+    axes = tuple(range(1, eps_cfg.ndim))
+    std_text = jnp.std(eps_text.astype(jnp.float32), axis=axes, keepdims=True)
+    std_cfg = jnp.std(eps_cfg, axis=axes, keepdims=True)
+    factor = jnp.where(std_cfg > 0.0, std_text / std_cfg, 1.0)
+    return rescale * (eps_cfg * factor) + (1.0 - rescale) * eps_cfg
+
+
 class PendingImages:
     """An in-flight :meth:`StableDiffusionPipeline.generate_async` result.
 
@@ -314,6 +331,7 @@ class StableDiffusionPipeline:
         denoising_end: Optional[float] = None,
         denoising_start: Optional[float] = None,
         image_guidance_scale: float = 1.5,
+        guidance_rescale: float = 0.0,
         encoder_cache_interval: int = 1,
         verbose: bool = False,
     ):
@@ -337,6 +355,11 @@ class StableDiffusionPipeline:
         low-noise tail — no re-noising, same sampler family on both sides.
         With one model and a deterministic sampler, a split run is
         bit-exact with the unsplit run (tests/test_refiner.py).
+
+        ``guidance_rescale``: CFG-rescale factor in [0, 1] (Lin et al.
+        2023; diffusers semantics — ``rescale_noise_cfg``).  0 (default)
+        leaves the program untouched; nonzero values compile a new program
+        (it is a static quality knob, fixed per deployment).
 
         ``encoder_cache_interval``: encoder-feature reuse (the Faster
         Diffusion / DeepCache approximation — encoder+mid features change
@@ -484,6 +507,8 @@ class StableDiffusionPipeline:
                 ),
                 controlnet_scale=controlnet_scale,
                 image_guidance_scale=image_guidance_scale,
+                guidance_rescale=guidance_rescale,
+                encoder_cache_interval=encoder_cache_interval,
             )
 
         ids = self._tokenize(prompt, negative_prompt, cfg, token_ids,
@@ -542,6 +567,7 @@ class StableDiffusionPipeline:
                 "encoder_cache_interval is incompatible with ControlNet "
                 "(the control residuals enter the cached encoder half)"
             )
+        self._check_guidance_rescale(guidance_rescale, cfg, is_edit)
         # edit models denoise from pure noise: strength never truncates
         strength_key = (
             1.0 if (is_edit or not is_img2img) else round(strength, 6)
@@ -558,6 +584,7 @@ class StableDiffusionPipeline:
             denoising_end=denoising_end,
             denoising_start=denoising_start,
             encoder_cache=encoder_cache_interval,
+            guidance_rescale=guidance_rescale,
         )
         ids_arg = ids if weights is None else (ids, weights)
 
@@ -661,6 +688,7 @@ class StableDiffusionPipeline:
         control_images=None,
         controlnet_scale: float = 1.0,
         image_guidance_scale: float = 1.5,
+        guidance_rescale: float = 0.0,
         encoder_cache_interval: int = 1,
     ):
         """Batched txt2img serving: B prompts -> (B, H, W, 3) in ONE compiled
@@ -803,6 +831,13 @@ class StableDiffusionPipeline:
                 "editing checkpoints (InstructPix2Pix) take no mask"
             )
         has_control = control_images is not None
+        if encoder_cache_interval < 1:
+            raise ValueError("encoder_cache_interval must be >= 1")
+        if encoder_cache_interval > 1 and has_control:
+            raise ValueError(
+                "encoder_cache_interval is incompatible with ControlNet "
+                "(the control residuals enter the cached encoder half)"
+            )
         if has_control:
             if self.controlnet is None:
                 raise ValueError(
@@ -813,6 +848,7 @@ class StableDiffusionPipeline:
                 raise ValueError(
                     "control_images must match the number of prompts"
                 )
+        self._check_guidance_rescale(guidance_rescale, cfg, is_edit)
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img,
             round(strength, 6) if is_img2img and not is_edit else 1.0,
@@ -823,6 +859,7 @@ class StableDiffusionPipeline:
             has_weights=weights is not None,
             has_control=has_control,
             encoder_cache=encoder_cache_interval,
+            guidance_rescale=guidance_rescale,
         )
         if seeds is not None:
             if len(seeds) != cond.shape[0]:
@@ -922,6 +959,7 @@ class StableDiffusionPipeline:
         sampler: str = "ddpm",
         img2img: bool = False,
         inpaint: bool = False,
+        strength: float = 0.9,
     ) -> int:
         """Precompile the program buckets a serving deployment will hit, so
         no request pays compile latency.  Returns the number of programs run.
@@ -947,7 +985,7 @@ class StableDiffusionPipeline:
                             ["warmup"] * batch, token_ids=ids, cfg=cfg,
                             num_inference_steps=steps, image_size=size,
                             sampler=sampler, init_images=inits,
-                            mask_images=masks,
+                            mask_images=masks, strength=strength,
                             seeds=list(range(batch)),
                         )
                     else:
@@ -1060,6 +1098,19 @@ class StableDiffusionPipeline:
             img = resize_image(img, size, size)  # pipeline.mojo:69
         return img
 
+    @staticmethod
+    def _nearest_resize(arr, size):
+        """Host-side nearest-neighbor resize to (size, size) over the two
+        leading spatial axes (shared by the control-map and mask prep —
+        eager device resizes cost a relay round trip each)."""
+        import numpy as np
+
+        if arr.shape[:2] == (size, size):
+            return arr
+        ri = (np.arange(size) * arr.shape[0] // size).clip(0, arr.shape[0] - 1)
+        ci = (np.arange(size) * arr.shape[1] // size).clip(0, arr.shape[1] - 1)
+        return arr[ri[:, None], ci[None, :]]
+
     def _prep_control(self, control_image, size) -> np.ndarray:
         """ControlNet conditioning image -> (1, size, size, 3) float32 in
         [0, 1] (diffusers' range for control maps — NOT the VAE's [-1, 1]).
@@ -1076,10 +1127,7 @@ class StableDiffusionPipeline:
             arr = np.repeat(arr, 3, axis=-1)
         if arr.shape[-1] != 3:
             raise ValueError(f"control image must be (H, W[, 1|3]); got {arr.shape}")
-        if arr.shape[:2] != (size, size):
-            ri = (np.arange(size) * arr.shape[0] // size).clip(0, arr.shape[0] - 1)
-            ci = (np.arange(size) * arr.shape[1] // size).clip(0, arr.shape[1] - 1)
-            arr = arr[ri[:, None], ci[None, :]]
+        arr = self._nearest_resize(arr, size)
         return np.clip(arr, 0.0, 1.0)[None].astype(np.float32)
 
     def _prep_mask(self, mask_image, size) -> np.ndarray:
@@ -1097,14 +1145,7 @@ class StableDiffusionPipeline:
             arr = arr.mean(axis=-1)
         if arr.ndim != 2:
             raise ValueError(f"mask must be (H, W[, C]); got {arr.shape}")
-        if arr.shape != (size, size):
-            ri = (np.arange(size) * arr.shape[0] // size).clip(
-                0, arr.shape[0] - 1
-            )
-            ci = (np.arange(size) * arr.shape[1] // size).clip(
-                0, arr.shape[1] - 1
-            )
-            arr = arr[ri[:, None], ci[None, :]]
+        arr = self._nearest_resize(arr, size)
         ch = self.config.unet.in_channels
         if ch == 2 * self.config.vae.latent_channels + 1:
             # dedicated inpaint checkpoints consume the PIXEL-grid mask
@@ -1115,11 +1156,28 @@ class StableDiffusionPipeline:
         m = arr.reshape(lat, f, lat, f).mean(axis=(1, 3))
         return np.clip(m, 0.0, 1.0)[None, :, :, None].astype(np.float32)
 
+    @staticmethod
+    def _check_guidance_rescale(guidance_rescale, cfg, is_edit):
+        if guidance_rescale == 0.0:
+            return
+        if not 0.0 < guidance_rescale <= 1.0:
+            raise ValueError("guidance_rescale must be in [0, 1]")
+        if not cfg:
+            raise ValueError(
+                "guidance_rescale rescales the CFG combine — it needs cfg=True"
+            )
+        if is_edit:
+            raise ValueError(
+                "guidance_rescale is not defined for editing checkpoints "
+                "(InstructPix2Pix uses 3-branch guidance)"
+            )
+
     def _get_compiled(
         self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
         has_latents=False, want_latents=False, want_uint8=False,
         has_mask=False, clip_skip=0, has_weights=False, has_control=False,
         denoising_end=None, denoising_start=None, encoder_cache=1,
+        guidance_rescale=0.0,
     ):
         # The ring-attention context is read at TRACE time (the shard_map is
         # baked into the compiled program), so it must be part of the cache
@@ -1132,7 +1190,7 @@ class StableDiffusionPipeline:
                      has_latents, want_latents, want_uint8, has_mask,
                      clip_skip, has_weights, has_control,
                      denoising_end, denoising_start, encoder_cache,
-                     get_ring_context())
+                     round(guidance_rescale, 6), get_ring_context())
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
@@ -1163,7 +1221,8 @@ class StableDiffusionPipeline:
                              has_control=has_control,
                              continuation=denoising_start is not None,
                              full_strength=strength >= 1.0,
-                             encoder_cache=encoder_cache)
+                             encoder_cache=encoder_cache,
+                             guidance_rescale=guidance_rescale)
             self._compiled[cache_key] = fn
         return fn
 
@@ -1173,7 +1232,7 @@ class StableDiffusionPipeline:
         want_uint8: bool = False, has_mask: bool = False, clip_skip: int = 0,
         has_weights: bool = False, has_control: bool = False,
         continuation: bool = False, full_strength: bool = False,
-        encoder_cache: int = 1,
+        encoder_cache: int = 1, guidance_rescale: float = 0.0,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -1457,6 +1516,8 @@ class StableDiffusionPipeline:
                 elif cfg:
                     cond, uncond = eps[:batch], eps[batch:]
                     eps = uncond + cfg_scale * (cond - uncond)  # pipeline.mojo:111-119
+                    if guidance_rescale > 0.0:
+                        eps = rescale_noise_cfg(eps, cond, guidance_rescale)
                 if sdef.stochastic:
                     if key.ndim == 1:  # per-request keys: fold by step index
                         # Salt space: 0 = latent-init/encoder noise, 1 =
@@ -1512,6 +1573,12 @@ class StableDiffusionPipeline:
                 # noisy latents — that is the approximation.  Any
                 # ``S % k`` remainder runs FULL at the end (the low-noise
                 # detail steps).
+                if control is not None:  # defense in depth: the grouped
+                    # body never runs the ControlNet (callers validate too)
+                    raise ValueError(
+                        "encoder_cache_interval is incompatible with "
+                        "ControlNet"
+                    )
                 from sdtpu.models.unet import unet_decode, unet_encode
 
                 k_int = cache_interval

@@ -62,6 +62,8 @@ class _Request:
     # InstructPix2Pix editing models: the third guidance branch's scale
     # (traced, but ONE value per batch -> it buckets)
     image_guidance_scale: float = 1.5
+    # CFG-rescale (Lin et al. 2023) — compiled into the program, so buckets
+    guidance_rescale: float = 0.0
     clip_skip: int = 0
     # prompt emphasis: parse (word:1.3) syntax per row, or pre-tokenized
     # per-token weights aligned with token_ids
@@ -100,6 +102,7 @@ class _Request:
                 self.mask_image is not None,
                 round(self.strength, 6) if img2img else None,
                 round(self.image_guidance_scale, 6) if img2img else None,
+                round(self.guidance_rescale, 6),
                 self.clip_skip, weighting,
                 # control CONTENT is per-row; the scale(s) are batch-level
                 # (traced scalars feed the whole program); multi-ControlNet
@@ -190,6 +193,7 @@ class ServingEngine:
         control_image: Optional[np.ndarray] = None,
         controlnet_scale: float = 1.0,
         image_guidance_scale: float = 1.5,
+        guidance_rescale: float = 0.0,
         encoder_cache_interval: int = 1,
     ) -> Future:
         """Enqueue one txt2img (or img2img when ``init_image`` is given, or
@@ -247,6 +251,7 @@ class ServingEngine:
             mask_image=mask_image,
             strength=strength,
             image_guidance_scale=image_guidance_scale,
+            guidance_rescale=guidance_rescale,
             clip_skip=clip_skip,
             prompt_weighting=prompt_weighting,
             token_weights=token_weights,
@@ -328,6 +333,7 @@ class ServingEngine:
             token_ids=token_ids,
             sampler=first.sampler,
             clip_skip=first.clip_skip,
+            guidance_rescale=first.guidance_rescale,
         )
         if first.prompt_weighting:
             kw["prompt_weighting"] = True

@@ -171,7 +171,11 @@ def pipeline_flops(
     steps, sdtpu/samplers/ddpm.py:inference_timesteps)."""
     lat = image_size // config.vae.downscale_factor
     eff_batch = 2 * batch if cfg else batch
-    f = clip_flops(config.clip, eff_batch)
+    # bigG-only presets (sdxl-refiner) have clip=None; text_config is the
+    # tokenizer-facing encoder either way
+    f = 0.0
+    if config.clip is not None:
+        f += clip_flops(config.clip, eff_batch)
     if config.clip_2 is not None:
         f += clip_flops(config.clip_2, eff_batch)
     if img2img:
@@ -179,6 +183,6 @@ def pipeline_flops(
         steps = steps - start
         f += vae_encode_flops(config.vae, image_size, batch)
     f += steps * unet_step_flops(config.unet, lat, eff_batch,
-                                 config.clip.max_length)
+                                 config.text_config.max_length)
     f += vae_decode_flops(config.vae, lat, batch)
     return f

@@ -380,3 +380,70 @@ class TestInputValidation:
         with pytest.raises(ValueError, match="num_inference_steps"):
             pipe.generate_batch(["x"], token_ids=TOKENS[:1],
                                 num_inference_steps=0)
+
+
+class TestGuidanceRescale:
+    """CFG-rescale (Lin et al. 2023 eq. 16, diffusers ``guidance_rescale``)."""
+
+    def test_formula_matches_numpy_reference(self, rng):
+        from sdtpu.pipeline.pipeline import rescale_noise_cfg
+
+        text = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+        uncond = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+        cfg_out = uncond + 7.5 * (text - uncond)
+        got = np.asarray(rescale_noise_cfg(jnp.asarray(cfg_out),
+                                           jnp.asarray(text), 0.7))
+        std_text = text.std(axis=(1, 2, 3), keepdims=True)
+        std_cfg = cfg_out.std(axis=(1, 2, 3), keepdims=True)
+        want = 0.7 * (cfg_out * std_text / std_cfg) + 0.3 * cfg_out
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_full_rescale_restores_text_std(self, rng):
+        from sdtpu.pipeline.pipeline import rescale_noise_cfg
+
+        text = rng.normal(size=(3, 8, 8, 4)).astype(np.float32)
+        uncond = rng.normal(size=(3, 8, 8, 4)).astype(np.float32)
+        cfg_out = uncond + 12.0 * (text - uncond)
+        out = np.asarray(rescale_noise_cfg(jnp.asarray(cfg_out),
+                                           jnp.asarray(text), 1.0))
+        np.testing.assert_allclose(
+            out.std(axis=(1, 2, 3)), text.std(axis=(1, 2, 3)),
+            rtol=1e-4,
+        )
+
+    def test_zero_is_the_default_program(self, pipe):
+        a = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                          seed=5)
+        n = len(pipe._compiled)
+        b = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                          seed=5, guidance_rescale=0.0)
+        np.testing.assert_array_equal(a, b)
+        assert len(pipe._compiled) == n  # 0.0 keys to the same program
+
+    def test_nonzero_changes_output_deterministically(self, pipe):
+        base = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                             seed=5)
+        r = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                          seed=5, guidance_rescale=0.7)
+        assert r.shape == base.shape
+        assert not np.array_equal(r, base)
+        again = pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                              seed=5, guidance_rescale=0.7)
+        np.testing.assert_array_equal(r, again)
+
+    def test_batch_accepts_rescale(self, pipe):
+        imgs = pipe.generate_batch(
+            ["x", "y"], token_ids=TOKENS, num_inference_steps=2,
+            guidance_rescale=0.5,
+        )
+        assert imgs.shape == (2, 32, 32, 3)
+
+    def test_requires_cfg(self, pipe):
+        with pytest.raises(ValueError, match="cfg"):
+            pipe.generate("x", token_ids=TOKENS[:1], num_inference_steps=2,
+                          cfg=False, guidance_rescale=0.7)
+
+    def test_range_validated(self, pipe):
+        with pytest.raises(ValueError, match="guidance_rescale"):
+            pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,
+                          guidance_rescale=1.5)
