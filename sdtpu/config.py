@@ -126,6 +126,15 @@ class SchedulerConfig:
     prediction_type: str = "epsilon"  # or "v_prediction"
     # DDIM / Euler share the betas; selected at the pipeline level.
     steps_offset: int = 0
+    # Inference-grid spacing (diffusers semantics): "leading" (SD default),
+    # "trailing" (recommended by Lin et al. 2023 — the grid ends at the
+    # terminal training timestep), or "linspace".
+    timestep_spacing: str = "leading"
+    # Zero terminal SNR (Lin et al. 2023): rescale the betas so the last
+    # training step carries NO signal.  Only meaningful for v_prediction
+    # checkpoints fine-tuned with it; pair with timestep_spacing="trailing"
+    # and generate(guidance_rescale=~0.7).
+    rescale_betas_zero_snr: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

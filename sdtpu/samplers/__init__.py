@@ -82,6 +82,25 @@ SAMPLERS = {
         multistep=True,
         state_init=_dpm.state_init,
     ),
+    # SDE variant (diffusers "sde-dpmsolver++", midpoint — the community
+    # "DPM++ 2M SDE"): same midpoint correction, reverse-SDE integration
+    # with fresh per-step noise.
+    "dpm++-sde": SamplerDef(
+        functools.partial(_dpm.make_schedule, sde=True),
+        _dpm.dpm_step,
+        _dpm.add_noise,
+        multistep=True,
+        state_init=_dpm.state_init,
+        stochastic=True,
+    ),
+    "dpm++-sde-karras": SamplerDef(
+        functools.partial(_dpm.make_schedule, karras=True, sde=True),
+        _dpm.dpm_step,
+        _dpm.add_noise,
+        multistep=True,
+        state_init=_dpm.state_init,
+        stochastic=True,
+    ),
     "euler-a-karras": SamplerDef(
         functools.partial(_euler.make_schedule, karras=True),
         _euler.euler_ancestral_step,

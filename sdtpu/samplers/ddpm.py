@@ -29,7 +29,7 @@ from sdtpu.config import SchedulerConfig
 def make_betas(config: SchedulerConfig) -> np.ndarray:
     if config.beta_schedule == "scaled_linear":
         # linspace(sqrt(b0), sqrt(b1), N)^2 (sampler.mojo:28-30)
-        return (
+        betas = (
             np.linspace(
                 config.beta_start**0.5,
                 config.beta_end**0.5,
@@ -38,31 +38,74 @@ def make_betas(config: SchedulerConfig) -> np.ndarray:
             )
             ** 2
         )
-    if config.beta_schedule == "linear":
-        return np.linspace(
+    elif config.beta_schedule == "linear":
+        betas = np.linspace(
             config.beta_start,
             config.beta_end,
             config.num_train_timesteps,
             dtype=np.float64,
         )
-    raise ValueError(f"unknown beta schedule {config.beta_schedule!r}")
+    else:
+        raise ValueError(f"unknown beta schedule {config.beta_schedule!r}")
+    if config.rescale_betas_zero_snr:
+        betas = rescale_zero_terminal_snr(betas)
+    return betas
+
+
+def rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
+    """Rescale betas so the TERMINAL training step carries zero signal
+    (SNR = 0): shift-and-scale sqrt(alpha_bar) so its last entry is exactly
+    0 while the first is preserved ("Common Diffusion Noise Schedules and
+    Sample Steps are Flawed", Lin et al. 2023, alg. 1; diffusers
+    ``rescale_zero_terminal_snr``).  Only meaningful for v-prediction
+    models fine-tuned with it (epsilon is undefined at SNR 0)."""
+    abar_sqrt = np.sqrt(np.cumprod(1.0 - betas))
+    a0, aT = abar_sqrt[0], abar_sqrt[-1]
+    abar_sqrt = (abar_sqrt - aT) * (a0 / (a0 - aT))
+    abar = abar_sqrt**2
+    alphas = np.concatenate([abar[:1], abar[1:] / abar[:-1]])
+    return 1.0 - alphas
 
 
 def make_alphas_cumprod(config: SchedulerConfig) -> np.ndarray:
     return np.cumprod(1.0 - make_betas(config))
 
 
+def ve_sigmas(alphas_cumprod: np.ndarray) -> np.ndarray:
+    """alpha_bar -> VE-convention sigma = sqrt((1-abar)/abar).  The terminal
+    zero-SNR entry (abar == 0) is floored at 2**-24 exactly as diffusers'
+    EulerDiscreteScheduler does, so sigma-space samplers get a finite
+    sigma_max instead of inf."""
+    ac = np.maximum(alphas_cumprod, 2.0**-24)
+    return np.sqrt((1.0 - ac) / ac)
+
+
 def inference_timesteps(
     config: SchedulerConfig, num_inference_steps: int, strength: float = 1.0
 ) -> np.ndarray:
-    """Descending timesteps with diffusers' leading spacing
-    ``round(arange(n)[::-1] * (N // n))`` (sampler.mojo:35-44), truncated for
-    img2img strength: start at step ``n - int(n * strength)``
-    (sampler.mojo:67-73) — bounds-checked, unlike the reference."""
+    """Descending timesteps, truncated for img2img strength: start at step
+    ``n - int(n * strength)`` (sampler.mojo:67-73) — bounds-checked, unlike
+    the reference.
+
+    Spacing follows ``config.timestep_spacing`` (diffusers semantics):
+    "leading" — ``round(arange(n)[::-1] * (N // n)) + steps_offset``
+    (sampler.mojo:35-44, the SD 1.x default); "trailing" — grid ends at the
+    terminal timestep N-1 (Lin et al. 2023; required for zero-terminal-SNR
+    checkpoints); "linspace" — even endpoints-inclusive grid."""
     n = num_inference_steps
-    ratio = config.num_train_timesteps // n
-    ts = (np.arange(n)[::-1] * ratio).round().astype(np.int64)
-    ts += config.steps_offset
+    N = config.num_train_timesteps
+    if config.timestep_spacing == "trailing":
+        ts = np.round(np.arange(N, 0, -N / n)).astype(np.int64) - 1
+    elif config.timestep_spacing == "linspace":
+        ts = np.linspace(0, N - 1, n).round().astype(np.int64)[::-1]
+    elif config.timestep_spacing == "leading":
+        ratio = N // n
+        ts = (np.arange(n)[::-1] * ratio).round().astype(np.int64)
+        ts += config.steps_offset
+    else:
+        raise ValueError(
+            f"unknown timestep_spacing {config.timestep_spacing!r}"
+        )
     start = min(max(n - int(n * strength), 0), n - 1)
     return ts[start:]
 
@@ -82,7 +125,7 @@ def karras_sigma_grid(
     are FRACTIONAL (log-sigma interpolation against the training grid,
     exactly diffusers' ``use_karras_sigmas=True`` semantics)."""
     ac = make_alphas_cumprod(config)
-    full = np.sqrt((1.0 - ac) / ac)  # (N,), increasing in t
+    full = ve_sigmas(ac)  # (N,), increasing in t
     ts = inference_timesteps(config, num_inference_steps, strength)
     smax, smin = full[ts[0]], full[ts[-1]]
     ramp = np.linspace(0.0, 1.0, len(ts))

@@ -60,9 +60,11 @@ def make_schedule(
         sig, tsf = karras_sigma_grid(config, num_inference_steps, strength)
         ts = jnp.asarray(tsf, dtype=jnp.float32)  # fractional timesteps
     else:
+        from sdtpu.samplers.ddpm import ve_sigmas
+
         ac = make_alphas_cumprod(config)
         ts_i = inference_timesteps(config, num_inference_steps, strength)
-        sig = np.sqrt((1.0 - ac[ts_i]) / ac[ts_i])
+        sig = ve_sigmas(ac[ts_i])  # terminal zero-SNR entry floored finite
         ts = jnp.asarray(ts_i, dtype=jnp.int32)
     sigmas = np.concatenate([sig, [0.0]])
     return EulerSchedule(

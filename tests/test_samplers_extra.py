@@ -411,3 +411,184 @@ class TestDPMSolverPP:
         a, _ = dpm.dpm_step(sched, jnp.array(3), x, e, jnp.zeros_like(x), zero_state)
         b, _ = dpm.dpm_step(sched, jnp.array(3), x, e, jnp.zeros_like(x), other_state)
         assert (np.asarray(a) != np.asarray(b)).any()
+
+
+class TestTimestepSpacing:
+    """Spacing grids (diffusers semantics) + zero terminal SNR (Lin et al.
+    2023: trailing spacing, rescaled betas, guidance_rescale)."""
+
+    def test_trailing_endpoints(self):
+        from sdtpu.samplers.ddpm import inference_timesteps
+
+        cfg = SchedulerConfig(timestep_spacing="trailing")
+        ts = inference_timesteps(cfg, 25)
+        assert ts[0] == 999 and ts[-1] == 39  # arange(1000,0,-40)-1
+        assert len(ts) == 25 and (np.diff(ts) < 0).all()
+
+    def test_linspace_endpoints(self):
+        from sdtpu.samplers.ddpm import inference_timesteps
+
+        cfg = SchedulerConfig(timestep_spacing="linspace")
+        ts = inference_timesteps(cfg, 25)
+        assert ts[0] == 999 and ts[-1] == 0
+        assert len(ts) == 25 and (np.diff(ts) < 0).all()
+
+    def test_leading_unchanged(self):
+        from sdtpu.samplers.ddpm import inference_timesteps
+
+        ts_default = inference_timesteps(SchedulerConfig(), 25)
+        ts_leading = inference_timesteps(
+            SchedulerConfig(timestep_spacing="leading"), 25
+        )
+        np.testing.assert_array_equal(ts_default, ts_leading)
+        assert ts_default[0] == 960 and ts_default[-1] == 0
+
+    def test_unknown_spacing_raises(self):
+        from sdtpu.samplers.ddpm import inference_timesteps
+
+        with pytest.raises(ValueError, match="timestep_spacing"):
+            inference_timesteps(SchedulerConfig(timestep_spacing="x"), 25)
+
+    def test_trailing_strength_truncation(self):
+        from sdtpu.samplers.ddpm import inference_timesteps
+
+        cfg = SchedulerConfig(timestep_spacing="trailing")
+        full = inference_timesteps(cfg, 20)
+        part = inference_timesteps(cfg, 20, strength=0.5)
+        np.testing.assert_array_equal(part, full[10:])
+
+
+class TestZeroTerminalSNR:
+    def test_rescale_zeroes_terminal_and_preserves_first(self):
+        from sdtpu.samplers.ddpm import (
+            make_alphas_cumprod,
+            make_betas,
+            rescale_zero_terminal_snr,
+        )
+
+        base = SchedulerConfig()
+        betas = make_betas(base)
+        res = rescale_zero_terminal_snr(betas)
+        ac = np.cumprod(1.0 - res)
+        assert abs(ac[-1]) < 1e-12  # terminal SNR exactly 0
+        np.testing.assert_allclose(
+            ac[0], make_alphas_cumprod(base)[0], rtol=1e-12
+        )
+        assert (res > 0).all() and (res <= 1.0).all()
+        assert (np.diff(ac) < 0).all()  # still monotonically decaying
+
+    def test_config_flag_applies(self):
+        from sdtpu.samplers.ddpm import make_alphas_cumprod
+
+        ac = make_alphas_cumprod(
+            SchedulerConfig(rescale_betas_zero_snr=True)
+        )
+        assert abs(ac[-1]) < 1e-12
+
+    def test_ve_sigmas_finite_at_zero_snr(self):
+        from sdtpu.samplers.ddpm import make_alphas_cumprod, ve_sigmas
+
+        ac = make_alphas_cumprod(SchedulerConfig(rescale_betas_zero_snr=True))
+        sig = ve_sigmas(ac)
+        assert np.isfinite(sig).all()
+        np.testing.assert_allclose(sig[-1], np.sqrt((1 - 2**-24) / 2**-24))
+
+    ZSNR = SchedulerConfig(
+        prediction_type="v_prediction",
+        timestep_spacing="trailing",
+        rescale_betas_zero_snr=True,
+    )
+
+    @pytest.mark.parametrize("name", ["ddim", "euler", "dpm++", "ddpm"])
+    def test_samplers_finite_under_zero_snr(self, name):
+        """v-pred samplers must produce finite steps at the terminal
+        (SNR = 0) timestep that trailing spacing includes."""
+        sdef = get_sampler(name)
+        sched = sdef.make_schedule(self.ZSNR, 8)
+        assert int(np.asarray(sched.timesteps[0])) == 999
+        x = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        v = jax.random.normal(jax.random.key(1), x.shape)
+        state = sdef.state_init(x) if sdef.multistep else None
+        for i in range(2):
+            if sdef.scale_model_input is not None:
+                _ = sdef.scale_model_input(sched, jnp.array(i), x)
+            if sdef.multistep:
+                x, state = sdef.step(sched, jnp.array(i), x, v, jnp.zeros_like(x), state)
+            else:
+                x = sdef.step(sched, jnp.array(i), x, v, jnp.zeros_like(x))
+        assert np.isfinite(np.asarray(x)).all()
+
+    def test_pipeline_runs_zsnr_v_prediction(self):
+        from test_pipeline import TINY, TOKENS
+        from sdtpu.pipeline.pipeline import StableDiffusionPipeline
+
+        cfg = TINY.replace(name="test/zsnr", scheduler=self.ZSNR)
+        pipe = StableDiffusionPipeline.from_random(cfg, seed=0)
+        img = pipe.generate(
+            "x", token_ids=TOKENS, num_inference_steps=3, seed=1,
+            sampler="ddim", guidance_rescale=0.7,
+        )
+        assert img.shape == (1, 32, 32, 3)
+        assert np.isfinite(np.asarray(img, np.float32)).all()
+
+
+class TestDPMppSDE:
+    """DPM++ 2M SDE (diffusers "sde-dpmsolver++", midpoint)."""
+
+    def test_coefficients_preserve_marginals(self):
+        """For an exact x0, one SDE step must map the forward marginal at
+        t onto the marginal at t_next: mean coeff c1*alpha_t + c2 ==
+        alpha_next and variance c1^2*sigma_t^2 + c3^2 == sigma_next^2."""
+        from sdtpu.samplers import dpm
+
+        sched = dpm.make_schedule(CFG, 12, sde=True)
+        a = np.asarray(sched.sqrt_alpha_prod, np.float64)
+        s = np.asarray(sched.sqrt_one_minus_alpha_prod, np.float64)
+        c1 = np.asarray(sched.c1, np.float64)
+        c2 = np.asarray(sched.c2, np.float64)
+        c3 = np.asarray(sched.c3, np.float64)
+        a_next = np.concatenate([a[1:], [1.0]])
+        s_next = np.concatenate([s[1:], [0.0]])
+        np.testing.assert_allclose(c1 * a + c2, a_next, rtol=1e-5)
+        np.testing.assert_allclose(
+            c1**2 * s**2 + c3**2, s_next**2, rtol=1e-5, atol=1e-7
+        )
+
+    def test_ode_variant_has_zero_noise_coeff(self):
+        from sdtpu.samplers import dpm
+
+        sched = dpm.make_schedule(CFG, 12)
+        assert (np.asarray(sched.c3) == 0).all()
+
+    def test_final_step_returns_x0(self):
+        from sdtpu.samplers import dpm
+        import jax.numpy as jnp
+
+        sched = dpm.make_schedule(CFG, 8, sde=True)
+        x = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        x0_prev = jax.random.normal(jax.random.key(1), x.shape)
+        i = sched.num_steps - 1
+        sa = sched.sqrt_alpha_prod[i]
+        sb = sched.sqrt_one_minus_alpha_prod[i]
+        x0_true = jax.random.normal(jax.random.key(2), x.shape)
+        eps = (x - sa * x0_true) / sb
+        nxt, _ = dpm.dpm_step(sched, jnp.array(i), x, eps,
+                              jax.random.normal(jax.random.key(3), x.shape),
+                              x0_prev)
+        # c1 = 0, c2 = 1, c3 = 0, inv_2r[last] = 0 -> exactly x0_hat
+        assert_allclose(nxt, x0_true, atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("sampler", ["dpm++-sde", "dpm++-sde-karras"])
+    def test_pipeline_runs_and_noise_matters(self, sampler, tiny_pipe):
+        from test_pipeline import TOKENS
+
+        pipe = tiny_pipe
+        a = pipe.generate("x", token_ids=TOKENS, num_inference_steps=3,
+                          seed=9, sampler=sampler)
+        b = pipe.generate("x", token_ids=TOKENS, num_inference_steps=3,
+                          seed=9, sampler=sampler)
+        c = pipe.generate("x", token_ids=TOKENS, num_inference_steps=3,
+                          seed=10, sampler=sampler)
+        np.testing.assert_array_equal(a, b)  # per-seed deterministic
+        assert (a != c).any()
+        assert np.isfinite(np.asarray(a, np.float32)).all()

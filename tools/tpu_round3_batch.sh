@@ -42,6 +42,7 @@ RUN python bench.py --repeats 4 --encoder-cache 3
 RUN python bench.py --preset sdxl --repeats 2 --encoder-cache 2
 RUN python bench.py --preset ip2p --repeats 3
 RUN python bench.py --preset sd15-inpaint --repeats 3
+RUN python bench.py --preset sdxl-refiner --repeats 2
 
 # 3. serving (BASELINE config 5)
 RUN python bench.py --serving --batch 8 --preset lcm-sd15
