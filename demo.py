@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--image-guidance-scale", type=float, default=1.5,
                     help="InstructPix2Pix editing checkpoints (--preset "
                          "ip2p): the image-guidance branch's scale")
+    ap.add_argument("--freeu", default=None, metavar="B1,B2,S1,S2",
+                    help="FreeU factors (Si et al. 2023), e.g. "
+                         "'1.5,1.6,0.9,0.2' for SD 1.x or "
+                         "'1.3,1.4,0.9,0.2' for SDXL")
     ap.add_argument("--guidance-rescale", type=float, default=0.0,
                     help="CFG-rescale factor (Lin et al. 2023; diffusers "
                          "guidance_rescale) — fixes overexposure at high "
@@ -194,6 +198,8 @@ def main() -> None:
         prompt_weighting=args.prompt_weighting,
         image_guidance_scale=args.image_guidance_scale,
         guidance_rescale=args.guidance_rescale,
+        freeu=(tuple(float(v) for v in args.freeu.split(","))
+               if args.freeu else None),
         encoder_cache_interval=args.encoder_cache,
         control_image=(
             [load_image(p) for p in args.control_image]

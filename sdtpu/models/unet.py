@@ -392,6 +392,41 @@ def compute_time_embedding(
     return silu(temb)
 
 
+def fourier_filter(x: jax.Array, scale: float, threshold: int = 1) -> jax.Array:
+    """Low-frequency rescale of an NHWC feature map (FreeU, Si et al. 2023;
+    diffusers ``fourier_filter`` semantics): FFT over H/W, scale the
+    ``2*threshold``-square center (the lowest frequencies, after fftshift)
+    by ``scale``, inverse-FFT.  f32 compute; static-shape mask (a host
+    numpy constant XLA folds)."""
+    import numpy as np  # host mask: shapes are static under jit
+
+    h, w = x.shape[1], x.shape[2]
+    xf = jnp.fft.fftn(x.astype(jnp.float32), axes=(1, 2))
+    xf = jnp.fft.fftshift(xf, axes=(1, 2))
+    mask = np.ones((1, h, w, 1), np.float32)
+    cr, cc = h // 2, w // 2
+    mask[:, cr - threshold:cr + threshold, cc - threshold:cc + threshold] = scale
+    xf = xf * mask
+    xf = jnp.fft.ifftshift(xf, axes=(1, 2))
+    return jnp.fft.ifftn(xf, axes=(1, 2)).real.astype(x.dtype)
+
+
+def apply_freeu(rev: int, x: jax.Array, skip: jax.Array, freeu):
+    """FreeU's per-concat transform for up block ``rev`` (0 = lowest
+    resolution): amplify the backbone's first-half channels by b, low-pass
+    the skip features by s.  Blocks past the first two pass through
+    (diffusers ``apply_freeu``)."""
+    if rev > 1:
+        return x, skip
+    b1, b2, s1, s2 = freeu
+    b, s = (b1, s1) if rev == 0 else (b2, s2)
+    half = x.shape[-1] // 2
+    x = jnp.concatenate(
+        [x[..., :half] * jnp.asarray(b, x.dtype), x[..., half:]], axis=-1
+    )
+    return x, fourier_filter(skip, s)
+
+
 def _heads_for_level(config: UNetConfig, channels: int) -> int:
     """SD 1.x fixes 8 heads per level (``diffusion.mojo:239,243,247``);
     SDXL fixes head_dim=64 instead (num_attention_heads == 0 sentinel)."""
@@ -414,6 +449,7 @@ def unet_forward(
     cross_kv: Optional[dict] = None,
     time_cache: Optional[dict] = None,
     control: Optional[dict] = None,
+    freeu=None,
 ) -> jax.Array:
     """Predict noise.  latents: (B, H, W, C_in); timesteps: (B,) or scalar;
     context: (B, L, cross_attention_dim).  Returns (B, H, W, C_out).
@@ -453,7 +489,7 @@ def unet_forward(
     return unet_decode(
         x, skips, temb, context, params, config,
         attention_impl=attention_impl, conv_impl=conv_impl,
-        cross_kv=cross_kv, time_proj=tp,
+        cross_kv=cross_kv, time_proj=tp, freeu=freeu,
     )
 
 
@@ -553,10 +589,15 @@ def unet_decode(
     conv_impl: str = "xla",
     cross_kv: Optional[dict] = None,
     time_proj: Optional[dict] = None,
+    freeu=None,
 ) -> jax.Array:
     """The UNet's decoder + output head: consumes :func:`unet_encode`'s
     ``(x, skips)`` (possibly a CACHED earlier step's — the encoder-reuse
-    approximation) with the CURRENT step's time embedding/projections."""
+    approximation) with the CURRENT step's time embedding/projections.
+
+    ``freeu``: optional (b1, b2, s1, s2) FreeU factors (Si et al. 2023)
+    applied at the first two up blocks' skip concats — see
+    :func:`apply_freeu`."""
     tp = time_proj
     ng = config.norm_num_groups
     context = context.astype(x.dtype)
@@ -568,7 +609,10 @@ def unet_decode(
         ch = config.block_out_channels[level]
         heads = _heads_for_level(config, ch)
         for i, res in enumerate(block["resnets"]):
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            skip = skips.pop()
+            if freeu is not None:
+                x, skip = apply_freeu(rev, x, skip, freeu)
+            x = jnp.concatenate([x, skip], axis=-1)
             x = resnet_block(x, temb, res, num_groups=ng, conv_impl=conv_impl,
                              t_pre=None if tp is None else tp["up"][rev][i])
             if config.attention_levels[level]:

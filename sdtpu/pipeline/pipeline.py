@@ -96,13 +96,27 @@ class StableDiffusionPipeline:
         preset: Optional[str] = None,
         dtype=None,
     ) -> "StableDiffusionPipeline":
-        """Load a local diffusers-layout checkpoint directory."""
+        """Load a local diffusers-layout checkpoint directory.
+
+        Config resolution: an explicit ``preset=`` wins; otherwise the
+        directory basename is looked up in the preset table (well-known
+        model ids keep their tuned runtime defaults); any other diffusers
+        checkpoint derives its architecture from its own JSON configs
+        (:func:`sdtpu.config.config_from_checkpoint`)."""
         import os
 
+        from sdtpu.config import PRESETS, config_from_checkpoint
         from sdtpu.tokenizer.bpe import CLIPTokenizer
         from sdtpu.utils.weights import load_pipeline_params
 
-        config = get_preset(preset or os.path.basename(model_dir.rstrip("/")))
+        if preset is not None:
+            config = get_preset(preset)
+        else:
+            base = os.path.basename(model_dir.rstrip("/"))
+            config = (
+                get_preset(base) if base in PRESETS
+                else config_from_checkpoint(model_dir)
+            )
         if dtype is not None:
             config = config.replace(param_dtype=dtype, compute_dtype=dtype)
         params = load_pipeline_params(model_dir, config)
@@ -332,6 +346,7 @@ class StableDiffusionPipeline:
         denoising_start: Optional[float] = None,
         image_guidance_scale: float = 1.5,
         guidance_rescale: float = 0.0,
+        freeu=None,
         encoder_cache_interval: int = 1,
         verbose: bool = False,
     ):
@@ -360,6 +375,12 @@ class StableDiffusionPipeline:
         2023; diffusers semantics — ``rescale_noise_cfg``).  0 (default)
         leaves the program untouched; nonzero values compile a new program
         (it is a static quality knob, fixed per deployment).
+
+        ``freeu``: (b1, b2, s1, s2) FreeU factors (Si et al. 2023;
+        diffusers ``enable_freeu``) — amplify the UNet backbone's first-half
+        channels and low-pass the skip features in the two lowest-resolution
+        up blocks.  Recommended: (1.5, 1.6, 0.9, 0.2) for SD 1.x,
+        (1.3, 1.4, 0.9, 0.2) for SDXL.  Static knob like guidance_rescale.
 
         ``encoder_cache_interval``: encoder-feature reuse (the Faster
         Diffusion / DeepCache approximation — encoder+mid features change
@@ -508,6 +529,7 @@ class StableDiffusionPipeline:
                 controlnet_scale=controlnet_scale,
                 image_guidance_scale=image_guidance_scale,
                 guidance_rescale=guidance_rescale,
+                freeu=freeu,
                 encoder_cache_interval=encoder_cache_interval,
             )
 
@@ -568,6 +590,7 @@ class StableDiffusionPipeline:
                 "(the control residuals enter the cached encoder half)"
             )
         self._check_guidance_rescale(guidance_rescale, cfg, is_edit)
+        freeu = self._check_freeu(freeu)
         # edit models denoise from pure noise: strength never truncates
         strength_key = (
             1.0 if (is_edit or not is_img2img) else round(strength, 6)
@@ -585,6 +608,7 @@ class StableDiffusionPipeline:
             denoising_start=denoising_start,
             encoder_cache=encoder_cache_interval,
             guidance_rescale=guidance_rescale,
+            freeu=freeu,
         )
         ids_arg = ids if weights is None else (ids, weights)
 
@@ -689,6 +713,7 @@ class StableDiffusionPipeline:
         controlnet_scale: float = 1.0,
         image_guidance_scale: float = 1.5,
         guidance_rescale: float = 0.0,
+        freeu=None,
         encoder_cache_interval: int = 1,
     ):
         """Batched txt2img serving: B prompts -> (B, H, W, 3) in ONE compiled
@@ -849,6 +874,7 @@ class StableDiffusionPipeline:
                     "control_images must match the number of prompts"
                 )
         self._check_guidance_rescale(guidance_rescale, cfg, is_edit)
+        freeu = self._check_freeu(freeu)
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img,
             round(strength, 6) if is_img2img and not is_edit else 1.0,
@@ -860,6 +886,7 @@ class StableDiffusionPipeline:
             has_control=has_control,
             encoder_cache=encoder_cache_interval,
             guidance_rescale=guidance_rescale,
+            freeu=freeu,
         )
         if seeds is not None:
             if len(seeds) != cond.shape[0]:
@@ -1157,6 +1184,21 @@ class StableDiffusionPipeline:
         return np.clip(m, 0.0, 1.0)[None, :, :, None].astype(np.float32)
 
     @staticmethod
+    def _check_freeu(freeu):
+        """Normalize/validate FreeU factors: None, or (b1, b2, s1, s2) ->
+        a hashable tuple of floats (compile-cache key material)."""
+        if freeu is None:
+            return None
+        try:
+            b1, b2, s1, s2 = (float(v) for v in freeu)
+        except (TypeError, ValueError):
+            raise ValueError(
+                "freeu must be (b1, b2, s1, s2) — e.g. (1.5, 1.6, 0.9, 0.2) "
+                "for SD 1.x, (1.3, 1.4, 0.9, 0.2) for SDXL"
+            ) from None
+        return (round(b1, 6), round(b2, 6), round(s1, 6), round(s2, 6))
+
+    @staticmethod
     def _check_guidance_rescale(guidance_rescale, cfg, is_edit):
         if guidance_rescale == 0.0:
             return
@@ -1177,7 +1219,7 @@ class StableDiffusionPipeline:
         has_latents=False, want_latents=False, want_uint8=False,
         has_mask=False, clip_skip=0, has_weights=False, has_control=False,
         denoising_end=None, denoising_start=None, encoder_cache=1,
-        guidance_rescale=0.0,
+        guidance_rescale=0.0, freeu=None,
     ):
         # The ring-attention context is read at TRACE time (the shard_map is
         # baked into the compiled program), so it must be part of the cache
@@ -1190,7 +1232,7 @@ class StableDiffusionPipeline:
                      has_latents, want_latents, want_uint8, has_mask,
                      clip_skip, has_weights, has_control,
                      denoising_end, denoising_start, encoder_cache,
-                     round(guidance_rescale, 6), get_ring_context())
+                     round(guidance_rescale, 6), freeu, get_ring_context())
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
@@ -1222,7 +1264,8 @@ class StableDiffusionPipeline:
                              continuation=denoising_start is not None,
                              full_strength=strength >= 1.0,
                              encoder_cache=encoder_cache,
-                             guidance_rescale=guidance_rescale)
+                             guidance_rescale=guidance_rescale,
+                             freeu=freeu)
             self._compiled[cache_key] = fn
         return fn
 
@@ -1233,6 +1276,7 @@ class StableDiffusionPipeline:
         has_weights: bool = False, has_control: bool = False,
         continuation: bool = False, full_strength: bool = False,
         encoder_cache: int = 1, guidance_rescale: float = 0.0,
+        freeu=None,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -1498,7 +1542,7 @@ class StableDiffusionPipeline:
                     attention_impl=attn_impl,
                     conv_impl=conv_impl, cross_kv=cross_kv,
                     time_cache=jax.tree.map(lambda a: a[i], time_cache),
-                    control=ctrl,
+                    control=ctrl, freeu=freeu,
                 ).astype(jnp.float32)
                 return finish_step(lat, key, state, eps, i), None
 
@@ -1607,7 +1651,7 @@ class StableDiffusionPipeline:
                         x, sk, tc_i["temb"], context, params["unet"],
                         config.unet,
                         attention_impl=attn_impl, conv_impl=conv_impl,
-                        cross_kv=cross_kv, time_proj=tc_i,
+                        cross_kv=cross_kv, time_proj=tc_i, freeu=freeu,
                     ).astype(jnp.float32)
                     lat, key, state = finish_step(lat, key, state, eps, i)
                     return lat, key, state, cache

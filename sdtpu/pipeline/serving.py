@@ -64,6 +64,8 @@ class _Request:
     image_guidance_scale: float = 1.5
     # CFG-rescale (Lin et al. 2023) — compiled into the program, so buckets
     guidance_rescale: float = 0.0
+    # FreeU (b1, b2, s1, s2) — compiled into the program, so buckets
+    freeu: Optional[tuple] = None
     clip_skip: int = 0
     # prompt emphasis: parse (word:1.3) syntax per row, or pre-tokenized
     # per-token weights aligned with token_ids
@@ -103,6 +105,8 @@ class _Request:
                 round(self.strength, 6) if img2img else None,
                 round(self.image_guidance_scale, 6) if img2img else None,
                 round(self.guidance_rescale, 6),
+                (tuple(round(float(v), 6) for v in self.freeu)
+                 if self.freeu is not None else None),
                 self.clip_skip, weighting,
                 # control CONTENT is per-row; the scale(s) are batch-level
                 # (traced scalars feed the whole program); multi-ControlNet
@@ -194,6 +198,7 @@ class ServingEngine:
         controlnet_scale: float = 1.0,
         image_guidance_scale: float = 1.5,
         guidance_rescale: float = 0.0,
+        freeu: Optional[tuple] = None,
         encoder_cache_interval: int = 1,
     ) -> Future:
         """Enqueue one txt2img (or img2img when ``init_image`` is given, or
@@ -252,6 +257,7 @@ class ServingEngine:
             strength=strength,
             image_guidance_scale=image_guidance_scale,
             guidance_rescale=guidance_rescale,
+            freeu=freeu,
             clip_skip=clip_skip,
             prompt_weighting=prompt_weighting,
             token_weights=token_weights,
@@ -334,6 +340,7 @@ class ServingEngine:
             sampler=first.sampler,
             clip_skip=first.clip_skip,
             guidance_rescale=first.guidance_rescale,
+            freeu=first.freeu,
         )
         if first.prompt_weighting:
             kw["prompt_weighting"] = True
