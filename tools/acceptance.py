@@ -128,10 +128,13 @@ def step_component_parity(args):
     if not args.resolved_model_dir:
         return record("component-parity", "SKIP", "no checkpoint")
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    cmd = [sys.executable,
+           os.path.join(REPO, "tools", "validate_checkpoint.py"),
+           args.resolved_model_dir]
+    if args.preset:  # else validate_checkpoint infers from the JSON configs
+        cmd += ["--preset", args.preset]
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "validate_checkpoint.py"),
-         args.resolved_model_dir, "--preset", args.preset],
-        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO,
+        cmd, capture_output=True, text=True, timeout=1800, env=env, cwd=REPO,
     )
     out = proc.stdout.strip()
     ok = proc.returncode == 0 and "INVESTIGATE" not in out and "OK" in out
@@ -157,7 +160,12 @@ def step_clip_parity(args):
             _find_weight_file, clip_params_from_state_dict, load_safetensors,
         )
 
-        config = get_preset(args.preset)
+        if args.preset:
+            config = get_preset(args.preset)
+        else:
+            from sdtpu.config import config_from_checkpoint
+
+            config = config_from_checkpoint(args.resolved_model_dir)
         sd = load_safetensors(_find_weight_file(te_dir))
         params = clip_params_from_state_dict(sd, config.clip)
         ref = CLIPTextModel.from_pretrained(te_dir).eval()
@@ -290,7 +298,9 @@ def main() -> None:
     ap.add_argument("--model-dir", default=None,
                     help="local diffusers-layout checkpoint dir")
     ap.add_argument("--hf-model", default="segmind/tiny-sd")
-    ap.add_argument("--preset", default="tiny-sd")
+    ap.add_argument("--preset", default=None,
+                    help="preset override; default: infer the config from "
+                         "the checkpoint's own JSON configs")
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--seed", type=int, default=40)  # demo.mojo:10
     args = ap.parse_args()

@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("model_dir")
-    ap.add_argument("--preset", default="tiny-sd")
+    ap.add_argument("--preset", default=None,
+                    help="preset override; default: infer from the "
+                         "checkpoint's own JSON configs "
+                         "(config_from_checkpoint), falling back to the "
+                         "preset table by directory basename")
     ap.add_argument("--latent", type=int, default=32,
                     help="latent grid for the UNet check")
     args = ap.parse_args()
@@ -48,7 +52,18 @@ def main() -> None:
     )
     from torch_ref import RefAutoencoderKL, RefUNet
 
-    config = get_preset(args.preset)
+    if args.preset is not None:
+        config = get_preset(args.preset)
+    else:
+        from sdtpu.config import PRESETS, config_from_checkpoint
+
+        base = os.path.basename(args.model_dir.rstrip("/"))
+        try:
+            config = config_from_checkpoint(args.model_dir)
+            print(f"config: inferred from {args.model_dir}/…/config.json")
+        except (ValueError, FileNotFoundError):
+            config = get_preset(base if base in PRESETS else "tiny-sd")
+            print(f"config: preset {config.name}")
     rng = np.random.default_rng(0)
 
     def rel(a, b):
