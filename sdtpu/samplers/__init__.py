@@ -15,6 +15,7 @@ from sdtpu.samplers import ddim as _ddim
 from sdtpu.samplers import dpm as _dpm
 from sdtpu.samplers import euler as _euler
 from sdtpu.samplers import lcm as _lcm
+from sdtpu.samplers import unipc as _unipc
 from sdtpu.samplers.ddpm import (
     DDPMSchedule,
     add_noise,
@@ -101,6 +102,22 @@ SAMPLERS = {
         state_init=_dpm.state_init,
         stochastic=True,
     ),
+    # UniPC (order-2 bh2): predictor-corrector multistep ODE solver —
+    # matches diffusers' UniPCMultistepScheduler defaults.
+    "unipc": SamplerDef(
+        _unipc.make_schedule,
+        _unipc.unipc_step,
+        _unipc.add_noise,
+        multistep=True,
+        state_init=_unipc.state_init,
+    ),
+    "unipc-karras": SamplerDef(
+        functools.partial(_unipc.make_schedule, karras=True),
+        _unipc.unipc_step,
+        _unipc.add_noise,
+        multistep=True,
+        state_init=_unipc.state_init,
+    ),
     "euler-a-karras": SamplerDef(
         functools.partial(_euler.make_schedule, karras=True),
         _euler.euler_ancestral_step,
@@ -165,6 +182,29 @@ def slice_schedule(
     out = dataclasses.replace(schedule, **upd)
     if denoising_start is not None and hasattr(out, "inv_2r"):
         out = dataclasses.replace(out, inv_2r=out.inv_2r.at[0].set(0.0))
+    if denoising_start is not None and hasattr(out, "corr_on"):
+        # UniPC cold start: no x0 history or last_sample crosses the
+        # handoff — first step runs predictor-only at order 1.
+        out = dataclasses.replace(
+            out,
+            corr_on=out.corr_on.at[0].set(0.0),
+            pd=out.pd.at[0].set(0.0),
+        )
+        if out.num_steps >= 2:
+            # step 1's corrector would reference the pre-handoff m_prev2
+            # (zeros) through cc3; demote it to the order-1 corrector.
+            lam = np.log(
+                np.asarray(out.sqrt_alpha_prod, np.float64)
+                / np.asarray(out.sqrt_one_minus_alpha_prod, np.float64)
+            )
+            hh = -(lam[1] - lam[0])
+            phi1 = np.expm1(hh)
+            a1 = float(np.asarray(out.sqrt_alpha_prod)[1])
+            out = dataclasses.replace(
+                out,
+                cc3=out.cc3.at[1].set(0.0),
+                cc4=out.cc4.at[1].set(-a1 * float(phi1) * 0.5),
+            )
     return out
 
 
