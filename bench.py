@@ -61,6 +61,9 @@ def main() -> None:
                          "dims and condition on a control image (measures "
                          "the encoder-copy overhead; ~+40%% UNet encoder "
                          "FLOPs)")
+    ap.add_argument("--pag-scale", type=float, default=0.0,
+                    help="Perturbed-Attention Guidance scale (3rd guidance "
+                         "branch; measures PAG's step-cost overhead)")
     ap.add_argument("--encoder-cache", type=int, default=1,
                     help="encoder-feature reuse interval (run the encoder "
                          "once per K steps; decoder-only in between)")
@@ -172,6 +175,7 @@ def main() -> None:
                 strength=args.strength, control_image=control_image,
                 mask_image=bench_mask,
                 encoder_cache_interval=args.encoder_cache,
+                pag_scale=args.pag_scale,
             )
 
     else:
@@ -186,6 +190,7 @@ def main() -> None:
                 image_size=args.image_size, output=output,
                 sampler=sampler, cfg=cfg,
                 encoder_cache_interval=args.encoder_cache,
+                pag_scale=args.pag_scale,
                 init_images=(
                     [init_image] * args.batch
                     if init_image is not None else None
@@ -279,6 +284,11 @@ def _program_flops(pipe, args, steps, sampler, cfg):
     flops.py) — XLA's cost_analysis counts the 25-step scan body ONCE and
     under-reports by ~25x, so the structural count is the honest basis for
     MFU."""
+    if getattr(args, "pag_scale", 0.0) > 0.0:
+        # PAG runs a 3rd guidance branch (with identity attention at the
+        # PAG site) — the 2-branch analytic count doesn't model it, so
+        # skip the MFU claim rather than report a wrong one
+        return None
     try:
         from sdtpu.utils.flops import pipeline_flops
 

@@ -47,6 +47,11 @@ def main() -> None:
                          "guidance_rescale) — fixes overexposure at high "
                          "cfg scales, recommended ~0.7 for v-prediction "
                          "models trained with zero terminal SNR")
+    ap.add_argument("--pag-scale", type=float, default=0.0,
+                    help="Perturbed-Attention Guidance scale (Ahn et al. "
+                         "2024; diffusers pag_scale) — a third guidance "
+                         "branch with identity self-attention at the "
+                         "mid block; typical 2.0-5.0")
     ap.add_argument("--controlnet", action="append", default=[],
                     metavar="PATH",
                     help="diffusers ControlNetModel safetensors file or "
@@ -198,6 +203,7 @@ def main() -> None:
         prompt_weighting=args.prompt_weighting,
         image_guidance_scale=args.image_guidance_scale,
         guidance_rescale=args.guidance_rescale,
+        pag_scale=args.pag_scale,
         freeu=(tuple(float(v) for v in args.freeu.split(","))
                if args.freeu else None),
         encoder_cache_interval=args.encoder_cache,

@@ -285,12 +285,15 @@ def attention_block(
     num_groups: int = 32,
     implementation: str = "xla",
     cross_kv: Optional[list] = None,
+    pag_tail: int = 0,
 ) -> jax.Array:
     """Unet_Attention_Block / diffusers Transformer2D (``diffusion.mojo:112-147``).
 
     Projections are stored as linear kernels; SD 1.x's 1x1-conv proj_in/out
     collapse to the same matmul on flattened (B, H*W, C) tokens.
     ``cross_kv``: per-transformer-block precomputed cross K/V (scan-hoisted).
+    ``pag_tail``: Perturbed-Attention Guidance rows (see
+    :func:`sdtpu.ops.attention.transformer_block`).
     """
     b, h, w, c = x.shape
     residual = x
@@ -305,6 +308,7 @@ def attention_block(
             context=context,
             implementation=implementation,
             cross_kv=None if cross_kv is None else cross_kv[i],
+            pag_tail=pag_tail,
         )
     out = linear(out, params["proj_out"])
     return out.reshape(b, h, w, c) + residual
@@ -450,6 +454,7 @@ def unet_forward(
     time_cache: Optional[dict] = None,
     control: Optional[dict] = None,
     freeu=None,
+    pag_tail: int = 0,
 ) -> jax.Array:
     """Predict noise.  latents: (B, H, W, C_in); timesteps: (B,) or scalar;
     context: (B, L, cross_attention_dim).  Returns (B, H, W, C_out).
@@ -485,6 +490,7 @@ def unet_forward(
         latents, temb, context, params, config,
         attention_impl=attention_impl, conv_impl=conv_impl,
         cross_kv=cross_kv, time_proj=tp, control=control,
+        pag_tail=pag_tail,
     )
     return unet_decode(
         x, skips, temb, context, params, config,
@@ -505,9 +511,17 @@ def unet_encode(
     cross_kv: Optional[dict] = None,
     time_proj: Optional[dict] = None,
     control: Optional[dict] = None,
+    pag_tail: int = 0,
 ) -> tuple:
     """The UNet's encoder + mid half: returns ``(x, skips)`` — the mid
     output and the saved skip activations (a tuple, decoder-concat order).
+
+    ``pag_tail``: Perturbed-Attention Guidance — the last ``pag_tail``
+    batch rows run with identity self-attention at the PAG site: the mid
+    block's attention (diffusers' default ``pag_applied_layers=["mid"]``)
+    when the model has one, else every attention block at the DEEPEST
+    attention level of the encoder (the closest analogue for mid-less
+    models like Tiny-SD).
 
     Split out of :func:`unet_forward` so the pipeline's encoder-feature
     cache (the Faster-Diffusion/DeepCache family: encoder features change
@@ -518,6 +532,12 @@ def unet_encode(
     tp = time_proj
     ng = config.norm_num_groups
     context = context.astype(latents.dtype)
+    # PAG site when there is no mid block: the deepest attention level.
+    pag_level = -1
+    if pag_tail and not config.mid_block:
+        pag_level = max(
+            lvl for lvl, has in enumerate(config.attention_levels) if has
+        )
 
     # --- encoder (diffusion.mojo:236-250) ---
     # ControlNet residuals perturb the SAVED skips (the decoder's concat
@@ -549,6 +569,7 @@ def unet_encode(
                         None if cross_kv is None
                         else cross_kv["down"][level][i]
                     ),
+                    pag_tail=pag_tail if level == pag_level else 0,
                 )
             skips.append(save(x))
         if "downsample" in block:
@@ -569,6 +590,7 @@ def unet_encode(
             num_groups=ng,
             implementation=attention_impl,
             cross_kv=None if cross_kv is None else cross_kv["mid"][0],
+            pag_tail=pag_tail,
         )
         x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng, conv_impl=conv_impl,
                          t_pre=None if tp is None else tp["mid"][1])

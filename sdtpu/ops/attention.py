@@ -259,12 +259,29 @@ def transformer_block(
     context: jax.Array,
     implementation: str = "xla",
     cross_kv: Optional[dict] = None,
+    pag_tail: int = 0,
 ) -> jax.Array:
+    """``pag_tail``: Perturbed-Attention Guidance (Ahn et al. 2024;
+    diffusers ``pag_scale``) — the last ``pag_tail`` batch rows replace
+    self-attention with IDENTITY attention (each query attends only to
+    itself, so the attention output degenerates to out_proj(V(h))).  The
+    split is static, so the perturbed rows skip the attention compute
+    entirely; ``linear`` keeps the int8-quantized v/out kernels working
+    unchanged.  Cross-attention and the FF are shared by all rows."""
     h = layer_norm(x, params["norm1"])
-    x = attention(
-        h, params["attn1"], num_heads=num_heads,
-        implementation=implementation, residual=x,
-    )
+    if pag_tail:
+        hp = h[-pag_tail:]
+        ident = linear(linear(hp, params["attn1"]["v"]), params["attn1"]["out"])
+        head = attention(
+            h[:-pag_tail], params["attn1"], num_heads=num_heads,
+            implementation=implementation, residual=x[:-pag_tail],
+        )
+        x = jnp.concatenate([head, x[-pag_tail:] + ident])
+    else:
+        x = attention(
+            h, params["attn1"], num_heads=num_heads,
+            implementation=implementation, residual=x,
+        )
     h = layer_norm(x, params["norm2"])
     x = attention(
         h,

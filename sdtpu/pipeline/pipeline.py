@@ -346,11 +346,23 @@ class StableDiffusionPipeline:
         denoising_start: Optional[float] = None,
         image_guidance_scale: float = 1.5,
         guidance_rescale: float = 0.0,
+        pag_scale: float = 0.0,
         freeu=None,
         encoder_cache_interval: int = 1,
         verbose: bool = False,
     ):
         """Text->image (or image->image when ``init_image`` is given).
+
+        ``pag_scale``: Perturbed-Attention Guidance (Ahn et al. 2024,
+        "Self-Rectifying Diffusion Sampling with PAG"; diffusers
+        ``pag_scale``) — adds a third guidance branch whose mid-block
+        self-attention is replaced by identity attention, and steers away
+        from it: eps = uncond + cfg_scale*(cond - uncond) +
+        pag_scale*(cond - perturbed).  Works with cfg=False too
+        (eps = cond + pag_scale*(cond - perturbed)).  Static knob like
+        ``guidance_rescale`` (changing it recompiles).  Typical values
+        2.0-5.0; incompatible with InstructPix2Pix editing checkpoints
+        (their 3-branch guidance already owns the extra rows).
 
         ``control_image`` (requires :meth:`load_controlnet`): an (H, W, 3)
         uint8 / [0,1] float control map (canny edges, depth, pose, ...) —
@@ -590,6 +602,7 @@ class StableDiffusionPipeline:
                 "(the control residuals enter the cached encoder half)"
             )
         self._check_guidance_rescale(guidance_rescale, cfg, is_edit)
+        self._check_pag(pag_scale, is_edit)
         freeu = self._check_freeu(freeu)
         # edit models denoise from pure noise: strength never truncates
         strength_key = (
@@ -608,6 +621,7 @@ class StableDiffusionPipeline:
             denoising_start=denoising_start,
             encoder_cache=encoder_cache_interval,
             guidance_rescale=guidance_rescale,
+            pag_scale=pag_scale,
             freeu=freeu,
         )
         ids_arg = ids if weights is None else (ids, weights)
@@ -713,6 +727,7 @@ class StableDiffusionPipeline:
         controlnet_scale: float = 1.0,
         image_guidance_scale: float = 1.5,
         guidance_rescale: float = 0.0,
+        pag_scale: float = 0.0,
         freeu=None,
         encoder_cache_interval: int = 1,
     ):
@@ -874,6 +889,7 @@ class StableDiffusionPipeline:
                     "control_images must match the number of prompts"
                 )
         self._check_guidance_rescale(guidance_rescale, cfg, is_edit)
+        self._check_pag(pag_scale, is_edit)
         freeu = self._check_freeu(freeu)
         fn = self._get_compiled(
             size, num_inference_steps, cfg, is_img2img,
@@ -886,6 +902,7 @@ class StableDiffusionPipeline:
             has_control=has_control,
             encoder_cache=encoder_cache_interval,
             guidance_rescale=guidance_rescale,
+            pag_scale=pag_scale,
             freeu=freeu,
         )
         if seeds is not None:
@@ -1214,12 +1231,24 @@ class StableDiffusionPipeline:
                 "(InstructPix2Pix uses 3-branch guidance)"
             )
 
+    @staticmethod
+    def _check_pag(pag_scale, is_edit):
+        if pag_scale == 0.0:
+            return
+        if pag_scale < 0.0:
+            raise ValueError("pag_scale must be >= 0")
+        if is_edit:
+            raise ValueError(
+                "pag_scale is incompatible with editing checkpoints "
+                "(InstructPix2Pix's 3-branch guidance owns the extra rows)"
+            )
+
     def _get_compiled(
         self, size, steps, cfg, is_img2img, strength, n_ids, sampler="ddpm",
         has_latents=False, want_latents=False, want_uint8=False,
         has_mask=False, clip_skip=0, has_weights=False, has_control=False,
         denoising_end=None, denoising_start=None, encoder_cache=1,
-        guidance_rescale=0.0, freeu=None,
+        guidance_rescale=0.0, pag_scale=0.0, freeu=None,
     ):
         # The ring-attention context is read at TRACE time (the shard_map is
         # baked into the compiled program), so it must be part of the cache
@@ -1232,7 +1261,8 @@ class StableDiffusionPipeline:
                      has_latents, want_latents, want_uint8, has_mask,
                      clip_skip, has_weights, has_control,
                      denoising_end, denoising_start, encoder_cache,
-                     round(guidance_rescale, 6), freeu, get_ring_context())
+                     round(guidance_rescale, 6), round(pag_scale, 6), freeu,
+                     get_ring_context())
         fn = self._compiled.get(cache_key)
         if fn is None:
             sdef = get_sampler(sampler)
@@ -1265,6 +1295,7 @@ class StableDiffusionPipeline:
                              full_strength=strength >= 1.0,
                              encoder_cache=encoder_cache,
                              guidance_rescale=guidance_rescale,
+                             pag_scale=pag_scale,
                              freeu=freeu)
             self._compiled[cache_key] = fn
         return fn
@@ -1276,7 +1307,7 @@ class StableDiffusionPipeline:
         has_weights: bool = False, has_control: bool = False,
         continuation: bool = False, full_strength: bool = False,
         encoder_cache: int = 1, guidance_rescale: float = 0.0,
-        freeu=None,
+        pag_scale: float = 0.0, freeu=None,
     ):
         config = self.config
         latent_ch = config.vae.latent_channels
@@ -1404,12 +1435,26 @@ class StableDiffusionPipeline:
             # — steered by two scales (text + image guidance); the image
             # rows ride extra_channels (caller-tiled [img, img, zeros]).
             image_gs = None
+            pag = pag_scale > 0.0
             if edit_unet and cfg:
                 cfg_scale, image_gs = cfg_scale
                 context = jnp.concatenate(
                     [context[:batch], context[batch:], context[batch:]]
                 )
-            n_rep = 3 if (edit_unet and cfg) else (2 if cfg else 1)
+            elif pag:
+                # PAG's perturbed branch rides the TAIL rows, conditioned on
+                # the COND text (identity self-attention applied in-model
+                # via pag_tail) — rows [cond, (uncond,) perturbed]
+                context = jnp.concatenate([context, context[:batch]])
+                if added_cond is not None:
+                    added_cond = jax.tree.map(
+                        lambda a: jnp.concatenate([a, a[:batch]]), added_cond
+                    )
+            n_rep = (
+                3 if ((edit_unet or pag) and cfg)
+                else (2 if (cfg or pag) else 1)
+            )
+            pag_tail = batch if pag else 0
             model_batch = n_rep * batch
 
             # cross-attention K/V depend only on the (constant) context:
@@ -1542,7 +1587,7 @@ class StableDiffusionPipeline:
                     attention_impl=attn_impl,
                     conv_impl=conv_impl, cross_kv=cross_kv,
                     time_cache=jax.tree.map(lambda a: a[i], time_cache),
-                    control=ctrl, freeu=freeu,
+                    control=ctrl, freeu=freeu, pag_tail=pag_tail,
                 ).astype(jnp.float32)
                 return finish_step(lat, key, state, eps, i), None
 
@@ -1557,11 +1602,22 @@ class StableDiffusionPipeline:
                     e_u = eps[2 * batch:]
                     eps = (e_u + cfg_scale * (e_t - e_i)
                            + image_gs * (e_i - e_u))
+                elif cfg and pag:
+                    cond = eps[:batch]
+                    uncond = eps[batch:2 * batch]
+                    pert = eps[2 * batch:]
+                    eps = (uncond + cfg_scale * (cond - uncond)
+                           + pag_scale * (cond - pert))
+                    if guidance_rescale > 0.0:
+                        eps = rescale_noise_cfg(eps, cond, guidance_rescale)
                 elif cfg:
                     cond, uncond = eps[:batch], eps[batch:]
                     eps = uncond + cfg_scale * (cond - uncond)  # pipeline.mojo:111-119
                     if guidance_rescale > 0.0:
                         eps = rescale_noise_cfg(eps, cond, guidance_rescale)
+                elif pag:
+                    cond, pert = eps[:batch], eps[batch:]
+                    eps = cond + pag_scale * (cond - pert)
                 if sdef.stochastic:
                     if key.ndim == 1:  # per-request keys: fold by step index
                         # Salt space: 0 = latent-init/encoder noise, 1 =
@@ -1645,6 +1701,7 @@ class StableDiffusionPipeline:
                             context, params["unet"], config.unet,
                             attention_impl=attn_impl, conv_impl=conv_impl,
                             cross_kv=cross_kv, time_proj=tc_i,
+                            pag_tail=pag_tail,
                         )
                     x, sk = cache
                     eps = unet_decode(
@@ -1795,8 +1852,11 @@ class StableDiffusionPipeline:
                         ],
                         axis=-1,
                     )
-                    if cfg:  # both guidance branches see the same extras
-                        extra = jnp.concatenate([extra, extra])
+                    # every guidance branch (incl. PAG's perturbed one)
+                    # sees the same extras
+                    reps = (2 if cfg else 1) + (1 if pag_scale > 0.0 else 0)
+                    if reps > 1:
+                        extra = jnp.concatenate([extra] * reps)
                     if full_strength:
                         # pure-noise init (diffusers is_strength_max)
                         latents = fwd_noise * getattr(
