@@ -52,6 +52,11 @@ def main() -> None:
                          "2024; diffusers pag_scale) — a third guidance "
                          "branch with identity self-attention at the "
                          "mid block; typical 2.0-5.0")
+    ap.add_argument("--hires-base", type=int, default=None, metavar="PX",
+                    help="two-pass hires fix: txt2img at this base size, "
+                         "bilinear upscale, img2img refine at --image-size")
+    ap.add_argument("--hires-strength", type=float, default=0.7,
+                    help="refinement strength for the hires second pass")
     ap.add_argument("--controlnet", action="append", default=[],
                     metavar="PATH",
                     help="diffusers ControlNetModel safetensors file or "
@@ -186,9 +191,18 @@ def main() -> None:
             ap.error("--refiner composes with txt2img only")
 
     t0 = time.perf_counter()
-    image = pipe.generate(
+    gen = pipe.generate
+    extra = {}
+    if args.hires_base:
+        if args.init_image or args.mask_image or refiner:
+            ap.error("--hires-base composes with plain txt2img only")
+        gen = pipe.generate_hires
+        extra = dict(base_size=args.hires_base,
+                     hires_strength=args.hires_strength)
+    image = gen(
         args.prompt,
         args.negative_prompt,
+        **extra,
         strength=args.strength,
         cfg=False if args.no_cfg else None,  # None -> preset default
         cfg_scale=args.cfg_scale,

@@ -702,6 +702,53 @@ class StableDiffusionPipeline:
         kwargs["output"] = "device"
         return PendingImages(self.generate(prompt, negative_prompt, **kwargs))
 
+    def generate_hires(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        *,
+        image_size: Optional[int] = None,
+        base_size: Optional[int] = None,
+        hires_strength: float = 0.7,
+        **kwargs,
+    ):
+        """Two-pass high-resolution fix (the A1111 "hires fix" workflow):
+        txt2img at ``base_size`` (the resolution the checkpoint composes
+        well at), bilinear-upscale in float pixel space, then img2img
+        refinement at ``image_size`` with ``hires_strength``.  SD 1.x
+        checkpoints were trained at 512px — direct txt2img at 1024px
+        duplicates subjects; this is the standard recipe around that.
+
+        ``base_size`` defaults to half the target (rounded to a multiple of
+        8).  All other ``generate`` kwargs apply to BOTH passes (samplers,
+        PAG, FreeU, ControlNet maps are size-agnostic ``generate`` inputs);
+        ``output`` applies to the final pass only."""
+        size = image_size or self.config.default_image_size
+        if base_size is None:
+            base_size = max(64, (size // 2) // 8 * 8)
+        if base_size % 8 or size % 8:
+            raise ValueError("image_size/base_size must be multiples of 8")
+        if base_size >= size:
+            raise ValueError("base_size must be smaller than image_size")
+        for bad in ("init_image", "mask_image", "latents"):
+            if kwargs.pop(bad, None) is not None:
+                raise ValueError(f"generate_hires owns {bad}")
+        kwargs.pop("strength", None)  # pass 2 uses hires_strength
+        output = kwargs.pop("output", "uint8")
+        base = self.generate(
+            prompt, negative_prompt, image_size=base_size, output="float",
+            **kwargs,
+        )
+        up = jax.image.resize(
+            jnp.asarray(base), (base.shape[0], size, size, 3), "bilinear"
+        )
+        kwargs.pop("num_images", None)  # pass-2 batch rides init_image
+        return self.generate(
+            prompt, negative_prompt, image_size=size,
+            init_image=np.asarray(up), strength=hires_strength,
+            output=output, **kwargs,
+        )
+
     def generate_batch(
         self,
         prompts,
