@@ -331,6 +331,7 @@ def _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg) -> None:
         batch_sizes=(args.batch,), cfg=cfg, sampler=sampler,
         img2img=init_image is not None, inpaint=mask_image is not None,
         strength=1.0 if mask_image is not None else args.strength,
+        pag_scale=args.pag_scale,
     )
     engine = ServingEngine(pipe, max_batch_size=args.batch, max_wait_ms=5.0)
     try:
@@ -342,6 +343,7 @@ def _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg) -> None:
                 image_size=args.image_size,
                 init_image=init_image, mask_image=mask_image,
                 strength=1.0 if mask_image is not None else args.strength,
+                pag_scale=args.pag_scale,
             )
             for i in range(n)
         ]

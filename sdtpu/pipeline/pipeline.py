@@ -541,6 +541,7 @@ class StableDiffusionPipeline:
                 controlnet_scale=controlnet_scale,
                 image_guidance_scale=image_guidance_scale,
                 guidance_rescale=guidance_rescale,
+                pag_scale=pag_scale,
                 freeu=freeu,
                 encoder_cache_interval=encoder_cache_interval,
             )
@@ -722,7 +723,11 @@ class StableDiffusionPipeline:
         ``base_size`` defaults to half the target (rounded to a multiple of
         8).  All other ``generate`` kwargs apply to BOTH passes (samplers,
         PAG, FreeU, ControlNet maps are size-agnostic ``generate`` inputs);
-        ``output`` applies to the final pass only."""
+        ``output`` applies to the final pass only.  ``num_images > 1`` runs
+        pass 2 once per row through ONE compiled batch-1 img2img program
+        (a shared context can't batch against N init rows in one trace)."""
+        from sdtpu.utils.image import bilinear_resize
+
         size = image_size or self.config.default_image_size
         if base_size is None:
             base_size = max(64, (size // 2) // 8 * 8)
@@ -735,19 +740,35 @@ class StableDiffusionPipeline:
                 raise ValueError(f"generate_hires owns {bad}")
         kwargs.pop("strength", None)  # pass 2 uses hires_strength
         output = kwargs.pop("output", "uint8")
+        num_images = int(kwargs.pop("num_images", 1) or 1)
+        if num_images > 1 and output == "device":
+            raise ValueError(
+                "generate_hires(num_images>1) fetches per-row results; use "
+                "output='uint8' or 'float'"
+            )
         base = self.generate(
             prompt, negative_prompt, image_size=base_size, output="float",
-            **kwargs,
+            num_images=num_images, **kwargs,
         )
-        up = jax.image.resize(
-            jnp.asarray(base), (base.shape[0], size, size, 3), "bilinear"
-        )
-        kwargs.pop("num_images", None)  # pass-2 batch rides init_image
-        return self.generate(
-            prompt, negative_prompt, image_size=size,
-            init_image=np.asarray(up), strength=hires_strength,
-            output=output, **kwargs,
-        )
+        # host-side upscale: an eager device resize would cost a relay
+        # dispatch per generation on the tunnel backend
+        up = bilinear_resize(np.asarray(base), size, size)
+        if num_images == 1:
+            return self.generate(
+                prompt, negative_prompt, image_size=size,
+                init_image=up, strength=hires_strength,
+                output=output, **kwargs,
+            )
+        seed = kwargs.pop("seed", 0)
+        outs = [
+            self.generate(
+                prompt, negative_prompt, image_size=size,
+                init_image=up[i:i + 1], strength=hires_strength,
+                output=output, seed=seed + i, **kwargs,
+            )
+            for i in range(num_images)
+        ]
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)
 
     def generate_batch(
         self,
@@ -1051,6 +1072,7 @@ class StableDiffusionPipeline:
         img2img: bool = False,
         inpaint: bool = False,
         strength: float = 0.9,
+        pag_scale: float = 0.0,
     ) -> int:
         """Precompile the program buckets a serving deployment will hit, so
         no request pays compile latency.  Returns the number of programs run.
@@ -1077,13 +1099,14 @@ class StableDiffusionPipeline:
                             num_inference_steps=steps, image_size=size,
                             sampler=sampler, init_images=inits,
                             mask_images=masks, strength=strength,
-                            seeds=list(range(batch)),
+                            seeds=list(range(batch)), pag_scale=pag_scale,
                         )
                     else:
                         self.generate_batch(
                             ["warmup"] * batch, token_ids=ids, cfg=cfg,
                             num_inference_steps=steps, image_size=size,
                             sampler=sampler, seeds=list(range(batch)),
+                            pag_scale=pag_scale,
                         )
                     n += 1
         return n

@@ -64,6 +64,9 @@ class _Request:
     image_guidance_scale: float = 1.5
     # CFG-rescale (Lin et al. 2023) — compiled into the program, so buckets
     guidance_rescale: float = 0.0
+    # Perturbed-Attention Guidance — adds a third guidance branch, so it
+    # compiles a different program and buckets
+    pag_scale: float = 0.0
     # FreeU (b1, b2, s1, s2) — compiled into the program, so buckets
     freeu: Optional[tuple] = None
     clip_skip: int = 0
@@ -105,6 +108,7 @@ class _Request:
                 round(self.strength, 6) if img2img else None,
                 round(self.image_guidance_scale, 6) if img2img else None,
                 round(self.guidance_rescale, 6),
+                round(self.pag_scale, 6),
                 (tuple(round(float(v), 6) for v in self.freeu)
                  if self.freeu is not None else None),
                 self.clip_skip, weighting,
@@ -198,6 +202,7 @@ class ServingEngine:
         controlnet_scale: float = 1.0,
         image_guidance_scale: float = 1.5,
         guidance_rescale: float = 0.0,
+        pag_scale: float = 0.0,
         freeu: Optional[tuple] = None,
         encoder_cache_interval: int = 1,
     ) -> Future:
@@ -257,6 +262,7 @@ class ServingEngine:
             strength=strength,
             image_guidance_scale=image_guidance_scale,
             guidance_rescale=guidance_rescale,
+            pag_scale=pag_scale,
             freeu=freeu,
             clip_skip=clip_skip,
             prompt_weighting=prompt_weighting,
@@ -340,6 +346,7 @@ class ServingEngine:
             sampler=first.sampler,
             clip_skip=first.clip_skip,
             guidance_rescale=first.guidance_rescale,
+            pag_scale=first.pag_scale,
             freeu=first.freeu,
         )
         if first.prompt_weighting:

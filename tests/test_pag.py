@@ -153,6 +153,18 @@ class TestPagPipeline:
         )
         assert imgs.shape == (2, 32, 32, 3)
 
+    def test_num_images_forwards_pag(self, tiny_pipe):
+        """generate(num_images=N) delegates to generate_batch — pag_scale
+        must survive the delegation (it was silently dropped once)."""
+        plain = tiny_pipe.generate("x", token_ids=TOKENS,
+                                   num_inference_steps=2, seed=5,
+                                   num_images=2)
+        pag = tiny_pipe.generate("x", token_ids=TOKENS,
+                                 num_inference_steps=2, seed=5,
+                                 num_images=2, pag_scale=3.0)
+        assert pag.shape == plain.shape == (2, 32, 32, 3)
+        assert not np.array_equal(pag, plain)
+
     def test_negative_rejected(self, tiny_pipe):
         with pytest.raises(ValueError, match="pag_scale"):
             tiny_pipe.generate("x", token_ids=TOKENS, num_inference_steps=2,

@@ -238,6 +238,22 @@ class TestBatchingPolicy:
         assert a.shape == b.shape == (32, 32, 3)
         assert not np.array_equal(a, b)
 
+    def test_pag_requests_bucket_separately(self, pipe):
+        """pag_scale compiles a third guidance branch into the program, so
+        it must split the batch AND actually reach the images."""
+        engine = ServingEngine(pipe, max_batch_size=4, max_wait_ms=30)
+        try:
+            f1 = engine.submit("p", token_ids=IDS, seed=1,
+                               num_inference_steps=2, image_size=32)
+            f2 = engine.submit("p", token_ids=IDS, seed=1,
+                               num_inference_steps=2, image_size=32,
+                               pag_scale=3.0)
+            a, b = f1.result(300), f2.result(300)
+        finally:
+            engine.shutdown()
+        assert a.shape == b.shape == (32, 32, 3)
+        assert not np.array_equal(a, b)
+
 
 class TestEngineImg2Img:
     def test_img2img_through_engine_matches_direct(self, pipe):
