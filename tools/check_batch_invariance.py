@@ -1,24 +1,29 @@
 #!/usr/bin/env python3
-"""On-chip bitwise batch-invariance check (VERDICT.md round-2 item 1a).
+"""On-chip batch-invariance gate (VERDICT.md round-2 item 1a; thresholded
+verdict per round-3 item 7).
 
-The serving engine guarantees a request's image is IDENTICAL whether it ran
+The serving engine promises a request's image is the same whether it ran
 solo or coalesced into a batch (per-request RNG + per-row uncond make the
-math row-independent; what remains is the backend's numerics).  Round 2's
-LayerNorm-stats-as-matmul was reverted because the CPU lowering's
-accumulation order varied with the row count and broke this guarantee by
-1 uint8 level.  The TPU MXU's per-row contraction order is row-count-
-independent by construction — but that claim ships only with this check
-green on the real chip (run it whenever an op's stats/accumulation strategy
-changes):
+math row-independent; what remains is the backend's numerics).  The honest
+on-chip scope — measured in round 3 and documented in serving.py — is NOT
+bitwise: XLA picks batch-size-dependent tilings whose accumulation order
+flips ~2.3% of uint8 values by exactly ±1 level.  A gate that is red by
+design gates nothing, so this check PASSES when the drift stays inside
+that measured envelope and FAILS beyond it:
+
+    PASS  <=>  max |level diff| <= --max-level (default 1)
+          AND  mismatched fraction <= --max-frac (default 0.03) per row
 
     python tools/check_batch_invariance.py [--preset tiny-sd] [--steps 4]
         [--batch 8] [--image-size 512] [--sampler euler] [--rows 0 3 7]
+        [--max-level 1] [--max-frac 0.03] [--bitwise]
 
-Builds the preset at full architecture with host-seeded random weights
-(values matter: zeros would degenerate the numerics under test), runs one
-coalesced generate_batch and per-row solo runs with the same per-request
-seeds, and compares uint8 images bitwise.  Prints one JSON line;
-exit 0 = bitwise identical.
+``--bitwise`` restores the strict gate (e.g. for CPU, where the suite pins
+bitwise equality at test dims).  Builds the preset at full architecture
+with host-seeded random weights (values matter: zeros would degenerate the
+numerics under test), runs one coalesced generate_batch and per-row solo
+runs with the same per-request seeds, and compares uint8 images.  Prints
+one JSON line; exit 0 = within threshold.
 """
 
 import argparse
@@ -38,6 +43,12 @@ def main() -> None:
     ap.add_argument("--sampler", default="euler")
     ap.add_argument("--rows", type=int, nargs="*", default=[0, 3, 7],
                     help="which batch rows to re-run solo")
+    ap.add_argument("--max-level", type=int, default=1,
+                    help="PASS threshold: max |uint8 level diff| per pixel")
+    ap.add_argument("--max-frac", type=float, default=0.03,
+                    help="PASS threshold: max fraction of differing values")
+    ap.add_argument("--bitwise", action="store_true",
+                    help="strict mode: any mismatch fails")
     args = ap.parse_args()
 
     import jax
@@ -86,30 +97,43 @@ def main() -> None:
     print(f"coalesced batch in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
+    if args.bitwise:
+        max_level, max_frac = 0, 0.0
+    else:
+        max_level, max_frac = args.max_level, args.max_frac
+
     mismatches = []
     for r in args.rows:
         solo = pipe.generate_batch(
             ["bench"], token_ids=ids[r : r + 1], seeds=[seeds[r]], **kw
         )
         diff = int(np.sum(solo[0] != coalesced[r]))
+        frac = diff / solo[0].size
         worst = int(
             np.max(np.abs(solo[0].astype(np.int32)
                           - coalesced[r].astype(np.int32)))
         )
+        row_ok = worst <= max_level and frac <= max_frac
         mismatches.append({"row": r, "mismatched_pixels": diff,
-                           "max_level_diff": worst})
-        print(f"row {r}: {diff} mismatched uint8 values "
-              f"(max level diff {worst})", file=sys.stderr)
+                           "mismatched_frac": round(frac, 5),
+                           "max_level_diff": worst, "pass": row_ok})
+        print(f"row {r}: {diff} mismatched uint8 values ({frac:.2%}, "
+              f"max level diff {worst}) -> "
+              f"{'PASS' if row_ok else 'FAIL'}", file=sys.stderr)
 
-    ok = all(m["mismatched_pixels"] == 0 for m in mismatches)
+    ok = all(m["pass"] for m in mismatches)
     print(json.dumps({
-        "check": "serving bitwise batch-invariance (solo == coalesced)",
+        "check": "serving batch-invariance (solo vs coalesced, thresholded)",
         "preset": args.preset,
         "steps": args.steps, "batch": args.batch, "size": args.image_size,
         "sampler": args.sampler,
         "backend": jax.default_backend(),
+        "max_level_gate": max_level, "max_frac_gate": max_frac,
         "rows": mismatches,
-        "bitwise_identical": ok,
+        "bitwise_identical": all(
+            m["mismatched_pixels"] == 0 for m in mismatches
+        ),
+        "pass": ok,
     }))
     sys.exit(0 if ok else 1)
 
