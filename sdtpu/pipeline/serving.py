@@ -136,9 +136,20 @@ class ServingEngine:
         max_batch_size: int = 8,
         max_wait_ms: float = 20.0,
         max_retries: int = 1,
+        device_batch_size: Optional[int] = None,
     ):
         self.pipeline = pipeline
         self.max_batch_size = max_batch_size
+        # Rows per DEVICE program.  Coalescing (max_batch_size) bounds
+        # queueing/multiplexing; the device batch bounds the compiled
+        # program's shape.  The chip saturates at tiny batches for
+        # full-quality work (BENCHLOG batch-scaling), so a collected batch
+        # of 8 can run as e.g. 4 pipelined 2-row programs with LOWER
+        # per-request latency at equal-or-better throughput.  None = one
+        # program per collected batch (the round-3 behavior).
+        if device_batch_size is not None and device_batch_size < 1:
+            raise ValueError("device_batch_size must be >= 1")
+        self.device_batch_size = device_batch_size
         self.max_wait_ms = max_wait_ms
         # transient-failure recovery: system errors (device resets, tunnel
         # hiccups) retry the whole batch; request errors (ValueError /
@@ -439,17 +450,20 @@ class ServingEngine:
                 return
 
     def _run(self) -> None:
-        # Two batches in flight: while batch N computes on device, the
-        # worker collects and DISPATCHES batch N+1, then blocks fetching N —
-        # host-side batching/fetch overhead hides behind device compute.
-        inflight = None  # (batch, device_images_or_None, t0)
+        # Up to two device programs in flight: while one computes, the
+        # worker collects and DISPATCHES the next, then blocks fetching the
+        # oldest — host-side batching/fetch overhead hides behind device
+        # compute.  A collected batch larger than device_batch_size is
+        # dispatched as several back-to-back device programs (chunks keep
+        # arrival order; per-request RNG makes rows chunking-independent).
+        inflight = collections.deque()  # (chunk, device_images_or_None, t0)
         while True:
             drained = (
                 self._shutdown.is_set()
                 and self._queue.empty()
                 and not self._pending
             )
-            if drained and inflight is None:
+            if drained and not inflight:
                 break
             batch = (
                 []
@@ -458,12 +472,18 @@ class ServingEngine:
                     initial_timeout=0.0 if inflight else 0.1
                 )
             )
-            nxt = None
-            if batch:
+            db = self.device_batch_size or self.max_batch_size
+            if not batch:
+                if inflight:
+                    self._resolve(*inflight.popleft())
+                continue
+            for i in range(0, len(batch), db):
                 t0 = time.perf_counter()
-                dev = self._dispatch(batch)
+                chunk = batch[i:i + db]
+                dev = self._dispatch(chunk)
                 if dev is not _FAILED:
-                    nxt = (batch, dev, t0)
-            if inflight is not None:
-                self._resolve(*inflight)
-            inflight = nxt
+                    inflight.append((chunk, dev, t0))
+                while len(inflight) > 2:
+                    self._resolve(*inflight.popleft())
+            while len(inflight) > 1:
+                self._resolve(*inflight.popleft())

@@ -53,6 +53,39 @@ class TestServingEngine:
         # per-request latency percentiles (SURVEY.md §5 metrics row)
         assert 0 < stats["request_latency_p50_s"] <= stats["request_latency_p95_s"]
 
+    def test_device_batch_size_chunks_match_full_batch(self, pipe):
+        """device_batch_size splits a coalesced batch into several pipelined
+        device programs; per-request RNG makes every row identical to the
+        one-program run (bitwise on CPU at test dims)."""
+        seeds = [7, 8, 9, 10]
+
+        def run(**kw):
+            engine = ServingEngine(pipe, max_batch_size=4, max_wait_ms=50,
+                                   **kw)
+            try:
+                futs = [
+                    engine.submit("p", token_ids=IDS, seed=s,
+                                  num_inference_steps=2, image_size=32)
+                    for s in seeds
+                ]
+                out = [f.result(300) for f in futs]
+                stats = engine.stats()
+            finally:
+                engine.shutdown()
+            return out, stats
+
+        full, full_stats = run()
+        chunked, chunk_stats = run(device_batch_size=2)
+        for a, b in zip(full, chunked):
+            np.testing.assert_array_equal(a, b)
+        # the chunked run executed more (smaller) device programs
+        assert chunk_stats["batches"] > full_stats["batches"]
+        assert chunk_stats["requests"] == full_stats["requests"] == 4
+
+    def test_device_batch_size_validates(self, pipe):
+        with pytest.raises(ValueError, match="device_batch_size"):
+            ServingEngine(pipe, device_batch_size=0)
+
     def test_same_seed_same_image_regardless_of_batching(self, pipe):
         engine = ServingEngine(pipe, max_batch_size=3, max_wait_ms=10)
         try:
