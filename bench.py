@@ -76,6 +76,10 @@ def main() -> None:
                          "end-to-end request throughput")
     ap.add_argument("--requests", type=int, default=32,
                     help="request count for --serving")
+    ap.add_argument("--device-batch", type=int, default=None,
+                    help="ServingEngine device_batch_size for --serving: "
+                         "rows per device program (coalesced batches split "
+                         "into pipelined chunks; tools/ab_serving.py data)")
     args = ap.parse_args()
 
     import jax
@@ -325,15 +329,27 @@ def _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg) -> None:
                 (args.image_size, args.image_size), np.uint8
             )
             mask_image[:, args.image_size // 2:] = 255
-    # precompile the bucket so the measurement is steady-state serving
+    # precompile the bucket so the measurement is steady-state serving;
+    # the device programs are the CHUNK sizes (engine default
+    # DEFAULT_DEVICE_BATCH, or --device-batch), not the coalesced size
+    from sdtpu.pipeline.serving import DEFAULT_DEVICE_BATCH
+
+    db = (args.device_batch if args.device_batch is not None
+          else DEFAULT_DEVICE_BATCH)
+    warm_sizes = (
+        tuple(sorted({min(db, args.batch)}
+                     | ({args.batch % db} if args.batch % db else set())))
+        if db else (args.batch,)
+    )
     pipe.warmup(
         image_sizes=(args.image_size,), step_counts=(steps,),
-        batch_sizes=(args.batch,), cfg=cfg, sampler=sampler,
+        batch_sizes=warm_sizes, cfg=cfg, sampler=sampler,
         img2img=init_image is not None, inpaint=mask_image is not None,
         strength=1.0 if mask_image is not None else args.strength,
         pag_scale=args.pag_scale,
     )
-    engine = ServingEngine(pipe, max_batch_size=args.batch, max_wait_ms=5.0)
+    engine = ServingEngine(pipe, max_batch_size=args.batch, max_wait_ms=5.0,
+                           device_batch_size=db)
     try:
         t0 = time.perf_counter()
         futs = [

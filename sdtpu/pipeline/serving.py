@@ -40,6 +40,10 @@ import numpy as np
 
 _FAILED = object()  # dispatch sentinel: batch already resolved with an error
 
+# Default rows per device program (see ServingEngine.device_batch_size);
+# importers (bench.py warmup) must stay in sync with the engine default.
+DEFAULT_DEVICE_BATCH = 4
+
 
 @dataclasses.dataclass
 class _Request:
@@ -136,7 +140,7 @@ class ServingEngine:
         max_batch_size: int = 8,
         max_wait_ms: float = 20.0,
         max_retries: int = 1,
-        device_batch_size: Optional[int] = None,
+        device_batch_size: Optional[int] = DEFAULT_DEVICE_BATCH,
     ):
         self.pipeline = pipeline
         self.max_batch_size = max_batch_size
@@ -144,9 +148,13 @@ class ServingEngine:
         # queueing/multiplexing; the device batch bounds the compiled
         # program's shape.  The chip saturates at tiny batches for
         # full-quality work (BENCHLOG batch-scaling), so a collected batch
-        # of 8 can run as e.g. 4 pipelined 2-row programs with LOWER
+        # of 8 can run as e.g. 2 pipelined 4-row programs with LOWER
         # per-request latency at equal-or-better throughput.  None = one
-        # program per collected batch (the round-3 behavior).
+        # program per collected batch (the round-3 behavior).  Default 4
+        # from the round-4 same-process A/B (BENCHLOG): best few-step
+        # throughput (LCM engine 17.2 vs 16.0 img/s whole-batch-8), within
+        # 1% of best on 25-step tiny-sd, and 16-23% lower p50 request
+        # latency — and >= the single-shot stream on both workloads.
         if device_batch_size is not None and device_batch_size < 1:
             raise ValueError("device_batch_size must be >= 1")
         self.device_batch_size = device_batch_size
