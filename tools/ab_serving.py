@@ -34,7 +34,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--sampler", default="ddpm")
-    ap.add_argument("--cfg", action="store_true", default=True)
+    ap.add_argument("--no-cfg", action="store_true",
+                    help="disable CFG (LCM-style guidance-embedding presets)")
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--batches", type=int, nargs="*", default=[1, 2, 4, 8])
     ap.add_argument("--engine-batches", type=int, nargs="*", default=[8, 2])
@@ -43,6 +44,7 @@ def main() -> None:
     ap.add_argument("--device-batch", type=int, default=None,
                     help="engine device_batch_size override to also test")
     args = ap.parse_args()
+    args.cfg = not args.no_cfg
 
     import jax
     import jax.numpy as jnp
@@ -155,7 +157,17 @@ def main() -> None:
 
     # --- 3. single-shot pipelined generate_async loop -----------------------
     n = args.requests
-    ids1 = rng.integers(1, config.text_config.vocab_size, (2, max_len))
+    ids1 = rng.integers(1, config.text_config.vocab_size,
+                        (2 if args.cfg else 1, max_len))
+    # warm OUTSIDE the timed window: the single-generate program can differ
+    # from the generate_batch programs compiled in section 1, and a cold
+    # compile inside the loop dominates the wall time (first run of this
+    # tool read 0.409 img/s = one 52 s compile + 24 real generations)
+    pipe.generate_async(
+        "ab", token_ids=ids1, num_inference_steps=args.steps,
+        image_size=args.image_size, sampler=args.sampler, cfg=args.cfg,
+        seed=999,
+    ).result()
     t0 = time.perf_counter()
     pending = pipe.generate_async(
         "ab", token_ids=ids1, num_inference_steps=args.steps,
