@@ -16,12 +16,18 @@ fused path engages only when the padded feature map fits the VMEM budget.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# conv1 -> GN2 stats chaining inside resblocks (emit_stats/stats below):
+# default ON; SDTPU_CONV_STATS=0 disables.  Read at TRACE time — same-process
+# A/B tools mutate it per jit closure (the SDTPU_PACKED_OUT_PROJ pattern).
+CONV_STATS_CHAIN = os.environ.get("SDTPU_CONV_STATS", "1") not in ("0", "false")
 
 _VMEM_BUDGET = 72 * 1024 * 1024  # vs the kernel's 100 MB compiler limit
 # (empirical: Mosaic's real stack allocation runs ~25% above this estimate —
@@ -167,7 +173,8 @@ def plan_slab(x_shape, kernel_shape, *, has_prologue=False, has_residual=False,
 
 def _slab_kernel(
     t_ref, x_ref, btm_ref, a_ref, b_ref, k_ref, cb_ref, r_ref, s_ref, z_ref,
-    ws_ref, o_ref, *, ht, w, h, has_pro, has_res, quant, upsample,
+    ws_ref, o_ref, st_ref=None, *, ht, w, h, has_pro, has_res, quant,
+    upsample,
 ):
     # The slab index is grid dim 1 in BOTH grid orders (conv3x3_gemm_slab).
     si = pl.program_id(1)
@@ -245,13 +252,25 @@ def _slab_kernel(
     out = acc.reshape(ht, w, co)
     if has_res:
         out = out + r_ref[0].astype(jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+    oc = out.astype(o_ref.dtype)
+    o_ref[0] = oc
+    if st_ref is not None:
+        # Per-channel partial moments of the OUTPUT block, for the NEXT
+        # GroupNorm's statistics: the consumer's stat pass is the one HBM
+        # read XLA cannot fuse into this custom call (it re-reads the whole
+        # map).  Stats are taken on the CAST value so they match what that
+        # pass would have read.  Per-channel (not per-group) sums so the
+        # consumer can fold its own temb offset before grouping.
+        of = oc.astype(jnp.float32).reshape(ht * w, co)
+        st_ref[0, 0] = jnp.stack(
+            [jnp.sum(of, axis=0), jnp.sum(of * of, axis=0)], axis=0
+        )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("h_tile", "co_tile", "grid_order", "upsample",
-                     "interpret"),
+                     "emit_stats", "interpret"),
 )
 def conv3x3_gemm_slab(
     x: jax.Array,
@@ -268,6 +287,7 @@ def conv3x3_gemm_slab(
     co_tile: int,
     grid_order: str = "auto",
     upsample: bool = False,
+    emit_stats: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Row-slab NHWC stride-1 same-pad 3x3 conv (+bias) (+residual), with an
@@ -306,6 +326,12 @@ def conv3x3_gemm_slab(
     XLA's broadcast+reshape lowering of ``nearest_upsample`` cost ~7% of
     VAE-decode time, BENCHLOG round 3).  Requires even ``h_tile``;
     h_tile/co_tile are planned against the UPSAMPLED shape.
+
+    ``emit_stats=True`` returns ``(out, moments)`` where moments is
+    (B, 2, Co) f32 = per-channel [mean, mean-of-squares] of the OUTPUT over
+    (H, W) — free GroupNorm statistics for the NEXT gn_silu_conv3x3_slab
+    (``stats=``), saving that call's full-map HBM stat pass (XLA cannot
+    fuse a reduction into this custom call's output).
     """
     b, hx, wx, ci = x.shape
     h, w = (2 * hx, 2 * wx) if upsample else (hx, wx)
@@ -408,12 +434,31 @@ def conv3x3_gemm_slab(
         memory_space=pltpu.VMEM,
     )
 
+    out_shape = jax.ShapeDtypeStruct((b, h, w, co_pad), x.dtype)
+    out_spec = pl.BlockSpec(
+        (1, h_tile, w, co_tile),
+        reorder(lambda bi, si, oi: (bi, si, 0, oi)),
+        memory_space=pltpu.VMEM,
+    )
+    if emit_stats:
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((b, ns, 2, co_pad), jnp.float32),
+        )
+        out_spec = (
+            out_spec,
+            pl.BlockSpec(
+                (1, 1, 2, co_tile),
+                reorder(lambda bi, si, oi: (bi, si, 0, oi)),
+                memory_space=pltpu.VMEM,
+            ),
+        )
     out = pl.pallas_call(
         functools.partial(
             _slab_kernel, ht=h_tile, w=w, h=h, has_pro=has_pro,
             has_res=has_res, quant=quant, upsample=upsample,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, co_pad), x.dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             top_spec,
@@ -447,11 +492,7 @@ def conv3x3_gemm_slab(
                          reorder(lambda bi, si, oi: (0, oi)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, h_tile, w, co_tile),
-            reorder(lambda bi, si, oi: (bi, si, 0, oi)),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -459,6 +500,11 @@ def conv3x3_gemm_slab(
         interpret=interpret,
     )(arr, arr, arr, a, bb, kernel, cb, res, s, z, ws)
 
+    if emit_stats:
+        out, st = out
+        # tiny (B, ns, 2, co) -> (B, 2, co) reduction; /HW turns the raw
+        # sums into [mean, mean-of-squares]
+        return out[..., :co], st.sum(axis=1)[..., :co] / float(h * w)
     return out[..., :co]
 
 
@@ -475,9 +521,11 @@ def gn_silu_conv3x3_slab(
     act_inv_scale=None,
     act_zp=None,
     w_scale=None,
+    stats=None,
     h_tile: int,
     co_tile: int,
     grid_order: str = "auto",
+    emit_stats: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """(x [+ temb]) -> GroupNorm -> SiLU -> 3x3 conv (+bias) (+residual) for
@@ -488,17 +536,37 @@ def gn_silu_conv3x3_slab(
     SiLU collapse to a per-(batch, channel) affine applied inside the slab
     kernel's prologue, so the normalized map never round-trips HBM:
     GN(x + t) = x * (inv * gamma) + ((t - mu) * inv * gamma + beta).
+
+    ``stats``: optional (B, 2, Ci) f32 per-channel [mean, mean-of-squares]
+    of ``x`` over (H, W) — the ``emit_stats`` output of the producing slab
+    conv.  When given, the GN statistics derive from it with per-channel
+    math only (the temb offset folds in exactly: E[(x+t)^2] =
+    E[x^2] + 2 t E[x] + t^2), and the full-map stat read is skipped.
+    ``emit_stats``: forward to :func:`conv3x3_gemm_slab` — returns
+    ``(out, moments)`` for the next consumer.
     """
     b, h, w, ci = x.shape
     cpg = ci // num_groups
-    xf = x.astype(jnp.float32)
-    t = None
-    if temb is not None:
-        t = temb.astype(jnp.float32)  # (B, Ci)
-        xf = xf + t[:, None, None, :]
-    xg = xf.reshape(b, h * w, num_groups, cpg)
-    mean = jnp.mean(xg, axis=(1, 3))  # (B, G)
-    var = jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean)
+    if stats is not None:
+        m1 = stats[:, 0].astype(jnp.float32)  # (B, Ci)
+        m2 = stats[:, 1].astype(jnp.float32)
+        t = None
+        if temb is not None:
+            t = temb.astype(jnp.float32)
+            m2 = m2 + 2.0 * t * m1 + jnp.square(t)
+            m1 = m1 + t
+        mean = jnp.mean(m1.reshape(b, num_groups, cpg), axis=2)  # (B, G)
+        ex2 = jnp.mean(m2.reshape(b, num_groups, cpg), axis=2)
+        var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    else:
+        xf = x.astype(jnp.float32)
+        t = None
+        if temb is not None:
+            t = temb.astype(jnp.float32)  # (B, Ci)
+            xf = xf + t[:, None, None, :]
+        xg = xf.reshape(b, h * w, num_groups, cpg)
+        mean = jnp.mean(xg, axis=(1, 3))  # (B, G)
+        var = jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean)
     inv = jax.lax.rsqrt(var + eps)
     invc = jnp.repeat(inv, cpg, axis=1)  # (B, Ci)
     muc = jnp.repeat(mean, cpg, axis=1)
@@ -512,7 +580,7 @@ def gn_silu_conv3x3_slab(
         prologue_scale=a, prologue_bias=bb, residual=residual,
         act_inv_scale=act_inv_scale, act_zp=act_zp, w_scale=w_scale,
         h_tile=h_tile, co_tile=co_tile, grid_order=grid_order,
-        interpret=interpret,
+        emit_stats=emit_stats, interpret=interpret,
     )
 
 

@@ -131,9 +131,12 @@ def controlnet_forward(
         ch = config.block_out_channels[level]
         heads = _heads_for_level(config, ch)
         for i, res in enumerate(block["resnets"]):
+            has_attn = config.attention_levels[level]
             x = resnet_block(x, temb, res, num_groups=ng, conv_impl=conv_impl,
-                             t_pre=None if tp is None else tp["down"][level][i])
-            if config.attention_levels[level]:
+                             t_pre=None if tp is None else tp["down"][level][i],
+                             emit_stats=has_attn)
+            if has_attn:
+                x, rstats = x
                 x = attention_block(
                     x,
                     context,
@@ -145,6 +148,7 @@ def controlnet_forward(
                         None if cross_kv is None
                         else cross_kv["down"][level][i]
                     ),
+                    stats=rstats,
                 )
             down.append(conv1x1_tokens(x, next(zero_convs)) * scale)
         if "downsample" in block:
@@ -155,9 +159,9 @@ def controlnet_forward(
     if config.mid_block:
         mid = params["mid_block"]
         heads = _heads_for_level(config, config.block_out_channels[-1])
-        x = resnet_block(x, temb, mid["resnets"][0], num_groups=ng,
-                         conv_impl=conv_impl,
-                         t_pre=None if tp is None else tp["mid"][0])
+        x, rstats = resnet_block(
+            x, temb, mid["resnets"][0], num_groups=ng, conv_impl=conv_impl,
+            t_pre=None if tp is None else tp["mid"][0], emit_stats=True)
         x = attention_block(
             x,
             context,
@@ -166,6 +170,7 @@ def controlnet_forward(
             num_groups=ng,
             implementation=attention_impl,
             cross_kv=None if cross_kv is None else cross_kv["mid"][0],
+            stats=rstats,
         )
         x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng,
                          conv_impl=conv_impl,

@@ -199,7 +199,8 @@ def resnet_block(
     num_groups: int = 32,
     conv_impl: str = "xla",
     t_pre: Optional[jax.Array] = None,
-) -> jax.Array:
+    emit_stats: bool = False,
+):
     """Unet_Residual_Block (``diffusion.mojo:54-72``).
 
     x: (B, H, W, C_in); temb: (B, time_embed_dim) already SiLU'd once per
@@ -207,6 +208,9 @@ def resnet_block(
     block (``diffusion.mojo:61``); hoisting it is numerically identical.
     ``t_pre``: the scan-hoisted projected time vector (B, C_out) from
     ``precompute_time_projections`` — skips the in-scan ``time_emb_proj``.
+    ``emit_stats=True`` returns ``(out, moments)`` — per-channel output
+    moments (post skip-add) for the following attention block's GroupNorm
+    (None off the slab path / chain disabled; see kernels/conv2d.py).
     """
     t = linear(temb, params["time_emb_proj"]) if t_pre is None else t_pre
 
@@ -254,17 +258,29 @@ def resnet_block(
         # second conv's epilogue consumes the skip add — XLA can't fuse
         # elementwise work around a custom call, so the unfused version
         # paid an extra full-map HBM pass for the residual (BENCHLOG.md).
+        # conv1 additionally emits per-channel output moments so norm2's
+        # stats derive without re-reading the mid map from HBM (the one
+        # stat pass XLA can't fuse — its producer is the Pallas call).
+        import sdtpu.kernels.conv2d as _conv2d_mod
+
+        chain = _conv2d_mod.CONV_STATS_CHAIN  # trace-time A/B toggle
         h = gn_silu_conv3x3_slab(
             x, params["norm1"], k1,
             qbias(params["conv1"]), num_groups=num_groups,
-            h_tile=slab[0][0], co_tile=slab[0][1], **qkw(params["conv1"]),
+            h_tile=slab[0][0], co_tile=slab[0][1], emit_stats=chain,
+            **qkw(params["conv1"]),
         )
-        return gn_silu_conv3x3_slab(
+        h, hstats = h if chain else (h, None)
+        out = gn_silu_conv3x3_slab(
             h, params["norm2"], k2,
             qbias(params["conv2"]), num_groups=num_groups, temb=t,
-            residual=_shortcut(x, params), h_tile=slab[1][0],
-            co_tile=slab[1][1], **qkw(params["conv2"]),
+            residual=_shortcut(x, params), stats=hstats, h_tile=slab[1][0],
+            co_tile=slab[1][1], emit_stats=chain and emit_stats,
+            **qkw(params["conv2"]),
         )
+        if emit_stats:
+            return out if chain else (out, None)
+        return out
 
     h = _gn_silu(x, params["norm1"], num_groups=num_groups)
     h = conv2d(h, _float_kernel(params["conv1"]), params["conv1"]["bias"],
@@ -273,7 +289,8 @@ def resnet_block(
     h = _gn_silu(h, params["norm2"], num_groups=num_groups)
     h = conv2d(h, _float_kernel(params["conv2"]), params["conv2"]["bias"],
                padding=1, impl=conv_impl)
-    return _shortcut(x, params) + h
+    out = _shortcut(x, params) + h
+    return (out, None) if emit_stats else out
 
 
 def attention_block(
@@ -286,6 +303,7 @@ def attention_block(
     implementation: str = "xla",
     cross_kv: Optional[list] = None,
     pag_tail: int = 0,
+    stats=None,
 ) -> jax.Array:
     """Unet_Attention_Block / diffusers Transformer2D (``diffusion.mojo:112-147``).
 
@@ -294,10 +312,13 @@ def attention_block(
     ``cross_kv``: per-transformer-block precomputed cross K/V (scan-hoisted).
     ``pag_tail``: Perturbed-Attention Guidance rows (see
     :func:`sdtpu.ops.attention.transformer_block`).
+    ``stats``: producer moments of ``x`` (the preceding resnet's slab
+    epilogue) for the GN — skips its full-map stat read.
     """
     b, h, w, c = x.shape
     residual = x
-    out = group_norm(x, params["norm"], num_groups=num_groups, eps=1e-6)
+    out = group_norm(x, params["norm"], num_groups=num_groups, eps=1e-6,
+                     stats=stats)
     out = out.reshape(b, h * w, c)
     out = linear(out, params["proj_in"])
     for i, block in enumerate(params["blocks"]):
@@ -555,9 +576,12 @@ def unet_encode(
         ch = config.block_out_channels[level]
         heads = _heads_for_level(config, ch)
         for i, res in enumerate(block["resnets"]):
+            has_attn = config.attention_levels[level]
             x = resnet_block(x, temb, res, num_groups=ng, conv_impl=conv_impl,
-                             t_pre=None if tp is None else tp["down"][level][i])
-            if config.attention_levels[level]:
+                             t_pre=None if tp is None else tp["down"][level][i],
+                             emit_stats=has_attn)
+            if has_attn:
+                x, rstats = x
                 x = attention_block(
                     x,
                     context,
@@ -570,6 +594,7 @@ def unet_encode(
                         else cross_kv["down"][level][i]
                     ),
                     pag_tail=pag_tail if level == pag_level else 0,
+                    stats=rstats,
                 )
             skips.append(save(x))
         if "downsample" in block:
@@ -580,8 +605,9 @@ def unet_encode(
     if config.mid_block:
         mid = params["mid_block"]
         heads = _heads_for_level(config, config.block_out_channels[-1])
-        x = resnet_block(x, temb, mid["resnets"][0], num_groups=ng, conv_impl=conv_impl,
-                         t_pre=None if tp is None else tp["mid"][0])
+        x, rstats = resnet_block(
+            x, temb, mid["resnets"][0], num_groups=ng, conv_impl=conv_impl,
+            t_pre=None if tp is None else tp["mid"][0], emit_stats=True)
         x = attention_block(
             x,
             context,
@@ -591,6 +617,7 @@ def unet_encode(
             implementation=attention_impl,
             cross_kv=None if cross_kv is None else cross_kv["mid"][0],
             pag_tail=pag_tail,
+            stats=rstats,
         )
         x = resnet_block(x, temb, mid["resnets"][1], num_groups=ng, conv_impl=conv_impl,
                          t_pre=None if tp is None else tp["mid"][1])
@@ -635,9 +662,12 @@ def unet_decode(
             if freeu is not None:
                 x, skip = apply_freeu(rev, x, skip, freeu)
             x = jnp.concatenate([x, skip], axis=-1)
+            has_attn = config.attention_levels[level]
             x = resnet_block(x, temb, res, num_groups=ng, conv_impl=conv_impl,
-                             t_pre=None if tp is None else tp["up"][rev][i])
-            if config.attention_levels[level]:
+                             t_pre=None if tp is None else tp["up"][rev][i],
+                             emit_stats=has_attn)
+            if has_attn:
+                x, rstats = x
                 x = attention_block(
                     x,
                     context,
@@ -649,6 +679,7 @@ def unet_decode(
                         None if cross_kv is None
                         else cross_kv["up"][rev][i]
                     ),
+                    stats=rstats,
                 )
         if "upsample" in block:
             x = upsample(x, block["upsample"], conv_impl=conv_impl)

@@ -47,8 +47,9 @@ def _shortcut(x: jax.Array, params: dict) -> jax.Array:
 
 
 def vae_resnet(
-    x: jax.Array, params: dict, *, num_groups: int = 32, conv_impl: str = "xla"
-) -> jax.Array:
+    x: jax.Array, params: dict, *, num_groups: int = 32,
+    conv_impl: str = "xla", stats=None, emit_stats: bool = False,
+):
     """Res_Block (``vae.mojo:30-67``) with standard 32-group norms.
 
     On TPU (``conv_impl="gemm"``) both convs route through the row-slab
@@ -56,7 +57,15 @@ def vae_resnet(
     512x512x128) never round-trip HBM between normalize and conv.  Conv
     dicts quantized by :func:`sdtpu.utils.quant.quantize_vae_decoder_int8`
     (presence of ``kernel_q``) run the slab contraction int8 x int8 ->
-    int32 on the MXU's 2x path; off-TPU they dequantize on the fly."""
+    int32 on the MXU's 2x path; off-TPU they dequantize on the fly.
+
+    ``stats``: optional (B, 2, C) per-channel moments of ``x`` from the
+    producing slab conv — norm1's statistics derive from them instead of
+    re-reading the map (dropped if the channel count doesn't line up).
+    ``emit_stats=True`` returns ``(out, moments)`` where moments are the
+    POST-residual output moments (conv2's slab epilogue includes the skip
+    add), i.e. valid ``stats`` for the next consumer — or None off the
+    slab path / with the chain disabled."""
     from sdtpu.utils.quant import (
         conv_bias_deq,
         float_conv_kernel,
@@ -64,6 +73,8 @@ def vae_resnet(
         slab_quant_kwargs,
     )
 
+    if stats is not None and stats.shape[-1] != x.shape[-1]:
+        stats = None
     if conv_impl == "gemm":
         from sdtpu.kernels.conv2d import gn_silu_conv3x3_slab, plan_slab
 
@@ -85,19 +96,33 @@ def vae_resnet(
             and x.shape[-1] % num_groups == 0
             and mid_shape[-1] % num_groups == 0
         ):
+            # conv1 emits per-channel output moments -> norm2's statistics
+            # derive without re-reading the mid map from HBM (see
+            # kernels/conv2d.py emit_stats)
+            import sdtpu.kernels.conv2d as _conv2d_mod
+
+            chain = _conv2d_mod.CONV_STATS_CHAIN  # trace-time A/B toggle
             h = gn_silu_conv3x3_slab(
                 x, params["norm1"], k1,
                 conv_bias_deq(params["conv1"]), num_groups=num_groups,
                 eps=1e-6, h_tile=st1[0], co_tile=st1[1],
+                stats=stats if chain else None, emit_stats=chain,
                 **slab_quant_kwargs(params["conv1"]),
             )
-            return gn_silu_conv3x3_slab(
+            h, hstats = h if chain else (h, None)
+            out = gn_silu_conv3x3_slab(
                 h, params["norm2"], k2,
                 conv_bias_deq(params["conv2"]), num_groups=num_groups,
-                eps=1e-6, residual=_shortcut(x, params), h_tile=st2[0],
-                co_tile=st2[1], **slab_quant_kwargs(params["conv2"]),
+                eps=1e-6, residual=_shortcut(x, params), stats=hstats,
+                h_tile=st2[0], co_tile=st2[1],
+                emit_stats=chain and emit_stats,
+                **slab_quant_kwargs(params["conv2"]),
             )
-    h = group_norm(x, params["norm1"], num_groups=num_groups, eps=1e-6)
+            if emit_stats:
+                return out if chain else (out, None)
+            return out
+    h = group_norm(x, params["norm1"], num_groups=num_groups, eps=1e-6,
+                   stats=stats)
     h = silu(h)
     h = conv2d(h, float_conv_kernel(params["conv1"], x.dtype),
                params["conv1"]["bias"], padding=1, impl=conv_impl)
@@ -105,17 +130,20 @@ def vae_resnet(
     h = silu(h)
     h = conv2d(h, float_conv_kernel(params["conv2"], x.dtype),
                params["conv2"]["bias"], padding=1, impl=conv_impl)
-    return _shortcut(x, params) + h
+    out = _shortcut(x, params) + h
+    return (out, None) if emit_stats else out
 
 
 def vae_attention(
     x: jax.Array, params: dict, *, num_groups: int = 32,
-    implementation: str = "xla",
+    implementation: str = "xla", stats=None,
 ) -> jax.Array:
     """Attention_Block (``vae.mojo:5-27``): GN -> single-head self-attention
-    over spatial tokens -> residual."""
+    over spatial tokens -> residual.  ``stats``: producer moments of ``x``
+    for the GN (see :func:`sdtpu.ops.norm.group_norm`)."""
     b, h, w, c = x.shape
-    out = group_norm(x, params["norm"], num_groups=num_groups, eps=1e-6)
+    out = group_norm(x, params["norm"], num_groups=num_groups, eps=1e-6,
+                     stats=stats)
     out = out.reshape(b, h * w, c)
     out = attention(out, params["attn"], num_heads=1,
                     implementation=implementation,
@@ -127,10 +155,11 @@ def _mid(
     x: jax.Array, params: dict, *, num_groups: int,
     implementation: str = "xla", conv_impl: str = "xla",
 ) -> jax.Array:
-    x = vae_resnet(x, params["resnets"][0], num_groups=num_groups,
-                   conv_impl=conv_impl)
+    x, st = vae_resnet(x, params["resnets"][0], num_groups=num_groups,
+                       conv_impl=conv_impl, emit_stats=True)
     x = vae_attention(
-        x, params["attention"], num_groups=num_groups, implementation=implementation
+        x, params["attention"], num_groups=num_groups,
+        implementation=implementation, stats=st,
     )
     return vae_resnet(x, params["resnets"][1], num_groups=num_groups,
                       conv_impl=conv_impl)
@@ -145,8 +174,10 @@ def vae_encoder(
     ng = config.norm_num_groups
     h = conv2d(x, params["conv_in"]["kernel"], params["conv_in"]["bias"], padding=1)
     for level, block in enumerate(params["down_blocks"]):
+        st = None  # XLA convs below break the chain (XLA fuses its own)
         for res in block["resnets"]:
-            h = vae_resnet(h, res, num_groups=ng, conv_impl=conv_impl)
+            h, st = vae_resnet(h, res, num_groups=ng, conv_impl=conv_impl,
+                               stats=st, emit_stats=True)
         if "downsample" in block:
             # Asymmetric (0,1),(0,1) pad + stride-2 conv (vae.mojo:115-116).
             h = conv2d(
@@ -210,19 +241,26 @@ def vae_decode(
     )
     h = conv2d(h, params["conv_in"]["kernel"], params["conv_in"]["bias"], padding=1)
     h = _mid(h, params["mid_block"], num_groups=ng, implementation=attention_impl, conv_impl=conv_impl)
+    # Stats chain end-to-end through the up blocks: resnet -> resnet,
+    # resnet -> upsample-slab -> next level's norm1, last resnet ->
+    # norm_out — every GN stat pass over the big decoder maps derives from
+    # the producing slab conv's emitted moments instead of re-reading HBM.
+    st = None
     for block in params["up_blocks"]:
         for res in block["resnets"]:
-            h = vae_resnet(h, res, num_groups=ng, conv_impl=conv_impl)
+            h, st = vae_resnet(h, res, num_groups=ng, conv_impl=conv_impl,
+                               stats=st, emit_stats=True)
         if "upsample" in block:
             from sdtpu.ops.conv import nearest_up_conv2d
 
-            h = nearest_up_conv2d(
+            h, st = nearest_up_conv2d(
                 h,
                 block["upsample"]["kernel"],
                 block["upsample"]["bias"],
                 impl=conv_impl,
+                emit_stats=True,
             )
-    h = group_norm(h, params["norm_out"], num_groups=ng, eps=1e-6)
+    h = group_norm(h, params["norm_out"], num_groups=ng, eps=1e-6, stats=st)
     h = silu(h)
     return conv2d(
         h, params["conv_out"]["kernel"], params["conv_out"]["bias"], padding=1

@@ -79,7 +79,8 @@ def nearest_up_conv2d(
     bias: Optional[jax.Array] = None,
     *,
     impl: str = "xla",
-) -> jax.Array:
+    emit_stats: bool = False,
+):
     """Nearest-2x upsample + 3x3 same-pad conv (the UNet/VAE ``Upsample``
     block, ``diffusion.mojo:181-189`` / ``vae.mojo:183-213`` semantics).
 
@@ -87,21 +88,34 @@ def nearest_up_conv2d(
     kernel: the small map is the only HBM read and the 4x upsampled map is
     never materialized (XLA's broadcast+reshape lowering of
     ``nearest_upsample`` cost ~7% of VAE-decode time — BENCHLOG round 3).
-    Falls back to ``nearest_upsample`` + ``conv2d`` otherwise."""
+    Falls back to ``nearest_upsample`` + ``conv2d`` otherwise.
+
+    ``emit_stats=True`` returns ``(out, moments)`` — per-channel output
+    moments for the consumer GN's stats chain (None off the slab path or
+    with the chain disabled, see kernels/conv2d.py)."""
     if impl == "gemm" and kernel.shape[:2] == (3, 3):
-        from sdtpu.kernels.conv2d import conv3x3_gemm_slab, plan_slab
+        from sdtpu.kernels.conv2d import (
+            CONV_STATS_CHAIN,
+            conv3x3_gemm_slab,
+            plan_slab,
+        )
 
         b, h, w, ci = x.shape
         st = plan_slab(
             (b, 2 * h, 2 * w, ci), kernel.shape, itemsize=x.dtype.itemsize
         )
         if st is not None and st[0] % 2 == 0:
-            return conv3x3_gemm_slab(
-                x, kernel, bias, h_tile=st[0], co_tile=st[1], upsample=True
+            out = conv3x3_gemm_slab(
+                x, kernel, bias, h_tile=st[0], co_tile=st[1], upsample=True,
+                emit_stats=emit_stats and CONV_STATS_CHAIN,
             )
+            if emit_stats:
+                return out if CONV_STATS_CHAIN else (out, None)
+            return out
     from sdtpu.ops.resize import nearest_upsample
 
-    return conv2d(nearest_upsample(x, 2), kernel, bias, padding=1, impl=impl)
+    out = conv2d(nearest_upsample(x, 2), kernel, bias, padding=1, impl=impl)
+    return (out, None) if emit_stats else out
 
 
 def conv1x1_tokens(x: jax.Array, params: dict) -> jax.Array:

@@ -20,16 +20,34 @@ def group_norm(
     *,
     num_groups: int = 32,
     eps: float = 1e-5,
+    stats=None,
 ) -> jax.Array:
-    """x: (N, H, W, C) or (N, L, C); normalizes over (spatial, C/G) per group."""
+    """x: (N, H, W, C) or (N, L, C); normalizes over (spatial, C/G) per group.
+
+    ``stats``: optional (N, 2, C) f32 per-channel [mean, mean-of-squares] of
+    ``x`` over the spatial axes — the ``emit_stats`` output of a producing
+    Pallas slab conv (kernels/conv2d.py).  When given, the group statistics
+    derive from it and the full-map stat read is skipped (a reduction cannot
+    fuse into a custom-call producer); the normalize pass still reads the
+    map once, as it must.
+    """
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
     spatial = x.shape[1:-1]
-    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    cpg = c // num_groups
+    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, cpg)
+    if stats is not None:
+        m1 = stats[:, 0].astype(jnp.float32).reshape(n, 1, num_groups, cpg)
+        m2 = stats[:, 1].astype(jnp.float32).reshape(n, 1, num_groups, cpg)
+        mean = jnp.mean(m1, axis=3, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(m2, axis=3, keepdims=True) - jnp.square(mean), 0.0
+        )
+    else:
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)
     xf = xf.reshape(n, *spatial, c)
     out = xf * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)

@@ -421,6 +421,52 @@ class TestSlabGnSiluConv:
         )
         assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
 
+    @pytest.mark.parametrize("has_t", [False, True])
+    def test_slab_emit_stats_chain(self, rng, has_t):
+        """conv1's emit_stats moments must equal direct per-channel moments
+        of its output, and feeding them as ``stats=`` to the next
+        gn_silu_conv3x3_slab must reproduce the recompute-from-map result
+        (incl. the temb fold: E[(x+t)^2] = E[x^2] + 2tE[x] + t^2)."""
+        from sdtpu.kernels.conv2d import gn_silu_conv3x3_slab
+
+        b, h, w, ci, co, g = 2, 16, 16, 64, 64, 8
+        x = jnp.array(rng.standard_normal((b, h, w, ci), dtype=np.float32))
+        norm1 = {
+            "scale": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+            "bias": jnp.array(rng.standard_normal(ci, dtype=np.float32)),
+        }
+        norm2 = {
+            "scale": jnp.array(rng.standard_normal(co, dtype=np.float32)),
+            "bias": jnp.array(rng.standard_normal(co, dtype=np.float32)),
+        }
+        k1 = jnp.array(
+            rng.standard_normal((3, 3, ci, co), dtype=np.float32)) * 0.1
+        k2 = jnp.array(
+            rng.standard_normal((3, 3, co, co), dtype=np.float32)) * 0.1
+        cb = jnp.array(rng.standard_normal(co, dtype=np.float32))
+        t = (
+            jnp.array(rng.standard_normal((b, co), dtype=np.float32))
+            if has_t else None
+        )
+        out, mom = gn_silu_conv3x3_slab(
+            x, norm1, k1, cb, num_groups=g, h_tile=8, co_tile=64,
+            emit_stats=True, interpret=True,
+        )
+        ref = np.asarray(out, np.float64)
+        assert_allclose(mom[:, 0], ref.mean(axis=(1, 2)),
+                        atol=1e-5, rtol=1e-5)
+        assert_allclose(mom[:, 1], (ref ** 2).mean(axis=(1, 2)),
+                        atol=1e-5, rtol=1e-5)
+        want = gn_silu_conv3x3_slab(
+            out, norm2, k2, cb, num_groups=g, temb=t, h_tile=8, co_tile=64,
+            interpret=True,
+        )
+        got = gn_silu_conv3x3_slab(
+            out, norm2, k2, cb, num_groups=g, temb=t, stats=mom,
+            h_tile=8, co_tile=64, interpret=True,
+        )
+        assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
     def test_w8a8_slab_matches_integer_emulation(self, rng):
         """The int8 slab kernel must equal an exact host emulation of its
         quantized math: quantize SiLU(GN(x+t)) per-ci, integer conv, per-co
@@ -600,3 +646,118 @@ class TestSlabGnSiluConv:
         finally:
             ck.gn_silu_conv3x3_slab = orig
         assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+
+class TestStatsChainModels:
+    """The conv->GN stats chain (kernels/conv2d.py emit_stats/stats) must be
+    a pure perf transform: whole-model outputs with the chain ON must equal
+    chain OFF and the XLA reference path, with the slab path ENGAGED (the
+    counters guard against the test passing vacuously on a fallback)."""
+
+    def _patch(self, ck):
+        counters = {"consumed": 0, "emitted": 0}
+        orig_gn, orig_conv = ck.gn_silu_conv3x3_slab, ck.conv3x3_gemm_slab
+
+        def gn_wrap(*a, **kw):
+            if kw.get("stats") is not None:
+                counters["consumed"] += 1
+            kw["interpret"] = True
+            return orig_gn(*a, **kw)
+
+        def conv_wrap(*a, **kw):
+            if kw.get("emit_stats"):
+                counters["emitted"] += 1
+            kw["interpret"] = True
+            return orig_conv(*a, **kw)
+
+        ck.gn_silu_conv3x3_slab, ck.conv3x3_gemm_slab = gn_wrap, conv_wrap
+        return counters, (orig_gn, orig_conv)
+
+    def test_upsample_emit_stats(self, rng):
+        """The fused-upsample slab conv's moments must equal direct
+        per-channel moments of its (upsampled-size) output."""
+        from sdtpu.kernels.conv2d import conv3x3_gemm_slab
+
+        x = jnp.array(rng.standard_normal((1, 8, 8, 64), dtype=np.float32))
+        k = jnp.array(
+            rng.standard_normal((3, 3, 64, 64), dtype=np.float32)) * 0.1
+        b = jnp.array(rng.standard_normal(64, dtype=np.float32))
+        out, mom = conv3x3_gemm_slab(
+            x, k, b, h_tile=8, co_tile=64, upsample=True, emit_stats=True,
+            interpret=True,
+        )
+        assert out.shape == (1, 16, 16, 64)
+        ref = np.asarray(out, np.float64)
+        assert_allclose(mom[:, 0], ref.mean(axis=(1, 2)), atol=1e-5, rtol=1e-5)
+        assert_allclose(mom[:, 1], (ref ** 2).mean(axis=(1, 2)),
+                        atol=1e-5, rtol=1e-5)
+
+    def test_vae_decode_chain_parity(self, rng):
+        """Full vae_decode: cross-resnet + upsample + norm_out chain hops."""
+        import sdtpu.kernels.conv2d as ck
+        from sdtpu.config import VAEConfig
+        from sdtpu.models.vae import init_vae_decoder, vae_decode
+
+        cfg = VAEConfig(block_out_channels=(64, 64), layers_per_block=1,
+                        norm_num_groups=8)
+        params = init_vae_decoder(jax.random.key(0), cfg)
+        lat = jnp.array(
+            rng.standard_normal((1, 8, 8, cfg.latent_channels),
+                                dtype=np.float32)) * 0.2
+        expected = vae_decode(lat, params, cfg, conv_impl="xla")
+
+        counters, (orig_gn, orig_conv) = self._patch(ck)
+        chain_was = ck.CONV_STATS_CHAIN
+        try:
+            ck.CONV_STATS_CHAIN = True
+            got_on = vae_decode(lat, params, cfg, conv_impl="gemm")
+            consumed_on = counters["consumed"]
+            ck.CONV_STATS_CHAIN = False
+            got_off = vae_decode(lat, params, cfg, conv_impl="gemm")
+        finally:
+            ck.gn_silu_conv3x3_slab, ck.conv3x3_gemm_slab = orig_gn, orig_conv
+            ck.CONV_STATS_CHAIN = chain_was
+        # 2 up-levels x 2 resnets x (norm1-from-producer + norm2-from-conv1)
+        # minus the first resnet's norm1 (no producer), mid resnets, etc.
+        assert consumed_on >= 6, f"chain engaged only {consumed_on} times"
+        assert_allclose(got_on, got_off, atol=2e-4, rtol=2e-4)
+        assert_allclose(got_on, expected, atol=2e-4, rtol=2e-4)
+
+    def test_unet_forward_chain_parity(self, rng):
+        """Full unet_forward: resnet -> attention-block GN stats hop."""
+        import sdtpu.kernels.conv2d as ck
+        from sdtpu.config import UNetConfig
+        from sdtpu.models.unet import init_unet, unet_forward
+
+        cfg = UNetConfig(
+            block_out_channels=(64, 64),
+            layers_per_block=1,
+            attention_levels=(True, True),
+            num_attention_heads=4,
+            cross_attention_dim=24,
+            norm_num_groups=8,
+        )
+        params = init_unet(jax.random.key(0), cfg)
+        x = jnp.array(
+            rng.standard_normal((2, 16, 16, cfg.in_channels),
+                                dtype=np.float32))
+        ts = jnp.full((2,), 500.0, jnp.float32)
+        ctx = jnp.array(
+            rng.standard_normal((2, 77, cfg.cross_attention_dim),
+                                dtype=np.float32))
+        expected = unet_forward(x, ts, ctx, params, cfg, conv_impl="xla")
+
+        counters, (orig_gn, orig_conv) = self._patch(ck)
+        chain_was = ck.CONV_STATS_CHAIN
+        try:
+            ck.CONV_STATS_CHAIN = True
+            got_on = unet_forward(x, ts, ctx, params, cfg, conv_impl="gemm")
+            consumed_on = counters["consumed"]
+            ck.CONV_STATS_CHAIN = False
+            got_off = unet_forward(x, ts, ctx, params, cfg, conv_impl="gemm")
+        finally:
+            ck.gn_silu_conv3x3_slab, ck.conv3x3_gemm_slab = orig_gn, orig_conv
+            ck.CONV_STATS_CHAIN = chain_was
+        assert consumed_on >= 2, f"chain engaged only {consumed_on} times"
+        assert_allclose(got_on, got_off, atol=2e-4, rtol=2e-4)
+        assert_allclose(got_on, expected, atol=2e-4, rtol=2e-4)
