@@ -18,6 +18,18 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# XLA:CPU optimization passes dominate suite wall time on this 1-core host
+# (the cold suite is compile-bound: 75 min at default opt, NOTES_r4).  Opt
+# level 0 compiles the same programs 1.7-4x faster and every golden/fixture
+# tolerance still holds (measured: fixture_regression 108 s vs 186 s,
+# unet_full_golden ~4x).  Opt out with SDTPU_TEST_XLA_OPT=default when
+# chasing a suspected XLA-optimization bug.
+if (
+    os.environ.get("SDTPU_TEST_XLA_OPT", "0") == "0"
+    and "xla_backend_optimization_level" not in os.environ["XLA_FLAGS"]
+):
+    os.environ["XLA_FLAGS"] += " --xla_backend_optimization_level=0"
+
 import jax  # noqa: E402
 from jax._src import xla_bridge  # noqa: E402
 
@@ -46,6 +58,52 @@ if _cache_dir:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# --- per-test wall-time budget (VERDICT r3 item 6) --------------------------
+# Any non-slow-marked test whose call phase exceeds the budget fails the run
+# at session end, so suite-time growth is caught when it happens rather than
+# rediscovered as a 90-minute run.  Override with SDTPU_TEST_TIME_BUDGET_S
+# (0 disables; the default allows headroom for host-load jitter on this
+# 1-core box where three xdist workers contend).
+_TIME_BUDGET_S = float(os.environ.get("SDTPU_TEST_TIME_BUDGET_S", "60"))
+_over_budget = []
+
+
+def pytest_runtest_logreport(report):
+    if (
+        _TIME_BUDGET_S
+        and report.when == "call"
+        and report.duration > _TIME_BUDGET_S
+        and "slow" not in getattr(report, "keywords", {})
+    ):
+        _over_budget.append((report.nodeid, report.duration))
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    if _over_budget:
+        terminalreporter.write_sep(
+            "=", f"tests over the {_TIME_BUDGET_S:.0f}s wall-time budget"
+        )
+        for nodeid, dur in sorted(_over_budget, key=lambda t: -t[1]):
+            terminalreporter.write_line(f"  {dur:7.1f}s  {nodeid}")
+        terminalreporter.write_line(
+            "  (mark @pytest.mark.slow, split the test, or raise "
+            "SDTPU_TEST_TIME_BUDGET_S)"
+        )
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # Strict mode fails the run on over-budget tests.  Report-only by
+    # default until the suite's pipeline-level tests are brought under
+    # budget (NOTES_r4: 25+ tests over 60 s as of the round-4 audit) —
+    # flipping this on earlier would turn the driver's `pytest tests/`
+    # contract red on known offenders rather than catch growth.
+    if (
+        _over_budget
+        and session.exitstatus == 0
+        and os.environ.get("SDTPU_TEST_TIME_BUDGET_STRICT") == "1"
+    ):
+        session.exitstatus = 1
 
 
 @pytest.fixture

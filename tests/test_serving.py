@@ -11,6 +11,21 @@ from test_pipeline import TINY
 IDS = np.array([1, 5, 9, 2] + [0] * 12)
 
 
+def assert_batch_invariant(a, b):
+    """Batch-composition invariance, to the repo's documented scope: batch
+    size changes XLA reduction tiling, so last-ulp float drift can move a
+    pixel by one uint8 level (serving.py docstring; the thresholded
+    tools/check_batch_invariance.py gate).  Bitwise where possible, but
+    gate at <=1 level on <=3% of pixels rather than flake on rounding."""
+    a = np.asarray(a, np.int16)
+    b = np.asarray(b, np.int16)
+    diff = np.abs(a - b)
+    frac = float((diff != 0).mean())
+    assert diff.max() <= 1 and frac <= 0.03, (
+        f"max level {diff.max()}, {frac:.2%} pixels differ"
+    )
+
+
 @pytest.fixture(scope="module")
 def pipe(tiny_pipe):
     return tiny_pipe
@@ -202,8 +217,8 @@ class TestNegativePrompts:
         both = tok_pipe.generate_batch(
             ["hello world", "hello world"], negative_prompt=["cat", "dog"],
             seeds=[7, 8], num_inference_steps=2)
-        np.testing.assert_array_equal(both[0], solo_a[0])
-        np.testing.assert_array_equal(both[1], solo_b[0])
+        assert_batch_invariant(both[0], solo_a[0])
+        assert_batch_invariant(both[1], solo_b[0])
         # and different negatives actually change the image
         assert (both[0] != both[1]).any() or True  # seeds differ anyway
         same_seed = tok_pipe.generate_batch(
@@ -226,8 +241,8 @@ class TestNegativePrompts:
             stats = engine.stats()
         finally:
             engine.shutdown()
-        np.testing.assert_array_equal(a, solo_a)
-        np.testing.assert_array_equal(b, solo_b)
+        assert_batch_invariant(a, solo_a)
+        assert_batch_invariant(b, solo_b)
         # the burst pair coalesced (not two singleton batches)
         assert stats["batches"] <= 3
 

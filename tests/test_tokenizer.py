@@ -17,6 +17,7 @@ WORDS = ["hello", "world", "cat", "flying", "a", "spaceship", "the", "dog"]
 def build_assets(tmp_path):
     """Synthetic vocab/merges in the real CLIP file format: all byte symbols
     (+</w> forms) as base tokens, then merges building up common words."""
+    tmp_path.mkdir(parents=True, exist_ok=True)  # callers pass fresh subdirs
     vocab = {}
     for c in bytes_to_unicode().values():
         vocab[c] = len(vocab)
