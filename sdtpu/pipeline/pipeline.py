@@ -26,6 +26,7 @@ DDPM step.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Union
 
 import jax
@@ -38,6 +39,33 @@ from sdtpu.models.unet import unet_forward
 from sdtpu.models.vae import vae_decode, vae_encode
 from sdtpu.samplers import SamplerDef, get_sampler
 from sdtpu.utils.image import from_uint8
+
+# Process-wide compiled-program cache, shared by every pipeline instance
+# with an equal (frozen, hashable) PipelineConfig.  Safe because _build's
+# closures capture ONLY the config and the program key's static knobs —
+# all per-instance state (params, ControlNets, LoRA fusions, int8 trees)
+# travels as jit ARGUMENTS, and jax.jit itself retraces when an argument's
+# tree structure / shapes / dtypes change.  Two pipelines loaded with
+# different weights of the same architecture therefore share executables
+# (one compile per program bucket per process — loading a second SDXL
+# checkpoint costs zero compiles).
+_PROGRAM_CACHE: dict = {}
+
+
+def clear_program_cache() -> None:
+    """Drop every process-wide compiled pipeline program (frees the XLA
+    executables once existing pipelines' instance caches are also gone)."""
+    _PROGRAM_CACHE.clear()
+
+
+def _trace_env_fingerprint() -> tuple:
+    """SDTPU_* environment knobs are read at TRACE time inside ops/kernels
+    (conv-stats chaining, flash block sizes, packed projections, ...).  Two
+    same-config pipelines built under different knob settings must not share
+    programs — the knobs are part of the global cache key."""
+    return tuple(sorted(
+        (k, v) for k, v in os.environ.items() if k.startswith("SDTPU_")
+    ))
 
 
 def rescale_noise_cfg(eps_cfg, eps_text, rescale):
@@ -1334,6 +1362,13 @@ class StableDiffusionPipeline:
                      round(guidance_rescale, 6), round(pag_scale, 6), freeu,
                      get_ring_context())
         fn = self._compiled.get(cache_key)
+        if fn is not None:
+            return fn
+        # instance miss: consult the process-wide cache before building —
+        # pipelines with equal configs share executables (module docstring
+        # at _PROGRAM_CACHE)
+        global_key = (self.config, cache_key, _trace_env_fingerprint())
+        fn = _PROGRAM_CACHE.get(global_key)
         if fn is None:
             sdef = get_sampler(sampler)
             schedule = sdef.make_schedule(
@@ -1367,7 +1402,8 @@ class StableDiffusionPipeline:
                              guidance_rescale=guidance_rescale,
                              pag_scale=pag_scale,
                              freeu=freeu)
-            self._compiled[cache_key] = fn
+            _PROGRAM_CACHE[global_key] = fn
+        self._compiled[cache_key] = fn
         return fn
 
     def _build(
