@@ -81,6 +81,8 @@ def main() -> None:
                          "rows per device program (coalesced batches split "
                          "into pipelined chunks; tools/ab_serving.py data)")
     args = ap.parse_args()
+    if args.device_batch is not None and args.device_batch < 1:
+        ap.error("--device-batch must be >= 1 (rows per device program)")
 
     import jax
     import numpy as np
@@ -331,7 +333,11 @@ def _bench_serving(args, pipe, config, rng, dev, steps, sampler, cfg) -> None:
             mask_image[:, args.image_size // 2:] = 255
     # precompile the bucket so the measurement is steady-state serving;
     # the device programs are the CHUNK sizes (engine default
-    # DEFAULT_DEVICE_BATCH, or --device-batch), not the coalesced size
+    # DEFAULT_DEVICE_BATCH, or --device-batch), not the coalesced size.
+    # NOTE: all requests are submitted up-front, so the only chunk sizes
+    # reachable are min(db, batch) and batch % db — both warmed.  A live
+    # deployment with max_wait timeouts can see any size in 1..db; warm
+    # those explicitly there (ServingEngine docstring).
     from sdtpu.pipeline.serving import DEFAULT_DEVICE_BATCH
 
     db = (args.device_batch if args.device_batch is not None

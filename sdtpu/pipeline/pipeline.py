@@ -62,10 +62,24 @@ def _trace_env_fingerprint() -> tuple:
     """SDTPU_* environment knobs are read at TRACE time inside ops/kernels
     (conv-stats chaining, flash block sizes, packed projections, ...).  Two
     same-config pipelines built under different knob settings must not share
-    programs — the knobs are part of the global cache key."""
+    programs — the knobs are part of the global cache key.
+
+    A/B tools also mutate MODULE-LEVEL toggles directly without touching
+    os.environ (the documented SDTPU_PACKED_OUT_PROJ pattern), so the live
+    module attributes are fingerprinted too — a pipeline built after such a
+    mutation must not silently reuse a program traced under the old setting
+    (ADVICE r4)."""
+    from sdtpu.kernels import conv2d as _conv2d
+    from sdtpu.kernels import flash_attention as _flash
+
+    module_toggles = (
+        ("conv2d.CONV_STATS_CHAIN", bool(_conv2d.CONV_STATS_CHAIN)),
+        ("flash._BLOCK_Q", int(_flash._BLOCK_Q)),
+        ("flash._BLOCK_K", int(_flash._BLOCK_K)),
+    )
     return tuple(sorted(
         (k, v) for k, v in os.environ.items() if k.startswith("SDTPU_")
-    ))
+    )) + module_toggles
 
 
 def rescale_noise_cfg(eps_cfg, eps_text, rescale):

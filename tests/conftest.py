@@ -70,11 +70,13 @@ _over_budget = []
 
 
 def pytest_runtest_logreport(report):
+    keywords = getattr(report, "keywords", {})
     if (
         _TIME_BUDGET_S
         and report.when == "call"
         and report.duration > _TIME_BUDGET_S
-        and "slow" not in getattr(report, "keywords", {})
+        and "slow" not in keywords
+        and "nobudget" not in keywords
     ):
         _over_budget.append((report.nodeid, report.duration))
 
