@@ -141,9 +141,17 @@ class ServingEngine:
         max_wait_ms: float = 20.0,
         max_retries: int = 1,
         device_batch_size: Optional[int] = DEFAULT_DEVICE_BATCH,
+        mesh=None,
     ):
         self.pipeline = pipeline
         self.max_batch_size = max_batch_size
+        # Scale-out: a ``jax.sharding.Mesh`` with a "dp" axis shards every
+        # device chunk's batch over data-parallel devices (the chunk size
+        # must divide by the dp axis — callers pick device_batch_size as a
+        # multiple of dp).  Per-request RNG keys keep each row's image
+        # independent of batch composition, so a dp-sharded engine returns
+        # the same images as a single-device one (tests/test_parallel.py).
+        self.mesh = mesh
         # Rows per DEVICE program.  Coalescing (max_batch_size) bounds
         # queueing/multiplexing; the device batch bounds the compiled
         # program's shape.  The chip saturates at tiny batches for
@@ -368,6 +376,8 @@ class ServingEngine:
             pag_scale=first.pag_scale,
             freeu=first.freeu,
         )
+        if self.mesh is not None:
+            kw["mesh"] = self.mesh
         if first.prompt_weighting:
             kw["prompt_weighting"] = True
         elif first.token_weights is not None:

@@ -390,6 +390,43 @@ class TestMeshPipeline:
             got.astype(np.int32), expected.astype(np.int32), atol=1
         )
 
+    def test_serving_engine_over_mesh_matches_single_device(self, tiny_pipe):
+        """BASELINE config 5 is the scale-out workload: the ServingEngine
+        itself must run dp-sharded (VERDICT r4 item 6).  8 requests through
+        a dp=4 mesh engine (device chunks of 4 rows, each sharded over 4
+        devices) must reproduce the single-device engine's images exactly —
+        per-request RNG keys make rows independent of batch composition AND
+        of sharding."""
+        from sdtpu.pipeline.serving import ServingEngine
+
+        pipe = tiny_pipe
+        ids = np.tile(np.array([[1, 5, 9, 2] + [0] * 12]), (8, 1))
+
+        def run(mesh):
+            engine = ServingEngine(
+                pipe, max_batch_size=8, max_wait_ms=200.0,
+                device_batch_size=4, mesh=mesh,
+            )
+            try:
+                futs = [
+                    engine.submit("p", token_ids=ids[i], seed=i,
+                                  num_inference_steps=2)
+                    for i in range(8)
+                ]
+                return np.stack([f.result(timeout=300) for f in futs])
+            finally:
+                engine.shutdown()
+
+        expected = run(None)
+        mesh = make_mesh(4, 1)
+        with mesh:
+            got = run(mesh)
+        stats_note = "dp-sharded engine diverged from single-device engine"
+        np.testing.assert_allclose(
+            got.astype(np.int32), expected.astype(np.int32), atol=1,
+            err_msg=stats_note,
+        )
+
 
 @pytest.fixture(scope="module")
 def dryrun_config():
