@@ -20,11 +20,10 @@ def _dump(path, cfg):
         json.dump(cfg, f)
 
 
-@pytest.fixture(scope="module")
-def inferred_ckpt_dir(tmp_path_factory):
-    """The test_from_pretrained synthetic checkpoint + the JSON configs a
-    real diffusers export would carry, under an unknown directory name."""
-    root = tmp_path_factory.mktemp("ckpt") / "someones-finetune-v3"
+def build_inferred_ckpt(root):
+    """Write the test_from_pretrained synthetic checkpoint + the JSON
+    configs a real diffusers export would carry under ``root``.  Shared
+    with tests/test_acceptance_rehearsal.py (the runbook drill)."""
     _write_clip(root / "text_encoder", TINY_CKPT.clip)
     _write_unet(root / "unet", TINY_CKPT.unet)
     _write_vae(root / "vae", TINY_CKPT.vae)
@@ -71,6 +70,13 @@ def inferred_ckpt_dir(tmp_path_factory):
         "prediction_type": "epsilon", "steps_offset": 0,
     })
     return root
+
+
+@pytest.fixture(scope="module")
+def inferred_ckpt_dir(tmp_path_factory):
+    """A synthetic diffusers checkpoint under an unknown directory name."""
+    root = tmp_path_factory.mktemp("ckpt") / "someones-finetune-v3"
+    return build_inferred_ckpt(root)
 
 
 class TestInferredFromPretrained:

@@ -176,8 +176,14 @@ def step_clip_parity(args):
         sd = load_safetensors(_find_weight_file(te_dir))
         params = clip_params_from_state_dict(sd, config.clip)
         ref = CLIPTextModel.from_pretrained(te_dir).eval()
-        ids = np.array([[49406, 320, 2368, 4919, 320, 49407] + [49407] * 71],
-                       np.int32)
+        # ids sized to the checkpoint's own window and vocab (a synthetic
+        # drill checkpoint has max_length 16 / vocab 1024; hardcoding the
+        # SD 77/49408 shape here broke exactly that — rehearsal round 5)
+        n, v = config.clip.max_length, config.clip.vocab_size
+        bos, eos = v - 2, v - 1
+        body = [t % v for t in (320, 2368, 4919, 320)][: max(0, n - 2)]
+        row = [bos] + body + [eos] * (n - 1 - len(body))
+        ids = np.array([row], np.int32)
         with torch.no_grad():
             want = ref(torch.from_numpy(ids.astype(np.int64)))[0].numpy()
         got, _ = clip_encode(jnp.asarray(ids), params, config.clip)
@@ -277,7 +283,10 @@ def step_int8_fidelity(args):
         from sdtpu.utils.calibrate import calibrate_pipeline_act_ranges
 
         ids = np.asarray(
-            [pipe.tokenizer.encode("a cat flying a spaceship")]
+            [pipe.tokenizer.encode(
+                "a cat flying a spaceship",
+                max_length=pipe.config.text_config.max_length,
+            )]
         )
         ranges = calibrate_pipeline_act_ranges(
             pipe, ids, num_steps=4, seed=args.seed
