@@ -39,6 +39,10 @@ _NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
 # bk=4096 regresses on VMEM pressure (round-1 microbench).
 _BLOCK_Q = int(os.environ.get("SDTPU_FLASH_BLOCK_Q", "512"))
 _BLOCK_K = int(os.environ.get("SDTPU_FLASH_BLOCK_K", "1024"))
+# Independent online-softmax chains per q tile (see _kernel docstring); 2
+# measured best at tiny-sd shapes (round 3), sweepable per shape via
+# tools/probe_flash_blocks.py.
+_NQ = int(os.environ.get("SDTPU_FLASH_NQ", "2"))
 
 
 def _kernel(
@@ -185,7 +189,8 @@ def flash_attention(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("d_real", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("d_real", "block_q", "block_k", "nq", "interpret"),
 )
 def flash_attention_packed(
     q: jax.Array,
@@ -195,6 +200,7 @@ def flash_attention_packed(
     d_real: int,
     block_q: int = _BLOCK_Q,
     block_k: int = _BLOCK_K,
+    nq: int = _NQ,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention on head-major PRE-PADDED tensors: q (B, H, Lq, Dp),
@@ -213,11 +219,10 @@ def flash_attention_packed(
     assert d_pad % 128 == 0, d_pad
     sm_scale = 1.0 / math.sqrt(d_real)
 
-    # q tile = TWO independent bq-row online-softmax chains (see _kernel);
-    # picked as one 2*block_q tile so `_pick_block`'s zero-padding logic
+    # q tile = nq independent bq-row online-softmax chains (see _kernel);
+    # picked as one nq*block_q tile so `_pick_block`'s zero-padding logic
     # still lands on divisor tiles for non-power-of-two grids (SD2.1-768:
     # 2304 -> 768-tile = two 384-chains, 576 -> 576 = two 288-chains).
-    nq = 2
     tile_q = _pick_block(nq * block_q, lq, 8 * nq)
     bq = tile_q // nq
     block_k = _pick_block(block_k, lk, 128)
@@ -315,7 +320,7 @@ def flash_attention_stats(
     sm_scale = 1.0 / math.sqrt(d)
     qp, kp, vp = prep(q), prep(k), prep(v)
 
-    nq = 2
+    nq = _NQ  # module default; the stats path has no per-call override
     tile_q = _pick_block(nq * block_q, lq, 8 * nq)
     bq = tile_q // nq
     block_k = _pick_block(block_k, lk, 128)

@@ -76,6 +76,7 @@ def _trace_env_fingerprint() -> tuple:
         ("conv2d.CONV_STATS_CHAIN", bool(_conv2d.CONV_STATS_CHAIN)),
         ("flash._BLOCK_Q", int(_flash._BLOCK_Q)),
         ("flash._BLOCK_K", int(_flash._BLOCK_K)),
+        ("flash._NQ", int(_flash._NQ)),
     )
     return tuple(sorted(
         (k, v) for k, v in os.environ.items() if k.startswith("SDTPU_")

@@ -36,15 +36,31 @@ SHAPES = [
 ]
 
 BLOCKS = [
-    (256, 1024),
-    (512, 1024),   # shipped default
-    (512, 2304),
-    (512, 4608),
-    (1024, 1024),
-    (1024, 2304),
-    (512, 9216),
-    (1024, 4608),
+    # (block_q, block_k, nq chains)
+    (256, 1024, 2),
+    (512, 1024, 2),   # shipped default
+    (512, 2304, 2),
+    (512, 4608, 2),
+    (1024, 1024, 2),
+    (1024, 2304, 2),
+    (512, 9216, 2),
+    (1024, 4608, 2),
+    # chain-count sweep: more independent online-softmax chains = more
+    # MXU/VPU overlap freedom for Mosaic, at the cost of scratch + per-
+    # chain tail work
+    (512, 1024, 3),
+    (512, 2304, 3),
+    (384, 1024, 4),
+    (512, 1024, 4),
+    (256, 1024, 1),
+    (512, 1024, 1),
 ]
+
+import os  # noqa: E402
+
+if os.environ.get("SDTPU_PROBE_NQ_ONLY"):
+    # rows the original block sweep (nq=2) didn't already measure
+    BLOCKS = [r for r in BLOCKS if r[2] != 2] + [(512, 1024, 2)]
 
 
 def time_chain(fn, q, k, v, chain, d_real):
@@ -86,21 +102,21 @@ def main() -> None:
         k = k.at[..., d:].set(0)
         v = v.at[..., d:].set(0)
         print(f"== {label}  chain={chain}")
-        for bq, bk in BLOCKS:
+        for bq, bk, nq in BLOCKS:
             if bk > l:
                 continue
 
-            def fn(q, k, v, d_real, _bq=bq, _bk=bk):
+            def fn(q, k, v, d_real, _bq=bq, _bk=bk, _nq=nq):
                 return flash_attention_packed(
-                    q, k, v, d_real=d_real, block_q=_bq, block_k=_bk
+                    q, k, v, d_real=d_real, block_q=_bq, block_k=_bk, nq=_nq
                 )
 
             try:
                 per = time_chain(fn, q, k, v, chain, d)
             except Exception as e:  # VMEM blowups etc.
-                print(f"  bq={bq:5d} bk={bk:5d}  FAILED: {str(e)[:90]}")
+                print(f"  bq={bq:5d} bk={bk:5d} nq={nq}  FAILED: {str(e)[:90]}")
                 continue
-            print(f"  bq={bq:5d} bk={bk:5d}  {per * 1e3:7.3f} ms/call")
+            print(f"  bq={bq:5d} bk={bk:5d} nq={nq}  {per * 1e3:7.3f} ms/call")
 
 
 if __name__ == "__main__":
