@@ -52,10 +52,13 @@ def main() -> None:
                     help="with --int8: transformer='full' — also quantize "
                          "the out-projections + GeGLU down with runtime "
                          "per-row activation scales")
-    ap.add_argument("--int8-vae", action="store_true",
+    ap.add_argument("--int8-vae", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="with --int8: also quantize the VAE decoder's "
                          "resnet convs (decode is ~32%% of a few-step "
-                         "serving batch)")
+                         "serving batch).  Default: auto — ON for few-step "
+                         "presets (int8-UNet-only async-copy stall, "
+                         "BENCHLOG round 4); --no-int8-vae forces off")
     ap.add_argument("--controlnet", action="store_true",
                     help="attach a random-init ControlNet at the preset's "
                          "dims and condition on a control image (measures "

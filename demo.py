@@ -75,8 +75,12 @@ def main() -> None:
                     help="with --int8: quantize the post-LN transformer "
                          "matmuls too; 'full' adds the out-projections + "
                          "GeGLU down (runtime per-row scales)")
-    ap.add_argument("--int8-vae", action="store_true",
-                    help="with --int8: quantize the VAE decoder resnets")
+    ap.add_argument("--int8-vae", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="with --int8: quantize the VAE decoder resnets "
+                         "(default: auto — ON for few-step presets, where "
+                         "int8-UNet-only hits a 1.8x async-copy stall; "
+                         "--no-int8-vae forces off)")
     ap.add_argument("--lora", action="append", default=[],
                     metavar="PATH[:SCALE]",
                     help="fuse a LoRA adapter safetensors (kohya or "

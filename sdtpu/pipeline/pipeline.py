@@ -198,7 +198,8 @@ class StableDiffusionPipeline:
         params = init_pipeline_params(jax.random.key(seed), config)
         return cls(config, params, tokenizer)
 
-    def quantize_int8(self, **kw) -> "StableDiffusionPipeline":
+    def quantize_int8(self, *, vae: Optional[bool] = None,
+                      **kw) -> "StableDiffusionPipeline":
         """Quantize the UNet resblock convs to int8 (W8A8) in place.
 
         On TPU the slab conv kernel then runs its contractions on the MXU's
@@ -218,10 +219,30 @@ class StableDiffusionPipeline:
         int8 MXU path buys nothing while quantize/dequantize adds VPU cost
         — tools/probe_flash_int8.py, BENCHLOG round 3).
 
+        ``vae=None`` (the default) auto-pairs the VAE path on few-step
+        presets (``default_steps <= 8``: LCM, SDXL-Turbo): with only a
+        handful of denoise steps the int8-UNet-only program sits in a
+        measured 1.8x async-copy stall (95.5 ms wall vs 52.9 ms device-busy
+        — BENCHLOG round-4 "LCM int8 stall") while int8+vae does not, so
+        the pairing is on unless the caller explicitly passes
+        ``vae=False``.  Many-step presets default to ``vae=False`` as
+        before (decode is amortized over 25+ steps).
+
         Clears the compiled-program cache.  Returns self."""
+        import logging
+
         from sdtpu.utils.quant import quantize_pipeline_int8
 
-        self.params = quantize_pipeline_int8(self.params, **kw)
+        if vae is None:
+            vae = self.config.default_steps <= 8
+            if vae:
+                logging.getLogger("sdtpu.pipeline").info(
+                    "quantize_int8: few-step preset %s — auto-enabling the "
+                    "int8 VAE decoder path (avoids the int8-UNet-only "
+                    "async-copy stall; pass vae=False to override)",
+                    self.config.name,
+                )
+        self.params = quantize_pipeline_int8(self.params, vae=vae, **kw)
         self._compiled = {}
         return self
 

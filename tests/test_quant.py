@@ -254,3 +254,31 @@ class TestQuantizedForward:
                              seed=1)
         # min_ch=64: nothing quantizes at TINY dims -> identical program
         np.testing.assert_array_equal(img, img2)
+
+    def test_quantize_int8_autopairs_vae_on_few_step_presets(self):
+        """``quantize_int8()`` with no explicit ``vae=`` auto-enables the
+        VAE decoder path on few-step presets (default_steps <= 8) — the
+        int8-UNet-only program sits in a 1.8x async-copy stall on LCM-class
+        workloads (BENCHLOG round 4) — while many-step presets keep the old
+        UNet-only default, and an explicit ``vae=False`` always wins."""
+        few = TINY.replace(default_steps=4)
+
+        def vae_conv1(pipe):
+            return pipe.params["vae_decoder"]["up_blocks"][0]["resnets"][0][
+                "conv1"]
+
+        auto = StableDiffusionPipeline.from_random(few, seed=0)
+        auto.quantize_int8(min_ch=8)
+        assert "kernel_q" in vae_conv1(auto), "few-step: vae not auto-paired"
+
+        forced_off = StableDiffusionPipeline.from_random(few, seed=0)
+        forced_off.quantize_int8(min_ch=8, vae=False)
+        assert "kernel_q" not in vae_conv1(forced_off)
+
+        many_step = StableDiffusionPipeline.from_random(TINY, seed=0)
+        many_step.quantize_int8(min_ch=8)
+        assert "kernel_q" not in vae_conv1(many_step)
+        # ... but the UNet itself did quantize in all three
+        for p in (auto, forced_off, many_step):
+            blk = p.params["unet"]["down_blocks"][1]["resnets"][0]["conv1"]
+            assert "kernel_q" in blk
