@@ -39,10 +39,13 @@ _NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
 # bk=4096 regresses on VMEM pressure (round-1 microbench).
 _BLOCK_Q = int(os.environ.get("SDTPU_FLASH_BLOCK_Q", "512"))
 _BLOCK_K = int(os.environ.get("SDTPU_FLASH_BLOCK_K", "1024"))
-# Independent online-softmax chains per q tile (see _kernel docstring); 2
-# measured best at tiny-sd shapes (round 3), sweepable per shape via
-# tools/probe_flash_blocks.py.
-_NQ = int(os.environ.get("SDTPU_FLASH_NQ", "2"))
+# Independent online-softmax chains per q tile (see _kernel docstring).
+# Round-5 full-UNet-step A/B (tools/ab_flash_nq.py, same-process chained
+# scan, 2x repeated): nq=4 beats the round-3 nq=2 on every family —
+# SD2.1 768 43.6 -> 42.6 ms/step (+2.2%), tiny-sd 512 11.09 -> 10.93
+# (+1.4%), SDXL 1024 112.7 -> 112.1 (+0.5%) — more chains give Mosaic
+# more MXU/VPU overlap freedom at these seq lens.
+_NQ = int(os.environ.get("SDTPU_FLASH_NQ", "4"))
 
 
 def _kernel(
@@ -188,19 +191,43 @@ def flash_attention(
     return jnp.transpose(out[..., :d], (0, 2, 1, 3))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("d_real", "block_q", "block_k", "nq", "interpret"),
-)
 def flash_attention_packed(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     *,
     d_real: int,
-    block_q: int = _BLOCK_Q,
-    block_k: int = _BLOCK_K,
-    nq: int = _NQ,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    nq: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Resolve the module-level block/chain knobs at CALL time (so probes
+    can mutate ``_BLOCK_Q``/``_BLOCK_K``/``_NQ`` between same-process
+    variants) and dispatch to the jitted impl on explicit statics — a
+    jit-cached ``None`` default would silently pin the first value seen."""
+    return _flash_attention_packed_impl(
+        q, k, v, d_real=d_real,
+        block_q=block_q if block_q is not None else _BLOCK_Q,
+        block_k=block_k if block_k is not None else _BLOCK_K,
+        nq=nq if nq is not None else _NQ,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d_real", "block_q", "block_k", "nq", "interpret"),
+)
+def _flash_attention_packed_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    d_real: int,
+    block_q: int,
+    block_k: int,
+    nq: int,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention on head-major PRE-PADDED tensors: q (B, H, Lq, Dp),
