@@ -73,11 +73,23 @@ import pytest  # noqa: E402
 # reproducible.  Override with SDTPU_TEST_TIME_BUDGET_S (0 disables).
 _TIME_BUDGET_S = float(os.environ.get("SDTPU_TEST_TIME_BUDGET_S", "60"))
 _over_budget = []
+# Opt-in full CPU ranking (setup+call+teardown per test) written to this path
+# at session end — the tool for finding where suite CPU actually goes, since
+# the terminal's wall-clock "slowest durations" are contention noise here.
+_CPU_REPORT = os.environ.get("SDTPU_TEST_CPU_REPORT")
+_cpu_by_test = {}
 
 
 def _cpu_now() -> float:
     t = os.times()
     return t.user + t.system + t.children_user + t.children_system
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_setup(item):
+    start = _cpu_now()
+    yield
+    item._sdtpu_cpu_setup = _cpu_now() - start
 
 
 @pytest.hookimpl(hookwrapper=True)
@@ -87,6 +99,13 @@ def pytest_runtest_call(item):
     item._sdtpu_cpu_s = _cpu_now() - start
 
 
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_teardown(item):
+    start = _cpu_now()
+    yield
+    item._sdtpu_cpu_teardown = _cpu_now() - start
+
+
 def pytest_runtest_logreport(report):
     # Runs on the xdist CONTROLLER with a deserialized report: only standard
     # fields plus user_properties survive the wire, so the worker-side
@@ -94,8 +113,11 @@ def pytest_runtest_logreport(report):
     keywords = getattr(report, "keywords", {})
     cpu_s = None
     for name, value in getattr(report, "user_properties", ()):
-        if name == "sdtpu_cpu_s":
-            cpu_s = value
+        if name == "sdtpu_cpu_s" and value[0] == report.when:
+            cpu_s = value[1]
+    if cpu_s is not None and _CPU_REPORT:
+        rec = _cpu_by_test.setdefault(report.nodeid, {})
+        rec[report.when] = (cpu_s, report.duration)
     if (
         _TIME_BUDGET_S
         and report.when == "call"
@@ -110,11 +132,13 @@ def pytest_runtest_logreport(report):
 @pytest.hookimpl(hookwrapper=True)
 def pytest_runtest_makereport(item, call):
     outcome = yield
-    if call.when == "call":
-        report = outcome.get_result()
-        cpu_s = getattr(item, "_sdtpu_cpu_s", None)
-        if cpu_s is not None:
-            report.user_properties.append(("sdtpu_cpu_s", float(cpu_s)))
+    report = outcome.get_result()
+    attr = {"setup": "_sdtpu_cpu_setup", "call": "_sdtpu_cpu_s",
+            "teardown": "_sdtpu_cpu_teardown"}[call.when]
+    cpu_s = getattr(item, attr, None)
+    if cpu_s is not None:
+        report.user_properties.append(
+            ("sdtpu_cpu_s", (call.when, float(cpu_s))))
 
 
 def pytest_terminal_summary(terminalreporter, exitstatus, config):
@@ -130,6 +154,22 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
             "  (mark @pytest.mark.slow, split the test, or raise "
             "SDTPU_TEST_TIME_BUDGET_S)"
         )
+    if _CPU_REPORT and _cpu_by_test:
+        rows = []
+        for nodeid, phases in _cpu_by_test.items():
+            total_cpu = sum(c for c, _ in phases.values())
+            total_wall = sum(w for _, w in phases.values())
+            setup_cpu = phases.get("setup", (0.0, 0.0))[0]
+            rows.append((total_cpu, setup_cpu, total_wall, nodeid))
+        rows.sort(reverse=True)
+        with open(_CPU_REPORT, "w") as f:
+            f.write("total_cpu_s\tsetup_cpu_s\ttotal_wall_s\tnodeid\n")
+            for total_cpu, setup_cpu, total_wall, nodeid in rows:
+                f.write(f"{total_cpu:.1f}\t{setup_cpu:.1f}\t"
+                        f"{total_wall:.1f}\t{nodeid}\n")
+        terminalreporter.write_line(
+            f"per-test CPU report ({len(rows)} tests, "
+            f"{sum(r[0] for r in rows):.0f}s total cpu) -> {_CPU_REPORT}")
 
 
 def pytest_sessionfinish(session, exitstatus):
