@@ -33,6 +33,8 @@ from sdtpu.ops import (
 )
 from sdtpu.ops.activations import gelu_erf
 
+from sdtpu.utils import hostrng
+
 
 def _act(name: str):
     # HF CLIP "gelu" is erf-exact (torch nn.GELU default) — the tanh
@@ -125,11 +127,13 @@ def init_clip(
     key: jax.Array, config: CLIPConfig, *, dtype=jnp.float32
 ) -> dict:
     """Random-init parameter pytree (layers stacked along a leading axis)."""
+    host = isinstance(key, (int, hostrng.HostKey))
+    key = hostrng.ensure_key(key)
     d = config.hidden_size
-    keys = jax.random.split(key, config.num_layers + 3)
+    keys = hostrng.split(key, config.num_layers + 3)
 
     def init_layer(k):
-        k1, k2, k3 = jax.random.split(k, 3)
+        k1, k2, k3 = hostrng.split(k, 3)
         return {
             "norm1": init_layer_norm(d, dtype=dtype),
             "attn": init_attention(k1, d, qkv_bias=True, dtype=dtype),
@@ -147,7 +151,7 @@ def init_clip(
         "token_embedding": init_embedding(
             keys[-3], config.vocab_size, d, dtype=dtype
         ),
-        "position_embedding": jax.random.normal(
+        "position_embedding": hostrng.normal(
             keys[-2], (config.max_length, d), dtype
         )
         * 0.01,
@@ -158,7 +162,7 @@ def init_clip(
         params["text_projection"] = init_linear(
             keys[-1], d, config.projection_dim, use_bias=False, dtype=dtype
         )
-    return params
+    return jax.tree.map(jnp.asarray, params) if host else params
 
 
 def clip_encode_windows(

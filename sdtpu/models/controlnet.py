@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from sdtpu.config import UNetConfig
 from sdtpu.ops import conv2d, init_conv2d, silu
+from sdtpu.utils import hostrng
 from sdtpu.models.unet import (
     _heads_for_level,
     attention_block,
@@ -207,7 +208,9 @@ def init_controlnet(
     the cond-embedding output conv start at exactly zero."""
     from sdtpu.models.unet import init_unet
 
-    k_unet, k_cond = jax.random.split(key)
+    host = isinstance(key, (int, hostrng.HostKey))
+    key = hostrng.ensure_key(key)
+    k_unet, k_cond = hostrng.split(key)
     base = init_unet(k_unet, config, dtype=dtype)
     params = {
         "conv_in": base["conv_in"],
@@ -234,7 +237,7 @@ def init_controlnet(
             zero_convs.append(_zero_conv1x1(ch, dtype=dtype))
     params["zero_convs"] = zero_convs
 
-    keys = iter(jax.random.split(k_cond, 2 * len(cond_channels)))
+    keys = iter(hostrng.split(k_cond, 2 * len(cond_channels)))
     blocks = []
     for i in range(len(cond_channels) - 1):
         blocks.append(init_conv2d(
@@ -256,4 +259,4 @@ def init_controlnet(
             "bias": jnp.zeros((config.block_out_channels[0],), dtype=dtype),
         },
     }
-    return params
+    return jax.tree.map(jnp.asarray, params) if host else params

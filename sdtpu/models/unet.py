@@ -52,6 +52,8 @@ from sdtpu.ops import (
 )
 from sdtpu.ops.attention import precompute_transformer_cross_kv
 
+from sdtpu.utils import hostrng
+
 
 def precompute_time_projections(
     timesteps: jax.Array,
@@ -698,7 +700,7 @@ def unet_decode(
 
 
 def _init_resnet(key, in_ch, out_ch, time_dim, *, dtype):
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4 = hostrng.split(key, 4)
     params = {
         "norm1": init_group_norm(in_ch, dtype=dtype),
         "conv1": init_conv2d(k1, in_ch, out_ch, 3, dtype=dtype),
@@ -712,7 +714,7 @@ def _init_resnet(key, in_ch, out_ch, time_dim, *, dtype):
 
 
 def _init_attn_block(key, ch, depth, context_dim, *, dtype):
-    keys = jax.random.split(key, depth + 2)
+    keys = hostrng.split(key, depth + 2)
     return {
         "norm": init_group_norm(ch, dtype=dtype),
         "proj_in": init_linear(keys[0], ch, ch, dtype=dtype),
@@ -726,7 +728,9 @@ def _init_attn_block(key, ch, depth, context_dim, *, dtype):
 
 def init_unet(key: jax.Array, config: UNetConfig, *, dtype=jnp.float32) -> dict:
     """Random-init parameter pytree mirroring the diffusers UNet layout."""
-    keys = iter(jax.random.split(key, 256))
+    host = isinstance(key, (int, hostrng.HostKey))
+    key = hostrng.ensure_key(key)
+    keys = iter(hostrng.split(key, 256))
     nk = lambda: next(keys)  # noqa: E731
     time_dim = config.time_embed_dim
     ch0 = config.block_out_channels[0]
@@ -837,4 +841,4 @@ def init_unet(key: jax.Array, config: UNetConfig, *, dtype=jnp.float32) -> dict:
     params["conv_out"] = init_conv2d(
         nk(), config.block_out_channels[0], config.out_channels, 3, dtype=dtype
     )
-    return params
+    return jax.tree.map(jnp.asarray, params) if host else params

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from sdtpu.config import VAEConfig
+from sdtpu.utils import hostrng
 from sdtpu.ops import (
     attention,
     conv2d,
@@ -273,7 +274,7 @@ def vae_decode(
 
 
 def _init_vae_resnet(key, in_ch, out_ch, *, dtype):
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3 = hostrng.split(key, 3)
     params = {
         "norm1": init_group_norm(in_ch, dtype=dtype),
         "conv1": init_conv2d(k1, in_ch, out_ch, 3, dtype=dtype),
@@ -286,7 +287,7 @@ def _init_vae_resnet(key, in_ch, out_ch, *, dtype):
 
 
 def _init_mid(key, ch, *, dtype):
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3 = hostrng.split(key, 3)
     return {
         "resnets": [
             _init_vae_resnet(k1, ch, ch, dtype=dtype),
@@ -300,7 +301,9 @@ def _init_mid(key, ch, *, dtype):
 
 
 def init_vae_encoder(key: jax.Array, config: VAEConfig, *, dtype=jnp.float32) -> dict:
-    keys = iter(jax.random.split(key, 64))
+    host = isinstance(key, (int, hostrng.HostKey))
+    key = hostrng.ensure_key(key)
+    keys = iter(hostrng.split(key, 64))
     nk = lambda: next(keys)  # noqa: E731
     chs = config.block_out_channels
     params = {
@@ -330,11 +333,13 @@ def init_vae_encoder(key: jax.Array, config: VAEConfig, *, dtype=jnp.float32) ->
     params["quant_conv"] = init_conv2d(
         nk(), 2 * config.latent_channels, 2 * config.latent_channels, 1, dtype=dtype
     )
-    return params
+    return jax.tree.map(jnp.asarray, params) if host else params
 
 
 def init_vae_decoder(key: jax.Array, config: VAEConfig, *, dtype=jnp.float32) -> dict:
-    keys = iter(jax.random.split(key, 64))
+    host = isinstance(key, (int, hostrng.HostKey))
+    key = hostrng.ensure_key(key)
+    keys = iter(hostrng.split(key, 64))
     nk = lambda: next(keys)  # noqa: E731
     chs = config.block_out_channels
     params = {
@@ -364,4 +369,4 @@ def init_vae_decoder(key: jax.Array, config: VAEConfig, *, dtype=jnp.float32) ->
     params["conv_out"] = init_conv2d(
         nk(), chs[0], config.out_channels, 3, dtype=dtype
     )
-    return params
+    return jax.tree.map(jnp.asarray, params) if host else params

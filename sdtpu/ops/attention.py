@@ -29,6 +29,8 @@ from sdtpu.ops.activations import geglu
 from sdtpu.ops.linear import init_linear, linear
 from sdtpu.ops.norm import init_layer_norm, layer_norm
 
+from sdtpu.utils import hostrng
+
 # Route the flash path's out-projection (+ skip add) through the Pallas
 # layout-pinning GEMM (kernels/flash_attention.py:out_proj_packed).  Off by
 # default until the on-chip A/B lands — flip via SDTPU_PACKED_OUT_PROJ=1.
@@ -236,7 +238,7 @@ def init_attention(
     into one Linear(d, 3d), ``attention.mojo:17``; separate projections map
     1:1 onto diffusers' to_q/to_k/to_v checkpoint tensors)."""
     ctx = dim if context_dim is None else context_dim
-    kq, kk, kv, ko = jax.random.split(key, 4)
+    kq, kk, kv, ko = hostrng.split(key, 4)
     return {
         "q": init_linear(kq, dim, dim, use_bias=qkv_bias, dtype=dtype),
         "k": init_linear(kk, ctx, dim, use_bias=qkv_bias, dtype=dtype),
@@ -309,7 +311,7 @@ def precompute_transformer_cross_kv(context: jax.Array, params: dict) -> dict:
 def init_geglu(key: jax.Array, dim: int, *, mult: int = 4, dtype=jnp.float32) -> dict:
     """Linear(ch, 2*mult*ch) -> GeGLU -> Linear(mult*ch, ch)
     (``diffusion.mojo:96-97``: proj to 8x, gate halves to 4x)."""
-    k1, k2 = jax.random.split(key)
+    k1, k2 = hostrng.split(key)
     return {
         "proj": init_linear(k1, dim, 2 * mult * dim, dtype=dtype),
         "out": init_linear(k2, mult * dim, dim, dtype=dtype),
@@ -323,7 +325,7 @@ def init_transformer_block(
     context_dim: int,
     dtype=jnp.float32,
 ) -> dict:
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3 = hostrng.split(key, 3)
     return {
         "norm1": init_layer_norm(dim, dtype=dtype),
         "attn1": init_attention(k1, dim, qkv_bias=False, dtype=dtype),

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from sdtpu.utils import hostrng
+
 Padding = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
 
 
@@ -147,9 +149,9 @@ def init_conv2d(
     kh, kw = kernel_size
     fan_in = in_channels * kh * kw
     bound = fan_in**-0.5
-    k_key, b_key = jax.random.split(key)
-    kernel = jax.random.uniform(
+    k_key, b_key = hostrng.split(key)
+    kernel = hostrng.uniform(
         k_key, (kh, kw, in_channels, out_channels), dtype, -bound, bound
     )
-    bias = jax.random.uniform(b_key, (out_channels,), dtype, -bound, bound)
+    bias = hostrng.uniform(b_key, (out_channels,), dtype, -bound, bound)
     return {"kernel": kernel, "bias": bias}

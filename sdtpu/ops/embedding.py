@@ -15,6 +15,8 @@ import math
 import jax
 import jax.numpy as jnp
 
+from sdtpu.utils import hostrng
+
 
 def embedding_lookup(token_ids: jax.Array, params: dict) -> jax.Array:
     """Gather rows: (B, L) int ids -> (B, L, D).  The reference's tangled
@@ -27,7 +29,7 @@ def init_embedding(
     key: jax.Array, num_embeddings: int, features: int, *, dtype=jnp.float32
 ) -> dict:
     return {
-        "weight": jax.random.normal(key, (num_embeddings, features), dtype) * 0.02
+        "weight": hostrng.normal(key, (num_embeddings, features), dtype) * 0.02
     }
 
 

@@ -13,6 +13,8 @@ import threading
 import jax
 import jax.numpy as jnp
 
+from sdtpu.utils import hostrng
+
 _capture = threading.local()
 
 
@@ -128,14 +130,14 @@ def init_linear(
     double-sqrt quirk (``utils.mojo:1940-1944``, SURVEY.md §5.1 item 9).
     """
     bound = in_features**-0.5
-    k_key, b_key = jax.random.split(key)
+    k_key, b_key = hostrng.split(key)
     params = {
-        "kernel": jax.random.uniform(
+        "kernel": hostrng.uniform(
             k_key, (in_features, out_features), dtype, -bound, bound
         )
     }
     if use_bias:
-        params["bias"] = jax.random.uniform(
+        params["bias"] = hostrng.uniform(
             b_key, (out_features,), dtype, -bound, bound
         )
     return params

@@ -195,7 +195,7 @@ class StableDiffusionPipeline:
                 len(tokenizer.vocab) > config.text_config.vocab_size
             ):
                 tokenizer = None
-        params = init_pipeline_params(jax.random.key(seed), config)
+        params = init_pipeline_params(seed, config)
         return cls(config, params, tokenizer)
 
     def quantize_int8(self, *, vae: Optional[bool] = None,

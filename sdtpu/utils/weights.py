@@ -28,6 +28,8 @@ import numpy as np
 
 from sdtpu.config import CLIPConfig, PipelineConfig, UNetConfig, VAEConfig
 
+from sdtpu.utils import hostrng
+
 
 # ---------------------------------------------------------------------------
 # Tensor-level transforms
@@ -509,15 +511,26 @@ def load_converted(path: str) -> dict:
 
 def init_pipeline_params(key, config: PipelineConfig, *, dtype=None) -> dict:
     """Random-init full-pipeline params (benchmarks / tests without real
-    checkpoints — perf is weight-value independent)."""
+    checkpoints — perf is weight-value independent).
+
+    ``key`` may be an int seed or a ``hostrng.HostKey`` (the default, fast
+    path: the whole tree is drawn on the host with ZERO XLA compiles — the
+    old eager ``jax.random`` init cost one compile per parameter, ~15 s CPU
+    even for the tiny test config) or a jax PRNG key (legacy path, exact
+    old values).  Leaves are always returned as committed jax arrays: a
+    host-numpy leaf tree re-transfers through the TPU relay on EVERY jit
+    call (CLAUDE.md round-3 lesson)."""
     import jax
+    import jax.numpy as jnp
 
     from sdtpu.models.clip import init_clip
     from sdtpu.models.unet import init_unet
     from sdtpu.models.vae import init_vae_decoder, init_vae_encoder
 
+    if isinstance(key, int):
+        key = hostrng.key(key)
     dtype = dtype or config.param_dtype
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5 = hostrng.split(key, 5)
     params = {
         "unet": init_unet(k2, config.unet, dtype=dtype),
         "vae_encoder": init_vae_encoder(k3, config.vae, dtype=dtype),
@@ -527,4 +540,4 @@ def init_pipeline_params(key, config: PipelineConfig, *, dtype=None) -> dict:
         params["clip"] = init_clip(k1, config.clip, dtype=dtype)
     if config.clip_2 is not None:
         params["clip_2"] = init_clip(k5, config.clip_2, dtype=dtype)
-    return params
+    return jax.tree.map(jnp.asarray, params)

@@ -207,3 +207,25 @@ def assert_allclose(actual, desired, *, rtol=1e-5, atol=1e-5):
     np.testing.assert_allclose(
         np.asarray(actual), np.asarray(desired), rtol=rtol, atol=atol
     )
+
+
+def assert_images_match(actual, desired, *, levels=1, atol=1e-4):
+    """Cross-PROGRAM image parity: the same request rendered by two
+    DIFFERENT compiled programs (batch-1 vs batch-N, engine vs direct,
+    with-feature-at-identity vs without).  XLA:CPU retiles GEMMs per
+    matrix shape, so per-row float results drift ~1e-6 between programs
+    even when each row's math is identical on paper; with random test
+    weights the drift amplifies through the denoise loop and can flip a
+    uint8 pixel that happens to sit on a rounding boundary (this bit
+    round 5 when the init VALUES changed: see NOTES_r5.md).  The on-chip
+    batch-invariance gate uses the same >=1-level threshold
+    (tools/check_batch_invariance.py).  A real cross-row contamination
+    bug shows up as tens of levels on random weights, far above this.
+    Exact equality remains the bar for SAME-program determinism tests."""
+    a, d = np.asarray(actual), np.asarray(desired)
+    assert a.shape == d.shape and a.dtype == d.dtype
+    if a.dtype == np.uint8:
+        diff = int(np.abs(a.astype(np.int16) - d.astype(np.int16)).max())
+        assert diff <= levels, f"max level diff {diff} > {levels}"
+    else:
+        np.testing.assert_allclose(a, d, atol=atol, rtol=0)

@@ -44,7 +44,7 @@ def _samples(cfg, n=2, seed=0):
 
 class TestCapture:
     def test_eager_capture_covers_every_dynamic_site(self):
-        params = init_unet(jax.random.key(0), CFG)
+        params = init_unet(0, CFG)
         ranges = calibrate_unet_act_ranges(params, CFG, _samples(CFG))
         sites = dict(iter_dynamic_sites(params))
         assert set(ranges) == set(sites)
@@ -92,7 +92,7 @@ class TestCalibratedStaticQuant:
         assert rel < 0.035, rel
 
     def test_quantizer_uses_ranges_and_respects_skips(self):
-        params = init_unet(jax.random.key(1), CFG)
+        params = init_unet(1, CFG)
         ranges = calibrate_unet_act_ranges(params, CFG, _samples(CFG))
         q = quantize_unet_int8(
             params, min_ch=8, transformer="full", act_ranges=ranges,
@@ -107,7 +107,7 @@ class TestCalibratedStaticQuant:
         assert "kernel" in skipped["attn1"]["out"]
 
     def test_uncalibrated_sites_fall_back_to_dynamic(self):
-        params = init_unet(jax.random.key(2), CFG)
+        params = init_unet(2, CFG)
         ranges = calibrate_unet_act_ranges(params, CFG, _samples(CFG))
         key = "up_blocks.0.attentions.0.blocks.0.ff.out"
         partial = {k: v for k, v in ranges.items() if k != key}
@@ -118,7 +118,7 @@ class TestCalibratedStaticQuant:
         assert "kernel_q" in site and "act_scale" not in site  # dynamic
 
     def test_calibrated_forward_close_to_float(self, rng):
-        params = init_unet(jax.random.key(3), CFG)
+        params = init_unet(3, CFG)
         ranges = calibrate_unet_act_ranges(params, CFG, _samples(CFG))
         q = quantize_unet_int8(
             params, min_ch=8, transformer="full", act_ranges=ranges
@@ -156,7 +156,7 @@ class TestPipelineCalibration:
     def test_trajectory_sampler_yields_expected_count(self):
         from test_pipeline import TINY as T
 
-        params = init_unet(jax.random.key(0), CFG)
+        params = init_unet(0, CFG)
         rng = np.random.default_rng(0)
         ctx = jnp.asarray(rng.standard_normal((1, 5, 64)), jnp.float32)
         out = list(collect_unet_samples(

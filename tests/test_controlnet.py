@@ -23,7 +23,7 @@ from sdtpu.utils.weights import (
     unet_params_from_state_dict,
 )
 
-from conftest import assert_allclose
+from conftest import assert_allclose, assert_images_match
 from test_pipeline import TINY, TOKENS
 from test_unet_full_golden import SD15_TOPO, TINY_TOPO
 from torch_ref import RefControlNet, RefUNet, randomize_, state_dict_numpy
@@ -52,8 +52,7 @@ def _inputs(cfg, *, spatial=8, batch=1, ctx_len=5, seed=0):
 class TestZeroInitNoop:
     def test_residuals_are_exactly_zero(self):
         cfg = TINY_TOPO
-        cn = init_controlnet(
-            jax.random.key(0), cfg, cond_channels=COND_CHANNELS
+        cn = init_controlnet(0, cfg, cond_channels=COND_CHANNELS
         )
         lat, ctx, cond, ts = _inputs(cfg)
         embed = controlnet_cond_embed(jnp.asarray(cond), cn["cond_embedding"])
@@ -68,9 +67,8 @@ class TestZeroInitNoop:
         """A fresh (zero-conv) ControlNet composed into the UNet is an exact
         no-op — the design property zero-init buys."""
         cfg = TINY_TOPO
-        unet = init_unet(jax.random.key(1), cfg)
-        cn = init_controlnet(
-            jax.random.key(0), cfg, cond_channels=COND_CHANNELS
+        unet = init_unet(1, cfg)
+        cn = init_controlnet(0, cfg, cond_channels=COND_CHANNELS
         )
         lat, ctx, cond, ts = _inputs(cfg)
         embed = controlnet_cond_embed(jnp.asarray(cond), cn["cond_embedding"])
@@ -89,8 +87,7 @@ class TestZeroInitNoop:
     def test_scale_is_linear_in_residuals(self):
         """conditioning_scale multiplies every residual (traced scalar)."""
         cfg = TINY_TOPO
-        cn = init_controlnet(
-            jax.random.key(2), cfg, cond_channels=COND_CHANNELS
+        cn = init_controlnet(2, cfg, cond_channels=COND_CHANNELS
         )
         # make the zero convs non-trivial so residuals are non-zero
         key = jax.random.key(3)
@@ -256,8 +253,7 @@ class TestFullGolden:
         loaded = controlnet_params_from_state_dict(
             state_dict_numpy(model), TINY_TOPO
         )
-        inited = init_controlnet(
-            jax.random.key(0), TINY_TOPO, cond_channels=COND_CHANNELS
+        inited = init_controlnet(0, TINY_TOPO, cond_channels=COND_CHANNELS
         )
         ls = jax.tree.structure(loaded)
         rs = jax.tree.structure(inited)
@@ -271,8 +267,7 @@ class TestPipelineControl:
         from sdtpu.pipeline.pipeline import StableDiffusionPipeline
 
         pipe = StableDiffusionPipeline.from_random(TINY, seed=0)
-        cn = init_controlnet(
-            jax.random.key(7), TINY.unet, cond_channels=COND_CHANNELS_4X,
+        cn = init_controlnet(7, TINY.unet, cond_channels=COND_CHANNELS_4X,
             dtype=TINY.param_dtype,
         )
         pipe.load_controlnet(cn)
@@ -290,7 +285,7 @@ class TestPipelineControl:
             "x", token_ids=TOKENS[:1], num_inference_steps=2, seed=3,
             control_image=control,
         )
-        np.testing.assert_array_equal(base, with_ctrl)
+        assert_images_match(base, with_ctrl)
 
     def test_trained_controlnet_changes_output(self):
         """Non-zero zero-convs (a 'trained' ControlNet) must steer the
@@ -326,7 +321,7 @@ class TestPipelineControl:
             "x", token_ids=TOKENS[:1], num_inference_steps=2, seed=3,
             control_image=control, controlnet_scale=0.0,
         )
-        np.testing.assert_array_equal(base, off)
+        assert_images_match(base, off)
 
     def test_batch_and_img2img_compose(self):
         pipe = self._pipe()
@@ -353,11 +348,9 @@ class TestPipelineControl:
         import pytest
 
         pipe = StableDiffusionPipeline.from_random(TINY, seed=0)
-        zero_cn = init_controlnet(
-            jax.random.key(20), TINY.unet, cond_channels=COND_CHANNELS_4X
+        zero_cn = init_controlnet(20, TINY.unet, cond_channels=COND_CHANNELS_4X
         )
-        trained = init_controlnet(
-            jax.random.key(21), TINY.unet, cond_channels=COND_CHANNELS_4X
+        trained = init_controlnet(21, TINY.unet, cond_channels=COND_CHANNELS_4X
         )
         key = jax.random.key(22)
         trained["zero_convs"] = [
@@ -384,7 +377,7 @@ class TestPipelineControl:
             "x", token_ids=TOKENS[:1], num_inference_steps=2, seed=3,
             control_image=[map_a, map_b], controlnet_scale=[1.0, 0.6],
         )
-        np.testing.assert_array_equal(both, single)
+        assert_images_match(both, single)
         with pytest.raises(ValueError, match="one map per net"):
             pipe.generate(
                 "x", token_ids=TOKENS[:1], num_inference_steps=2, seed=3,
@@ -441,7 +434,7 @@ class TestPipelineControl:
             stats = engine.stats()
         finally:
             engine.shutdown()
-        np.testing.assert_array_equal(a, direct[0])
+        assert_images_match(a, direct[0])
         assert (a != b).any()  # distinct control maps -> distinct images
         assert stats["batches"] >= 2
 

@@ -31,7 +31,7 @@ class TestUNetSplit:
         from sdtpu.models.unet import compute_time_embedding, init_unet
 
         cfg = TINY.unet
-        params = init_unet(jax.random.key(0), cfg)
+        params = init_unet(0, cfg)
         lat = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
         ctx = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
         ts = jnp.asarray([700.0, 30.0])
@@ -123,8 +123,7 @@ class TestEncoderCachePipeline:
     def test_controlnet_rejected(self, tiny_pipe):
         from sdtpu.models.controlnet import init_controlnet
 
-        tiny_pipe.load_controlnet(init_controlnet(
-            jax.random.key(0), TINY.unet, cond_channels=(4, 8, 16)
+        tiny_pipe.load_controlnet(init_controlnet(0, TINY.unet, cond_channels=(4, 8, 16)
         ))
         try:
             with pytest.raises(ValueError, match="incompatible"):

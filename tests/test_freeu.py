@@ -98,7 +98,7 @@ class TestFreeUUnet:
             attention_levels=(False, False, False), num_attention_heads=2,
             cross_attention_dim=32, norm_num_groups=8,
         )
-        params = init_unet(jax.random.key(0), cfg)
+        params = init_unet(0, cfg)
         x = jax.random.normal(jax.random.key(1), (1, 16, 16, 4), jnp.float32)
         ctx = jax.random.normal(jax.random.key(2), (1, 8, 32), jnp.float32)
         temb = compute_time_embedding(

@@ -60,7 +60,7 @@ def _lin(sd, p, params):
 def _write_clip(dirpath, config):
     from sdtpu.models.clip import init_clip
 
-    params = init_clip(jax.random.key(0), config)
+    params = init_clip(0, config)
     sd = {}
     sd["text_model.embeddings.token_embedding.weight"] = np.asarray(
         params["token_embedding"]["weight"], np.float32)
@@ -84,7 +84,7 @@ def _write_clip(dirpath, config):
 def _write_unet(dirpath, config):
     from sdtpu.models.unet import init_unet
 
-    params = init_unet(jax.random.key(1), config)
+    params = init_unet(1, config)
     sd = {}
     _conv(sd, "conv_in", params["conv_in"])
     _lin(sd, "time_embedding.linear_1", params["time_embedding"]["linear_1"])
@@ -149,8 +149,8 @@ def _write_unet(dirpath, config):
 def _write_vae(dirpath, config):
     from sdtpu.models.vae import init_vae_decoder, init_vae_encoder
 
-    enc = init_vae_encoder(jax.random.key(2), config)
-    dec = init_vae_decoder(jax.random.key(3), config)
+    enc = init_vae_encoder(2, config)
+    dec = init_vae_decoder(3, config)
     sd = {}
 
     def resnet(p, r):
@@ -238,10 +238,10 @@ class TestFromPretrained:
         source = StableDiffusionPipeline(
             TINY_CKPT,
             {
-                "clip": init_clip(jax.random.key(0), TINY_CKPT.clip),
-                "unet": init_unet(jax.random.key(1), TINY_CKPT.unet),
-                "vae_encoder": init_vae_encoder(jax.random.key(2), TINY_CKPT.vae),
-                "vae_decoder": init_vae_decoder(jax.random.key(3), TINY_CKPT.vae),
+                "clip": init_clip(0, TINY_CKPT.clip),
+                "unet": init_unet(1, TINY_CKPT.unet),
+                "vae_encoder": init_vae_encoder(2, TINY_CKPT.vae),
+                "vae_decoder": init_vae_decoder(3, TINY_CKPT.vae),
             },
             tokenizer=loaded.tokenizer,
         )
@@ -284,7 +284,7 @@ class TestFromPretrainedSDXL:
         # second encoder with projection
         from sdtpu.models.clip import init_clip
 
-        params2 = init_clip(jax.random.key(7), clip2)
+        params2 = init_clip(7, clip2)
         sd2 = {}
         sd2["text_model.embeddings.token_embedding.weight"] = np.asarray(
             params2["token_embedding"]["weight"], np.float32)

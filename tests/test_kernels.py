@@ -700,7 +700,7 @@ class TestStatsChainModels:
 
         cfg = VAEConfig(block_out_channels=(64, 64), layers_per_block=1,
                         norm_num_groups=8)
-        params = init_vae_decoder(jax.random.key(0), cfg)
+        params = init_vae_decoder(0, cfg)
         lat = jnp.array(
             rng.standard_normal((1, 8, 8, cfg.latent_channels),
                                 dtype=np.float32)) * 0.2
@@ -737,7 +737,7 @@ class TestStatsChainModels:
             cross_attention_dim=24,
             norm_num_groups=8,
         )
-        params = init_unet(jax.random.key(0), cfg)
+        params = init_unet(0, cfg)
         x = jnp.array(
             rng.standard_normal((2, 16, 16, cfg.in_channels),
                                 dtype=np.float32))

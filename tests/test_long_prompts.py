@@ -99,7 +99,7 @@ class TestClipWindows:
         cfg = dataclasses.replace(
             TINY.clip, vocab_size=1024, max_length=W
         )
-        params = init_clip(jax.random.key(0), cfg)
+        params = init_clip(0, cfg)
         rng = np.random.default_rng(0)
         ids = rng.integers(0, 1000, (2, 2 * W)).astype(np.int32)
         hidden, pooled = clip_encode_windows(ids, params, cfg)
@@ -118,7 +118,7 @@ class TestClipWindows:
 
     def test_rejects_non_multiple_length(self):
         cfg = dataclasses.replace(TINY.clip, max_length=W)
-        params = init_clip(jax.random.key(0), cfg)
+        params = init_clip(0, cfg)
         with pytest.raises(ValueError, match="multiple of the CLIP window"):
             clip_encode_windows(
                 np.ones((1, W + 3), np.int32), params, cfg

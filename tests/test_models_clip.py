@@ -136,13 +136,13 @@ class TestClipVsTransformers:
                         atol=1e-4, rtol=1e-3)
 
     def test_clip_skip_out_of_range_raises(self):
-        params = init_clip(jax.random.key(0), SMALL)
+        params = init_clip(0, SMALL)
         ids = jnp.ones((1, SMALL.max_length), dtype=jnp.int32)
         with pytest.raises(ValueError, match="clip_skip"):
             clip_encode(ids, params, SMALL, clip_skip=SMALL.num_layers)
 
     def test_jit_and_batch(self):
-        params = init_clip(jax.random.key(0), SMALL)
+        params = init_clip(0, SMALL)
         ids = jnp.ones((4, SMALL.max_length), dtype=jnp.int32)
         fn = jax.jit(lambda p, i: clip_encode(i, p, SMALL)[0])
         out = fn(params, ids)

@@ -111,7 +111,7 @@ class TestAttentionBlock:
 
 class TestUNetStructure:
     def test_tiny_forward_shapes(self):
-        params = init_unet(jax.random.key(0), TINY_TEST)
+        params = init_unet(0, TINY_TEST)
         x = jnp.zeros((2, 16, 16, 4))
         ctx = jnp.zeros((2, 7, TINY_TEST.cross_attention_dim))
         fn = jax.jit(lambda p, a, ts, c: unet_forward(a, ts, c, p, TINY_TEST))
@@ -121,7 +121,7 @@ class TestUNetStructure:
     def test_cfg_batched_two(self):
         """CFG as one batched call (replaces the reference's two sequential
         identical forwards, pipeline.mojo:107-110)."""
-        params = init_unet(jax.random.key(0), TINY_TEST)
+        params = init_unet(0, TINY_TEST)
         lat = jax.random.normal(jax.random.key(1), (1, 16, 16, 4))
         ctx_cond = jax.random.normal(jax.random.key(2), (1, 7, 24))
         ctx_uncond = jnp.zeros((1, 7, 24))
@@ -150,7 +150,7 @@ class TestUNetStructure:
             mid_block=True,
             norm_num_groups=8,
         )
-        params = init_unet(jax.random.key(0), cfg)
+        params = init_unet(0, cfg)
         x = jnp.zeros((1, 32, 32, 4))
         out = jax.jit(lambda p, a, ts, c: unet_forward(a, ts, c, p, cfg))(
             params, x, jnp.array([1.0]), jnp.zeros((1, 7, 16))
@@ -172,7 +172,7 @@ class TestUNetStructure:
             addition_embed_dim=64,
             addition_time_embed_dim=8,
         )
-        params = init_unet(jax.random.key(0), cfg)
+        params = init_unet(0, cfg)
         x = jnp.zeros((2, 32, 32, 4))
         added = {
             "text_embeds": jnp.zeros((2, 64 - 6 * 8)),
@@ -190,7 +190,7 @@ class TestUNetStructure:
         numbers identical to computing the projections in-place."""
         from sdtpu.models.unet import precompute_cross_kv
 
-        params = init_unet(jax.random.key(0), TINY_TEST)
+        params = init_unet(0, TINY_TEST)
         lat = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
         ctx = jax.random.normal(jax.random.key(2), (2, 7, 24))
         ts = jnp.array([500.0, 10.0])
@@ -212,7 +212,7 @@ class TestUNetStructure:
             mid_block=True,
             norm_num_groups=8,
         )
-        params = init_unet(jax.random.key(3), cfg)
+        params = init_unet(3, cfg)
         lat = jax.random.normal(jax.random.key(4), (1, 16, 16, 4))
         ctx = jax.random.normal(jax.random.key(5), (1, 7, 24))
         ts = jnp.array([77.0])
@@ -227,7 +227,7 @@ class TestUNetStructure:
         for every step of a schedule."""
         from sdtpu.models.unet import precompute_time_projections
 
-        params = init_unet(jax.random.key(0), TINY_TEST)
+        params = init_unet(0, TINY_TEST)
         lat = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
         ctx = jax.random.normal(jax.random.key(2), (2, 7, 24))
         timesteps = jnp.array([981.0, 500.0, 21.0])
@@ -256,7 +256,7 @@ class TestUNetStructure:
             mid_block=True,
             norm_num_groups=8,
         )
-        params = init_unet(jax.random.key(3), cfg)
+        params = init_unet(3, cfg)
         lat = jax.random.normal(jax.random.key(4), (1, 16, 16, 4))
         ctx = jax.random.normal(jax.random.key(5), (1, 7, 24))
         timesteps = jnp.array([77.0, 3.0])
@@ -273,7 +273,7 @@ class TestUNetStructure:
             assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
     def test_jit_no_recompile_across_timesteps(self):
-        params = init_unet(jax.random.key(0), TINY_TEST)
+        params = init_unet(0, TINY_TEST)
         fn = jax.jit(
             lambda p, x, ts, ctx: unet_forward(x, ts, ctx, p, TINY_TEST)
         )

@@ -60,7 +60,7 @@ class TestVaeResnet:
 
 class TestEncoder:
     def test_moments_shape(self):
-        params = init_vae_encoder(jax.random.key(0), SMALL)
+        params = init_vae_encoder(0, SMALL)
         img = jnp.zeros((1, 32, 32, 3))
         moments = vae_encoder(img, params, SMALL)
         # 3 levels -> downscale 4; 2*latent channels
@@ -68,7 +68,7 @@ class TestEncoder:
 
     def test_encode_reparameterization(self):
         """x = mean + noise * std, scaled (vae.mojo:118-129)."""
-        params = init_vae_encoder(jax.random.key(0), SMALL)
+        params = init_vae_encoder(0, SMALL)
         img = jax.random.normal(jax.random.key(1), (1, 32, 32, 3))
         moments = vae_encoder(img, params, SMALL)
         mean, logvar = jnp.split(moments, 2, axis=-1)
@@ -80,7 +80,7 @@ class TestEncoder:
         assert_allclose(lat, expected, atol=1e-4, rtol=1e-3)
 
     def test_encode_zero_noise_is_scaled_mean(self):
-        params = init_vae_encoder(jax.random.key(0), SMALL)
+        params = init_vae_encoder(0, SMALL)
         img = jax.random.normal(jax.random.key(1), (1, 32, 32, 3))
         lat = vae_encode(img, jnp.zeros((1, 8, 8, 4)), params, SMALL)
         mean = jnp.split(vae_encoder(img, params, SMALL), 2, axis=-1)[0]
@@ -89,21 +89,21 @@ class TestEncoder:
 
 class TestDecoder:
     def test_decode_shape(self):
-        params = init_vae_decoder(jax.random.key(0), SMALL)
+        params = init_vae_decoder(0, SMALL)
         lat = jnp.zeros((2, 8, 8, 4))
         img = vae_decode(lat, params, SMALL)
         assert img.shape == (2, 32, 32, 3)
 
     def test_jit(self):
-        params = init_vae_decoder(jax.random.key(0), SMALL)
+        params = init_vae_decoder(0, SMALL)
         fn = jax.jit(lambda p, z: vae_decode(z, p, SMALL))
         out = fn(params, jnp.ones((1, 8, 8, 4)) * 0.1)
         assert np.isfinite(np.asarray(out)).all()
 
     def test_roundtrip_finite(self):
         """Random weights won't reconstruct, but the pipe must be finite."""
-        enc = init_vae_encoder(jax.random.key(0), SMALL)
-        dec = init_vae_decoder(jax.random.key(1), SMALL)
+        enc = init_vae_encoder(0, SMALL)
+        dec = init_vae_decoder(1, SMALL)
         img = jax.random.normal(jax.random.key(2), (1, 32, 32, 3)) * 0.5
         lat = vae_encode(img, jnp.zeros((1, 8, 8, 4)), enc, SMALL)
         out = vae_decode(lat, dec, SMALL)

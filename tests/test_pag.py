@@ -92,7 +92,7 @@ class TestUNetPagTail:
             norm_num_groups=8,
             mid_block=mid,
         )
-        params = init_unet(jax.random.key(0), config)
+        params = init_unet(0, config)
         rng = np.random.default_rng(5)
         row = rng.standard_normal((1, 16, 16, 4)).astype(np.float32)
         x = jnp.asarray(np.concatenate([row, row]))

@@ -112,7 +112,7 @@ class TestDpPipeline:
             cross_attention_dim=16,
             norm_num_groups=8,
         )
-        params = init_unet(jax.random.key(0), cfg)
+        params = init_unet(0, cfg)
         x = jnp.array(rng.standard_normal((8, 16, 16, 4), dtype=np.float32))
         ts = jnp.full((8,), 100.0)
         ctx = jnp.array(rng.standard_normal((8, 7, 16), dtype=np.float32))
@@ -241,7 +241,7 @@ class TestRingIntegration:
             cross_attention_dim=16,
             norm_num_groups=8,
         )
-        params = init_unet(jax.random.key(0), cfg)
+        params = init_unet(0, cfg)
         # 32x32 latents: levels see 1024/256/64 tokens — all divide 8
         x = jnp.array(rng.standard_normal((2, 32, 32, 4), dtype=np.float32))
         ts = jnp.full((2,), 500.0)
@@ -353,7 +353,7 @@ class TestTpFullUNet:
             cross_attention_dim=16,
             norm_num_groups=8,
         )
-        params = init_unet(jax.random.key(0), cfg)
+        params = init_unet(0, cfg)
         x = jnp.array(rng.standard_normal((2, 16, 16, 4), dtype=np.float32))
         ts = jnp.full((2,), 300.0)
         ctx = jnp.array(rng.standard_normal((2, 7, 16), dtype=np.float32))

@@ -60,7 +60,7 @@ class TestPerStageBf16Drift:
 
     def test_clip_bf16_tracks_f32(self):
         cfg = TINY.clip
-        p32 = init_clip(jax.random.key(0), cfg, dtype=jnp.float32)
+        p32 = init_clip(0, cfg, dtype=jnp.float32)
         h32, _ = clip_encode(jnp.asarray(TOKENS), p32, cfg)
         h16, _ = clip_encode(
             jnp.asarray(TOKENS), cast_pytree(p32, jnp.bfloat16), cfg
@@ -70,7 +70,7 @@ class TestPerStageBf16Drift:
 
     def test_unet_forward_bf16_tracks_f32(self):
         cfg = TINY.unet
-        params32 = init_unet(jax.random.key(0), cfg, dtype=jnp.float32)
+        params32 = init_unet(0, cfg, dtype=jnp.float32)
         params16 = cast_pytree(params32, jnp.bfloat16)
         x = jax.random.normal(jax.random.key(1), (1, 16, 16, 4))
         ctx = jax.random.normal(
@@ -85,7 +85,7 @@ class TestPerStageBf16Drift:
 
     def test_vae_encode_bf16_tracks_f32(self):
         cfg = TINY.vae
-        p32 = init_vae_encoder(jax.random.key(5), cfg, dtype=jnp.float32)
+        p32 = init_vae_encoder(5, cfg, dtype=jnp.float32)
         img = jax.random.normal(jax.random.key(6), (1, 32, 32, 3)).clip(-1, 1)
         g = 32 // cfg.downscale_factor
         noise = jnp.zeros((1, g, g, cfg.latent_channels))
@@ -99,7 +99,7 @@ class TestPerStageBf16Drift:
 
     def test_vae_decode_bf16_tracks_f32(self):
         cfg = TINY.vae
-        p32 = init_vae_decoder(jax.random.key(3), cfg, dtype=jnp.float32)
+        p32 = init_vae_decoder(3, cfg, dtype=jnp.float32)
         lat = jax.random.normal(jax.random.key(4), (1, 8, 8, 4))
         d32 = vae_decode(lat, p32, cfg)
         d16 = vae_decode(

@@ -60,7 +60,7 @@ class TestQuantizeUtils:
     def test_quantize_unet_skips_small_and_preserves_structure(self):
         from sdtpu.models.unet import init_unet
 
-        params = init_unet(jax.random.key(0), TINY.unet)
+        params = init_unet(0, TINY.unet)
         q64 = quantize_unet_int8(params)  # min_ch=64 > TINY channels
         assert "kernel" in q64["down_blocks"][0]["resnets"][0]["conv1"]
         q8 = quantize_unet_int8(params, min_ch=8)
@@ -211,7 +211,7 @@ class TestQuantizedForward:
         from sdtpu.models.vae import init_vae_decoder
         from sdtpu.utils.quant import quantize_vae_decoder_int8
 
-        params = init_vae_decoder(jax.random.key(0), TINY.vae)
+        params = init_vae_decoder(0, TINY.vae)
         q = quantize_vae_decoder_int8(params, min_ch=8)
         c1 = q["up_blocks"][0]["resnets"][0]["conv1"]
         assert "kernel_q" in c1 and c1["kernel_q"].dtype == jnp.int8
@@ -230,7 +230,7 @@ class TestQuantizedForward:
         from sdtpu.models.vae import init_vae_decoder, vae_decode
         from sdtpu.utils.quant import quantize_vae_decoder_int8
 
-        params = init_vae_decoder(jax.random.key(1), TINY.vae)
+        params = init_vae_decoder(1, TINY.vae)
         lat = jnp.array(
             rng.standard_normal((1, 8, 8, TINY.vae.latent_channels),
                                 dtype=np.float32)

@@ -237,7 +237,7 @@ class TestRefinerCheckpointLayout:
         from test_tokenizer import build_assets
 
         root = tmp_path / "tiny-refiner"
-        params2 = init_clip(jax.random.key(7), REFINER_CLIP2)
+        params2 = init_clip(7, REFINER_CLIP2)
         sd2 = {
             "text_model.embeddings.token_embedding.weight": np.asarray(
                 params2["token_embedding"]["weight"], np.float32),

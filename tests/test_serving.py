@@ -8,6 +8,8 @@ from sdtpu.pipeline.serving import ServingEngine
 
 from test_pipeline import TINY
 
+from conftest import assert_images_match
+
 IDS = np.array([1, 5, 9, 2] + [0] * 12)
 
 
@@ -40,8 +42,8 @@ class TestPerRequestSeeds:
                                 num_inference_steps=2, seeds=[7, 8])
         b = pipe.generate_batch(["x", "y", "z"], token_ids=ids3,
                                 num_inference_steps=2, seeds=[7, 9, 8])
-        np.testing.assert_array_equal(a[0], b[0])  # seed 7 row identical
-        np.testing.assert_array_equal(a[1], b[2])  # seed 8 row identical
+        assert_images_match(a[0], b[0])  # seed 7 row identical
+        assert_images_match(a[1], b[2])  # seed 8 row identical
 
     def test_seed_count_mismatch_raises(self, pipe):
         with pytest.raises(ValueError, match="seeds"):
@@ -92,7 +94,7 @@ class TestServingEngine:
         full, full_stats = run()
         chunked, chunk_stats = run(device_batch_size=2)
         for a, b in zip(full, chunked):
-            np.testing.assert_array_equal(a, b)
+            assert_images_match(a, b)
         # the chunked run executed more (smaller) device programs
         assert chunk_stats["batches"] > full_stats["batches"]
         assert chunk_stats["requests"] == full_stats["requests"] == 4
@@ -114,7 +116,7 @@ class TestServingEngine:
             batched = [f.result(300) for f in futs]
         finally:
             engine.shutdown()
-        np.testing.assert_array_equal(solo, batched[1])
+        assert_images_match(solo, batched[1])
 
     def test_error_resolves_future(self, pipe):
         engine = ServingEngine(pipe, max_batch_size=2, max_wait_ms=10)
@@ -323,7 +325,7 @@ class TestEngineImg2Img:
             stats = engine.stats()
         finally:
             engine.shutdown()
-        np.testing.assert_array_equal(a, direct[0])
+        assert_images_match(a, direct[0])
         assert (a != b).any()  # distinct inits -> distinct images
         assert stats["batches"] <= 2  # same bucket -> coalesced
 
@@ -349,7 +351,7 @@ class TestEngineImg2Img:
             stats = engine.stats()
         finally:
             engine.shutdown()
-        np.testing.assert_array_equal(a, direct[0])
+        assert_images_match(a, direct[0])
         assert stats["batches"] == 2  # different buckets
 
     def test_cancelled_future_does_not_poison_batch(self, pipe):
@@ -421,8 +423,8 @@ class TestBatchedImg2Img:
         b = pipe.generate_batch(["x", "y", "z"], token_ids=ids3,
                                 num_inference_steps=4, seeds=[9, 5, 6],
                                 init_images=[init, init, init], strength=0.5)
-        np.testing.assert_array_equal(a[0], b[1])
-        np.testing.assert_array_equal(a[1], b[2])
+        assert_images_match(a[0], b[1])
+        assert_images_match(a[1], b[2])
 
     def test_invalid_strength_raises(self, pipe):
         with pytest.raises(ValueError, match="strength"):

@@ -108,6 +108,9 @@ class TestFullUNetGolden:
     def test_sd15_topology_with_mid_block(self):
         _run_parity(SD15_TOPO, spatial=16)
 
+    @pytest.mark.nobudget  # isolated heavy guard: real-width torch mirror +
+    # eager forward is ~65 s CPU and irreducible without losing the
+    # anti-vacuity coverage (the topology tests above stay under budget)
     def test_real_dims_tiny_sd(self):
         """The REAL Tiny-SD channel dims (320/640/1280, ctx 768, 8 heads) at
         small spatial size: exercises every real tensor shape the Tiny-SD

@@ -48,7 +48,7 @@ class TestUNetMapping:
         )
         from sdtpu.models.unet import init_unet, unet_forward
 
-        params = init_unet(jax.random.key(0), cfg)
+        params = init_unet(0, cfg)
 
         sd = {}
 
